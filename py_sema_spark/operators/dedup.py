@@ -1,0 +1,251 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table ``(doc_id, text, …)``. Everything is built from deterministic,
+*portable* primitives (md5 over strings) so the same math can be
+mirrored in ANSI SQL for the DuckDB correctness oracle — no Spark- or
+DuckDB-private hash functions in any semantically relevant place.
+
+Scale design:
+- tokenization/shingling is pure column algebra (`split`/`transform`/
+  `explode`) — JVM-side, whole-stage codegen, no Python;
+- MinHash signatures are per-(doc, perm) partial mins → one groupBy;
+- LSH banding turns the quadratic candidate space into per-bucket
+  groups; bucket sizes are bounded by construction (a band collision
+  requires equality of the band's full signature slice);
+- candidate verification (exact Jaccard) touches only in-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_tokens(text_col: Column) -> Column:
+    """Lowercased word tokens, punctuation stripped — the shared
+    canonical tokenization for all dedup/text operators."""
+    cleaned = F.lower(F.regexp_replace(text_col, r"[^\p{L}\p{N}\s]", " "))
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by content hash.
+
+    Returns (doc_id, content_hash, is_canonical) where the canonical
+    row per hash is the min doc_id — deterministic survivor choice.
+    One shuffle (the groupBy window).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def token_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token) distinct pairs — the exploded token-set view."""
+    return (
+        docs.select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    token_sets: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Permutation *i* is simulated by ``md5(i || '|' || token)`` — a
+    deterministic string hash both Spark and the SQL oracle can
+    compute; the signature component is the lexicographic min digest.
+    Output: (doc_id, perm, sig).
+
+    The explode (num_perm rows per token) happens map-side and feeds
+    straight into a partial-aggregating groupBy — one shuffle total.
+    """
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    exploded = token_sets.select(
+        F.col(id_col),
+        F.explode(perms).alias("perm"),
+        F.col("token"),
+    ).withColumn(
+        "h", F.md5(F.concat_ws("|", F.col("perm").cast("string"), F.col("token")))
+    )
+    return exploded.groupBy(id_col, "perm").agg(F.min("h").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs per bucket.
+
+    Band key = md5 of the concatenated signature slice. Pairs are
+    ordered (a < b) to halve the output and make results deterministic.
+    """
+    banded = signatures.withColumn("band", F.col("perm") % bands)
+    buckets = (
+        banded.groupBy(id_col, "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm").cast("string"), F.col("sig"))
+        ))).alias("band_sig"))
+        .withColumn("bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
+    )
+    a = buckets.select(F.col(id_col).alias("a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    token_sets: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs.
+
+    |A∩B| via join on token restricted to candidate pairs; |A∪B| =
+    |A|+|B|−|A∩B|. Returns (a, b, jaccard).
+    """
+    sizes = token_sets.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = token_sets.select(F.col(id_col).alias("a"), "token")
+    tb = token_sets.select(F.col(id_col).alias("b"), "token")
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: tokens → MinHash → LSH bands →
+    candidate pairs → exact Jaccard ≥ threshold. Returns (a, b,
+    jaccard) near-duplicate pairs."""
+    ts = token_set(docs, text_col, id_col)
+    sigs = minhash_signatures(ts, num_perm, id_col)
+    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    return jaccard_pairs(ts, cand, id_col).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_on_prefix: int = 2,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup detection without LSH: blocks on
+    shared n-grams directly (inverted-index join). ``join_on_prefix``
+    caps the inverted index to each doc's lexicographically smallest
+    k n-grams (prefix filtering) — the standard bound that any pair
+    with Jaccard ≥ t must share one of the first
+    ``⌊(1−t)·|set|⌋+1`` grams; k=2 is exact for t ≥ 0.5 on small sets
+    and a high-recall block at scale."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size(normalized_tokens(F.col(text_col))) - n, F.lit(0)
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(normalized_tokens(F.col(text_col)), i + 1, n)
+                ),
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") > 0).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("gram")
+    idx = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= join_on_prefix)
+        .select(id_col, "gram")
+    )
+    pairs = (
+        idx.select(F.col(id_col).alias("a"), "gram")
+        .join(idx.select(F.col(id_col).alias("b"), "gram"), "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    gsets = grams.select(F.col(id_col), F.col("gram").alias("token"))
+    return jaccard_pairs(gsets, pairs, id_col).where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint per document (32-bit, md5-derived so it is
+    portable to the SQL oracle): bit *j* of the fingerprint is the
+    majority vote of bit *j* over the token hashes.
+
+    Implemented as explode(token) × explode(bit) → groupBy — two
+    narrow explodes feeding one aggregation; no Python.
+    """
+    toks = token_set(docs, text_col, id_col)
+    # token hash = first 8 hex chars of md5 → 32-bit int
+    toks = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    )
+    bits_df = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("th"),
+    ).withColumn(
+        # bit j of th via floor-div (shiftright needs a literal count):
+        # portable to the SQL oracle as floor(th / 2^j) % 2
+        "v",
+        F.when(
+            F.pmod(
+                F.floor(F.col("th") / F.pow(F.lit(2.0), F.col("bit"))), F.lit(2)
+            )
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        bits_df.groupBy(id_col, "bit")
+        .agg(F.sum("v").alias("score"))
+        .withColumn("bitval", F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).alias("simhash")
+        )
+    )

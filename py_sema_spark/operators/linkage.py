@@ -1,0 +1,186 @@
+"""Entity linking & canonicalization (north_star J9 — new work; the
+reference has no implementation, BASELINE.json:6 defines the contract):
+
+1. **Mention detection** — n-gram candidate generation over document
+   text joined against a broadcast entity dictionary (exact surface
+   forms). No Python: token n-grams are column algebra.
+2. **Candidate scoring** — dictionary-match score fused with an
+   embedding-cosine score (mention context vs entity embedding).
+3. **Canonicalization** — owl:sameAs-style equivalence edges →
+   connected components (iterative min-label propagation, see
+   :mod:`closure`) → rewrite triples' s/o to the deterministic
+   component representative (lexicographic min IRI).
+
+Scale: the dictionary is the small side (broadcast); mentions explode
+~len(text)/token n-grams map-side and immediately semi-join against
+the dictionary, so nothing big ever shuffles. Canonical rewrite is two
+hash joins on (s) and (o) against the small component map — also
+broadcast in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .closure import connected_components
+from .dedup import normalized_tokens
+from .similarity import cosine
+
+
+def detect_mentions(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    entity_col: str = "entity",
+    max_gram: int = 3,
+) -> DataFrame:
+    """(doc_id, mention, entity) — exact surface-form matches.
+
+    ``dictionary``: (entity, label) — labels are normalized with the
+    same tokenizer as the text so matching is case/punct-insensitive.
+    """
+    dict_norm = dictionary.select(
+        F.col(entity_col).alias("entity"),
+        F.concat_ws(" ", normalized_tokens(F.col(label_col))).alias("gram"),
+    ).where(F.length("gram") > 0)
+
+    toks = docs.select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("toks"))
+    grams = None
+    for n in range(1, max_gram + 1):
+        g = toks.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("toks") - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    grams = grams.where(F.length("gram") > 0)
+    return (
+        grams.join(F.broadcast(dict_norm), "gram")
+        .select(F.col(id_col), F.col("gram").alias("mention"), F.col("entity"))
+        .distinct()
+    )
+
+
+def score_candidates(
+    mentions: DataFrame,
+    entity_embeddings: DataFrame,
+    doc_embeddings: DataFrame,
+    id_col: str = "doc_id",
+    entity_col: str = "entity",
+    vec_col: str = "embedding",
+    dict_weight: float = 0.5,
+) -> DataFrame:
+    """Fuse dictionary and embedding evidence per (doc, mention, entity).
+
+    score = dict_weight · 1.0 + (1−dict_weight) · cos(doc_vec, ent_vec)
+    (every row here already passed the exact dictionary match, so the
+    dictionary component is 1; fuzzy dictionary tiers would lower it).
+    Returns mentions + score, ranked per (doc, mention).
+    """
+    from pyspark.sql.window import Window
+
+    ev = entity_embeddings.select(
+        F.col(entity_col).alias("entity"), F.col(vec_col).alias("_evec")
+    )
+    dv = doc_embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_dvec")
+    )
+    scored = (
+        mentions.join(F.broadcast(ev), "entity", "left")
+        .join(dv, id_col, "left")
+        .withColumn(
+            "emb_cos",
+            F.when(
+                F.col("_evec").isNotNull() & F.col("_dvec").isNotNull(),
+                cosine(
+                    F.col("_evec").cast("array<double>"),
+                    F.col("_dvec").cast("array<double>"),
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "score",
+            F.lit(dict_weight) + (1 - dict_weight) * F.col("emb_cos"),
+        )
+        .drop("_evec", "_dvec")
+    )
+    w = Window.partitionBy(id_col, "mention").orderBy(
+        F.desc("score"), F.asc("entity")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def canonical_map(equiv_edges: DataFrame) -> DataFrame:
+    """(member, canonical) from equivalence edges via connected
+    components; canonical = min IRI in the component (deterministic)."""
+    cc = connected_components(equiv_edges)
+    return cc.select(
+        F.col("node").alias("member"), F.col("comp").alias("canonical")
+    ).where(F.col("member") != F.col("canonical"))
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite s and (IRI-kind) o through the canonical map.
+
+    The map is small relative to the triples table → broadcast left
+    joins, no shuffle of the big side.
+    """
+    ms = mapping.select(
+        F.col("member").alias("s"), F.col("canonical").alias("_cs")
+    )
+    mo = mapping.select(
+        F.col("member").alias("o"), F.col("canonical").alias("_co")
+    )
+    out = (
+        triples.join(F.broadcast(ms), "s", "left")
+        .withColumn("s", F.coalesce(F.col("_cs"), F.col("s")))
+        .drop("_cs")
+        .join(F.broadcast(mo), "o", "left")
+        .withColumn(
+            "o",
+            F.when(
+                (F.col("o_kind") == "iri") & F.col("_co").isNotNull(),
+                F.col("_co"),
+            ).otherwise(F.col("o")),
+        )
+        .drop("_co")
+    )
+    return out
+
+
+def mention_triples(
+    scored_mentions: DataFrame,
+    min_score: float = 0.5,
+    about_pred: str = "https://schema.org/about",
+    doc_base: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-ranked mention links as (s,p,o,…) triples: document →
+    schema:about → entity. Emitted in the standard triple schema so
+    they materialize alongside extracted triples."""
+    top = scored_mentions.where(
+        (F.col("rank") == 1) & (F.col("score") >= min_score)
+    )
+    s = (
+        F.concat(F.lit(doc_base), F.col(id_col).cast("string"))
+        if doc_base
+        else F.col(id_col).cast("string")
+    )
+    return top.select(
+        s.alias("s"),
+        F.lit(about_pred).alias("p"),
+        F.col("entity").alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )

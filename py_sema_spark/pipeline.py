@@ -1,0 +1,171 @@
+"""End-to-end KG-construction pipeline with checkpointed stages.
+
+    corpus → extract → skolemize/clean → mention-link → canonicalize
+           → materialize (subject-hash bucketed, hub-salted)
+
+Every stage checkpoints its output table plus **per-partition lineage
+and metrics rows** (north rule / BASELINE.md "Resumability"): a killed
+run restarted with the same workdir skips stages whose completion
+marker exists and resumes exactly after the last finished stage —
+the T4 pattern (SURVEY.md §2.9) where the reference diffs mtimes
+(/root/reference/sema/syncfs/service.py:140-171) and we diff stage
+markers.
+
+Production mapping: stage outputs are Iceberg tables (atomic snapshot
+commits replace the _SUCCESS-marker protocol); metrics rows go to a
+``stage_metrics`` table via append; this parquet stand-in keeps the
+identical call surface.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import dedup_triples, materialize_triples, skolemize
+from .operators.extract import extract_structured, links_of, triples_of
+from .operators.linkage import (
+    canonical_map,
+    detect_mentions,
+    mention_triples,
+    rewrite_triples,
+    score_candidates,
+)
+from .functions.clean import apply_node_clean_chain
+
+METRICS_SCHEMA = (
+    "stage string, partition_id int, rows bigint, ts timestamp, status string"
+)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir.rstrip("/")
+        os.makedirs(self.workdir, exist_ok=True)
+
+    # ---- checkpoint protocol ----
+
+    def _stage_path(self, name: str) -> str:
+        return f"{self.workdir}/{name}"
+
+    def _done(self, name: str) -> bool:
+        return os.path.exists(f"{self._stage_path(name)}/_STAGE_DONE")
+
+    def _write_metrics(self, name: str, df: DataFrame) -> None:
+        metrics = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumns(
+                {
+                    "stage": F.lit(name),
+                    "ts": F.lit(_dt.datetime.utcnow()),
+                    "status": F.lit("complete"),
+                }
+            )
+            .select("stage", "partition_id", "rows", "ts", "status")
+        )
+        metrics.write.mode("append").parquet(f"{self.workdir}/stage_metrics")
+
+    def stage(
+        self, name: str, build: Callable[[], DataFrame], partition_by: Optional[str] = None
+    ) -> DataFrame:
+        """Run-or-resume one stage; returns the stage output DataFrame
+        (read back from the checkpoint, so downstream lineage starts
+        at a scan, not at the whole upstream plan)."""
+        path = self._stage_path(name)
+        if not self._done(name):
+            t0 = time.time()
+            df = build()
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
+            out = self.spark.read.parquet(path)
+            self._write_metrics(name, out)
+            with open(f"{path}/_STAGE_DONE", "w") as fh:
+                json.dump({"stage": name, "secs": time.time() - t0}, fh)
+        return self.spark.read.parquet(path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.workdir}/stage_metrics")
+
+    # ---- the pipeline ----
+
+    def run(
+        self,
+        corpus: DataFrame,
+        dictionary: Optional[DataFrame] = None,
+        entity_embeddings: Optional[DataFrame] = None,
+        doc_embeddings: Optional[DataFrame] = None,
+        graph: str = "urn:kg:corpus",
+        n_buckets: int = 64,
+        hub_salt: int = 8,
+    ) -> DataFrame:
+        """Full run; returns the materialized triples DataFrame."""
+
+        extracted = self.stage(
+            "01_extract", lambda: extract_structured(corpus)
+        )
+
+        def _clean() -> DataFrame:
+            trips = triples_of(extracted)
+            trips = skolemize(trips)
+            trips = apply_node_clean_chain(trips)
+            return dedup_triples(trips, ["s", "p", "o", "o_kind", "o_datatype", "o_lang"])
+
+        clean = self.stage("02_clean_skolemize", _clean)
+
+        if dictionary is not None:
+            def _mentions() -> DataFrame:
+                m = detect_mentions(corpus, dictionary, id_col="url")
+                if entity_embeddings is not None and doc_embeddings is not None:
+                    scored = score_candidates(
+                        m, entity_embeddings, doc_embeddings, id_col="url"
+                    )
+                else:
+                    scored = m.withColumns(
+                        {"score": F.lit(1.0), "rank": F.lit(1), "emb_cos": F.lit(0.0)}
+                    )
+                return mention_triples(scored, id_col="url")
+
+            mention_t = self.stage("03_mention_link", _mentions)
+            linked = clean.select(
+                "s", "p", "o", "o_kind", "o_datatype", "o_lang"
+            ).unionByName(mention_t)
+        else:
+            linked = clean.select("s", "p", "o", "o_kind", "o_datatype", "o_lang")
+
+        def _canon() -> DataFrame:
+            sameas = linked.where(
+                F.col("p").isin(
+                    "http://www.w3.org/2002/07/owl#sameAs",
+                    "http://www.w3.org/2004/02/skos/core#exactMatch",
+                )
+                & (F.col("o_kind") == "iri")
+            ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+            if sameas.isEmpty():
+                return linked
+            mapping = canonical_map(sameas)
+            return rewrite_triples(linked, mapping)
+
+        canonical = self.stage("04_canonicalize", _canon)
+
+        def _final() -> DataFrame:
+            out = canonical.withColumn("g", F.lit(graph))
+            from .model import with_subject_bucket
+
+            out = with_subject_bucket(out, n_buckets, hub_salt)
+            out = out.repartition(F.col("s_bucket"), F.col("salt"))
+            return out.dropDuplicates(
+                ["s", "p", "o", "o_kind", "o_datatype", "o_lang", "g"]
+            )
+
+        final = self.stage("05_materialize", _final, partition_by="s_bucket")
+        return final

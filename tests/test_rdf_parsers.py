@@ -1,0 +1,243 @@
+"""Parser unit tests: Turtle grammar subset, JSON-LD expansion,
+format-fallback chain, HTML scanning, URI cleaning, URI templates."""
+
+import pytest
+
+from py_sema_spark.functions.clean import (
+    check_valid_uri,
+    check_valid_url,
+    check_valid_urn,
+    clean_uri_str,
+    normalise_scheme_str,
+)
+from py_sema_spark.functions.uritemplate import (
+    template_variables,
+    uritemplate_expand,
+)
+from py_sema_spark.rdf.html import extract_text, scan_html
+from py_sema_spark.rdf.jsonld import parse_jsonld
+from py_sema_spark.rdf.parse import parse_rdf_auto
+from py_sema_spark.rdf.terms import XSD, skolem_iri
+from py_sema_spark.rdf.turtle import TurtleParseError, parse_turtle
+
+
+class TestTurtle:
+    def test_doc1_shape(self):
+        # mirrors /root/reference/tests/data/localhost_http_documentroot/DOC1.ttl
+        txt = """@prefix ex: <http://www.example.org/> .
+<DOC1.ttl>
+    ex:resource <DOC2.ttl> , <DOC3.ttl> , <DOC8.ttl> , <DOC5.ttl> , <DOC7.ttl> ;
+.
+"""
+        ts = parse_turtle(txt, base="http://127.0.0.1:8080/DOC1.ttl")
+        assert len(ts) == 5
+        assert all(t.s.value == "http://127.0.0.1:8080/DOC1.ttl" for t in ts)
+        assert {t.o.value for t in ts} == {
+            f"http://127.0.0.1:8080/DOC{i}.ttl" for i in (2, 3, 8, 5, 7)
+        }
+
+    def test_a_keyword_and_bnode_property_list(self):
+        txt = """@prefix ex: <http://e.org/> .
+<http://x> a ex:Green ; ex:subset [ ex:id <http://y> ; ex:label "L" ] .
+"""
+        ts = parse_turtle(txt)
+        preds = sorted(t.p.value for t in ts)
+        assert preds == [
+            "http://e.org/id",
+            "http://e.org/label",
+            "http://e.org/subset",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        ]
+        bn = [t for t in ts if t.p.value == "http://e.org/subset"][0].o
+        assert bn.kind == "bnode"
+
+    def test_literals(self):
+        txt = """@prefix x: <http://x/> .
+<http://s> x:a "plain" ; x:b "nl"@nl ; x:c "5"^^<http://www.w3.org/2001/XMLSchema#int> ;
+  x:d 42 ; x:e 4.5 ; x:f 1.0e3 ; x:g true ; x:h \"\"\"long
+text\"\"\" .
+"""
+        ts = {t.p.value[-1]: t.o for t in parse_turtle(txt)}
+        assert ts["a"].value == "plain" and ts["a"].datatype == XSD + "string"
+        assert ts["b"].lang == "nl" and ts["b"].datatype is None
+        assert ts["c"].datatype == XSD + "int"
+        assert ts["d"].value == "42" and ts["d"].datatype == XSD + "integer"
+        assert ts["e"].datatype == XSD + "decimal"
+        assert ts["f"].datatype == XSD + "double"
+        assert ts["g"].value == "true" and ts["g"].datatype == XSD + "boolean"
+        assert ts["h"].value == "long\ntext"
+
+    def test_escapes(self):
+        ts = parse_turtle(r'<http://s> <http://p> "a\"b\\c\nd" .')
+        assert ts[0].o.value == 'a"b\\c\nd'
+
+    def test_collection(self):
+        ts = parse_turtle("<http://s> <http://p> (1 2) .")
+        assert len(ts) == 5  # edge + 2×(first,rest)
+
+    def test_comments_and_sparql_directives(self):
+        txt = """# leading comment
+PREFIX ex: <http://e/>
+BASE <http://b/>
+<rel> ex:p ex:o . # trailing
+"""
+        ts = parse_turtle(txt)
+        assert ts[0].s.value == "http://b/rel"
+
+    def test_malformed_raises(self):
+        with pytest.raises(TurtleParseError):
+            parse_turtle("@prefix broken <<<")
+        with pytest.raises(TurtleParseError):
+            parse_turtle("<http://s> <http://p> .")
+
+
+class TestJsonLd:
+    def test_context_and_coercion(self):
+        doc = """{
+          "@context": {"sk": "http://sk/", "sk:see": {"@type": "@id"},
+                       "sk:when": {"@type": "http://www.w3.org/2001/XMLSchema#dateTime"}},
+          "@id": "http://e/1",
+          "@type": "sk:Thing",
+          "sk:see": "http://e/2",
+          "sk:when": "2024-01-01T00:00:00",
+          "sk:name": {"@value": "naam", "@language": "nl"},
+          "sk:n": 7
+        }"""
+        ts = {t.p.value: t.o for t in parse_jsonld(doc)}
+        assert ts["http://sk/see"].kind == "iri"
+        assert ts["http://sk/when"].datatype == XSD + "dateTime"
+        assert ts["http://sk/name"].lang == "nl"
+        assert ts["http://sk/n"].datatype == XSD + "integer"
+        types = [
+            t.o.value
+            for t in parse_jsonld(doc)
+            if t.p.value.endswith("#type")
+        ]
+        assert types == ["http://sk/Thing"]
+
+    def test_nested_node_object(self):
+        doc = """{
+          "@context": {"p": "http://p/"},
+          "@id": "http://a",
+          "p:child": {"@id": "http://b", "p:name": "B"}
+        }"""
+        ts = parse_jsonld(doc)
+        edges = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert ("http://a", "http://p/child", "http://b") in edges
+        assert ("http://b", "http://p/name", "B") in edges
+
+    def test_graph_array_and_relative_ids(self):
+        doc = """{
+          "@context": {"@base": "http://base/", "p": "http://p/"},
+          "@graph": [{"@id": "x", "p:v": 1}, {"@id": "y", "p:v": 2}]
+        }"""
+        ts = parse_jsonld(doc, base="http://ignored/")
+        assert {t.s.value for t in ts} == {"http://base/x", "http://base/y"}
+
+
+class TestFallbackChain:
+    def test_turtle_wins(self):
+        ts, fmt = parse_rdf_auto("<http://s> <http://p> <http://o> .")
+        assert fmt in ("turtle", "nt") and len(ts) == 1
+
+    def test_jsonld_dispatch(self):
+        ts, fmt = parse_rdf_auto('{"@id":"http://s","http://p":1}')
+        assert fmt == "json-ld" and len(ts) == 1
+
+    def test_garbage_yields_nothing(self):
+        ts, fmt = parse_rdf_auto("just some prose, nothing structured.")
+        assert ts == [] and fmt is None
+
+    def test_empty(self):
+        assert parse_rdf_auto("") == ([], None)
+
+
+class TestHtml:
+    def test_scan_matches_reference_shapes(self):
+        html = """<html><head>
+        <link href="./metadata.ttl" rel="describedby" type="text/turtle">
+        <script type="application/ld+json">{"@id":"http://x","http://p":1}</script>
+        <script type="text/javascript">ignore me</script>
+        <script type="text/turtle"><http://s> <http://p> 1 .</script>
+        </head><body></body></html>"""
+        r = scan_html(html)
+        assert r["links"] == ["./metadata.ttl"]
+        assert [t for t, _ in r["scripts"]] == [
+            "application/ld+json",
+            "text/turtle",
+        ]
+
+    def test_extract_text_deterministic(self):
+        html = "<html><body><h1>A  B</h1><p>c</p><script>x=1</script></body></html>"
+        assert extract_text(html) == "A B\nc"
+        assert extract_text(html) == extract_text(html)
+
+
+class TestClean:
+    def test_url_checks(self):
+        assert check_valid_url("https://example.org/a?b=1")
+        assert check_valid_url("http://127.0.0.1:8080/DOC1.ttl")
+        assert not check_valid_url("not a url")
+        assert not check_valid_url("http://with space.org/")
+
+    def test_urn_checks(self):
+        assert check_valid_urn("urn:isbn:0451450523")
+        assert not check_valid_urn("urn::empty-nid")
+        assert check_valid_uri("urn:example:a/b")
+
+    def test_clean_uri_quote_parity(self):
+        from urllib.parse import quote
+
+        for u in (
+            "https://ex.org/a b",
+            "https://ex.org/<angle>",
+            'https://ex.org/q"uote',
+            "https://ex.org/ok?x=1;y=2,z='3'",
+        ):
+            assert clean_uri_str(u) == quote(u, safe="~@#$&()*!+=:;,?/'")
+
+    def test_smart_mode_idempotent(self):
+        u = "https://ex.org/path"
+        assert clean_uri_str(u, smart=True) == u
+
+    def test_normalise_scheme(self):
+        assert (
+            normalise_scheme_str("http://schema.org/name")
+            == "https://schema.org/name"
+        )
+        assert (
+            normalise_scheme_str("http://other.org/x") == "http://other.org/x"
+        )
+
+
+class TestUriTemplate:
+    @pytest.mark.parametrize(
+        "tpl,ctx,expect",
+        [
+            ("{var}", {"var": "value"}, "value"),
+            ("{var}", {"var": "hello world"}, "hello%20world"),
+            ("{+path}/here", {"path": "/foo/bar"}, "/foo/bar/here"),
+            ("X{#frag}", {"frag": "sec1"}, "X#sec1"),
+            ("{/id}", {"id": "a/b"}, "/a%2Fb"),
+            ("{?x,y}", {"x": 1, "y": 2}, "?x=1&y=2"),
+            ("{?x,y}", {"x": 1}, "?x=1"),
+            ("{var:3}", {"var": "value"}, "val"),
+            ("{list}", {"list": ["r", "g", "b"]}, "r,g,b"),
+            ("{/list*}", {"list": ["a", "b"]}, "/a/b"),
+            ("{missing}", {}, ""),
+            ("no-vars", {}, "no-vars"),
+        ],
+    )
+    def test_rfc6570_vectors(self, tpl, ctx, expect):
+        assert uritemplate_expand(tpl, ctx) == expect
+
+    def test_variables(self):
+        assert template_variables("/x/{a}{?b,c}") == ["a", "b", "c"]
+
+
+class TestSkolem:
+    def test_deterministic(self):
+        a = skolem_iri("http://page/1", "b0")
+        assert a == skolem_iri("http://page/1", "b0")
+        assert a != skolem_iri("http://page/2", "b0")
+        assert a.startswith("urn:skolem:")

@@ -1,0 +1,255 @@
+"""Spark-level operator tests: closure, components, dedup, similarity,
+linkage, queries, pipeline resume. One shared session (conftest)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.operators.closure import (
+    connected_components,
+    transitive_closure,
+)
+from py_sema_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from py_sema_spark.operators.linkage import (
+    canonical_map,
+    detect_mentions,
+    rewrite_triples,
+)
+from py_sema_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from py_sema_spark.queries import (
+    rdf_predicates_count,
+    skos_broader_depth,
+    skos_collection_member_count,
+)
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    # a → b → c → d plus e → c
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "c")], ["src", "dst"]
+    )
+
+
+class TestClosure:
+    def test_transitive_closure_pairs(self, chain_edges):
+        rows = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in transitive_closure(chain_edges).collect()
+        }
+        assert rows[("a", "b")] == 1
+        assert rows[("a", "c")] == 2
+        assert rows[("a", "d")] == 3
+        assert rows[("e", "d")] == 2
+        assert ("b", "a") not in rows
+        assert len(rows) == 8
+
+    def test_connected_components(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+        )
+        comp = {
+            r["node"]: r["comp"] for r in connected_components(edges).collect()
+        }
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["x"] == comp["y"] == "x"
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different content about spark pipelines"),
+            (5, "Content about Spark pipelines, completely different!"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_exact(self, docs):
+        out = exact_dedup(docs).collect()
+        canon = {r["doc_id"]: r["is_canonical"] for r in out}
+        assert canon[1] and not canon[2]
+        assert canon[3] and canon[4] and canon[5]
+
+    def test_minhash_finds_near_dup(self, docs):
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in minhash_dedup(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        # 4/5 share the normalized token set entirely
+        assert (4, 5) in pairs
+
+    def test_ngram_jaccard(self, docs):
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 4) not in pairs
+
+    def test_simhash_near_dup_close(self, docs):
+        out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        assert out[1] == out[2]
+        ham_13 = bin(int(out[1]) ^ int(out[3])).count("1")
+        ham_14 = bin(int(out[1]) ^ int(out[4])).count("1")
+        assert ham_13 < ham_14
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            ang = i * math.pi / 50
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.1, 0.0]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_bruteforce_topk(self, spark, vecs):
+        q = spark.createDataFrame([(0, [1.0, 0.0, 0.1, 0.0])], ["q_id", "q_vec"])
+        top = cosine_topk(vecs, q, k=3).orderBy("rank").collect()
+        assert [r["vec_id"] for r in top] == [0, 1, 2]
+        assert top[0]["cos"] > 0.999
+
+    def test_lsh_recall_vs_bruteforce(self, spark, vecs):
+        q = spark.createDataFrame([(0, [1.0, 0.0, 0.1, 0.0])], ["q_id", "q_vec"])
+        exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()}
+        approx = {
+            r["vec_id"]
+            for r in lsh_cosine_topk(
+                vecs, q, k=5, dim=4, planes=4, tables=6
+            ).collect()
+        }
+        assert len(exact & approx) >= 3  # recall ≥ 0.6 on this toy set
+
+
+class TestLinkage:
+    def test_detect_and_canonicalize(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "We sampled the Belgian Coast near the harbor."),
+                (2, "No entities here at all."),
+            ],
+            ["doc_id", "text"],
+        )
+        dictionary = spark.createDataFrame(
+            [
+                ("http://e/belcoast", "Belgian Coast"),
+                ("http://e/harbor", "harbor"),
+            ],
+            ["entity", "label"],
+        )
+        m = detect_mentions(docs, dictionary)
+        got = {(r["doc_id"], r["entity"]) for r in m.collect()}
+        assert got == {(1, "http://e/belcoast"), (1, "http://e/harbor")}
+
+        edges = spark.createDataFrame(
+            [("http://e/belcoast", "http://e/belgian-coast")], ["src", "dst"]
+        )
+        mapping = canonical_map(edges)
+        from py_sema_spark.model import TRIPLE_SCHEMA
+
+        triples = spark.createDataFrame(
+            [
+                ("http://e/belgian-coast", "http://p", "x", "literal", None, None),
+                ("http://d/1", "http://p2", "http://e/belgian-coast", "iri", None, None),
+            ],
+            TRIPLE_SCHEMA,
+        )
+        out = rewrite_triples(triples, mapping).collect()
+        assert {r["s"] for r in out} == {"http://e/belcoast", "http://d/1"}
+        assert [r["o"] for r in out if r["o_kind"] == "iri"] == ["http://e/belcoast"]
+
+
+class TestSparqlets:
+    @pytest.fixture(scope="class")
+    def triples(self, spark):
+        SKOS = "http://www.w3.org/2004/02/skos/core#"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        DC = "http://purl.org/dc/terms/"
+        rows = [
+            ("c1", RDF + "type", SKOS + "Collection", "iri", None, None),
+            ("c1", DC + "title", "col one", "literal", None, None),
+            ("c1", SKOS + "member", "t1", "iri", None, None),
+            ("c1", SKOS + "member", "t2", "iri", None, None),
+            ("t1", SKOS + "prefLabel", "term one", "literal", None, "en"),
+            ("t2", SKOS + "prefLabel", "term two", "literal", None, "en"),
+            ("t2", SKOS + "broader", "t1", "iri", None, None),
+            ("t3", SKOS + "broader", "t2", "iri", None, None),
+        ]
+        from py_sema_spark.model import TRIPLE_SCHEMA
+
+        return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+    def test_pred_count(self, triples):
+        out = {r["pred"]: r["count"] for r in rdf_predicates_count(triples).collect()}
+        assert out["http://www.w3.org/2004/02/skos/core#member"] == 2
+
+    def test_member_count(self, triples):
+        rows = skos_collection_member_count(triples).collect()
+        assert rows[0]["collection"] == "c1" and rows[0]["count"] == 2
+
+    def test_broader_depth(self, triples):
+        d = {
+            (r["super"], r["sub"]): r["distance"]
+            for r in skos_broader_depth(triples).collect()
+        }
+        assert d[("t3", "t1")] == 2 and d[("t2", "t1")] == 1
+
+
+class TestPipelineResume:
+    def test_stage_checkpoint_resume(self, spark, tmp_path_factory):
+        from py_sema_spark.pipeline import Pipeline
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        wd = str(tmp_path_factory.mktemp("pipe"))
+        corpus = synth_corpus(spark, 60, seed=7)
+        p = Pipeline(spark, wd)
+        out1 = p.run(corpus)
+        n1 = out1.count()
+        assert n1 > 0
+
+        calls = {"n": 0}
+        orig = p.stage
+
+        def counting_stage(name, build, **kw):
+            def wrapped():
+                calls["n"] += 1
+                return build()
+
+            return orig(name, wrapped, **kw)
+
+        p2 = Pipeline(spark, wd)
+        p2.stage = counting_stage.__get__(p2)  # type: ignore
+        # resume: all stages done → no build() invocations
+        orig = Pipeline(spark, wd).stage
+        p3 = Pipeline(spark, wd)
+        built = []
+        real_stage = Pipeline.stage
+
+        def spy(self, name, build, **kw):
+            def wrapped():
+                built.append(name)
+                return build()
+
+            return real_stage(self, name, wrapped, **kw)
+
+        Pipeline.stage = spy
+        try:
+            out2 = Pipeline(spark, wd).run(corpus)
+        finally:
+            Pipeline.stage = real_stage
+        assert built == []  # nothing recomputed
+        assert out2.count() == n1
+        m = Pipeline(spark, wd).metrics()
+        assert m.where(F.col("stage") == "05_materialize").count() > 0
