@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship ``kg_pipeline`` stage is the BASELINE.md throughput
+metric: deterministic synthetic web corpus (input_hint shape) →
+mapInPandas structured-data extraction → skolemize → dedup →
+materialized triple count; its triples/sec is reported alongside.
+Remaining entries are the SURVEY.md §2 operator suite over the
+driver's parquet tables, each forced through a noop sink (full
+execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# benchmark subset: every family, scale-path variants for the
+# quadratic-prone ops (LSH, not brute force)
+BENCH_QUERIES = [
+    "all_triples",
+    "rdf_predicates_count",
+    "skos_collection_member_count",
+    "bodc_find",
+    "bodc_listing",
+    "skos_broader_depth",
+    "transitive_closure",
+    "connected_components",
+    "ctrl_windows",
+    "unique_filter",
+    "exact_dedup",
+    "minhash_neardup",
+    "ngram_jaccard",
+    "simhash",
+    "lang_id",
+    "token_counts",
+    "quality_score",
+    "doc_fingerprint",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "embedding_neardup_lsh",
+    "detect_mentions",
+    "xsd_literals",
+    "normalise_scheme",
+    "uritemplate_expand",
+]
+
+
+def _force(df) -> int:
+    """Execute fully on the cluster; returns row count (cheap second
+    action on the computed plan when AQE caches shuffle results)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_kg_pipeline(spark, n_pages: int) -> dict:
+    """corpus synth → extract → skolemize → dedup → count."""
+    from pyspark.sql import functions as F
+
+    from py_sema_spark.model import dedup_triples, skolemize
+    from py_sema_spark.operators.extract import extract_structured, triples_of
+    from py_sema_spark.sources.corpus import synth_corpus
+
+    t0 = time.time()
+    corpus = synth_corpus(spark, n_pages=n_pages, seed=42)
+    trips = skolemize(triples_of(extract_structured(corpus)))
+    trips = dedup_triples(trips, keys=["s", "p", "o"])
+    n_triples = trips.count()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": n_triples / dt if dt > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
+
+    from py_sema_spark.queries.benchqueries import QUERIES
+    from py_sema_spark.session import build_session
+
+    spark = build_session("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship KG-construction pipeline; corpus sized ~200k pages/sf-unit
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", str(max(2000, int(sf * 200_000)))))
+    kg = run_kg_pipeline(spark, n_pages)
+    timings["kg_pipeline"] = round(kg["sec"], 3)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_pages": kg["pages"],
+        "kg_triples": kg["triples"],
+        "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Record-stream control metadata as window functions.
+
+The reference exposes ``ctrl.index`` / ``ctrl.isFirst`` / ``ctrl.isLast``
+to templates via a one-item lookahead queue
+(/root/reference/sema/subyt/api.py:288-341) and a "first record per
+expanded pattern wins" unique filter
+(/root/reference/sema/subyt/sources.py:326-371).  The queue *is* a
+``lead(1)``; the seen-set *is* a ``row_number() == 1`` — SURVEY.md
+§2.5 W1-W3, §2.2 F1.
+
+Scale note: the reference's stream order is file order; at scale a
+global ordering would funnel everything through one partition, so the
+caller must name the stream key (``partition_by``) — each logical
+record stream is one window partition and the shuffle is a plain hash
+exchange on that key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_ctrl(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Add ``idx`` (0-based), ``is_first``, ``is_last`` per stream.
+
+    ``order_by`` must be a deterministic total order within the stream
+    (the reference inherits file order; we require explicit keys).
+    """
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order_by)
+        if partition_by
+        else Window.orderBy(*order_by)
+    )
+    idx = F.row_number().over(w) - 1
+    # lookahead queue: no next row <=> last (lead of a non-null order
+    # key is null exactly on the final row)
+    is_last = F.lead(F.col(order_by[-1])).over(w).isNull()
+    return df.withColumns(
+        {
+            "idx": idx,
+            "is_first": idx == 0,
+            "is_last": is_last,
+        }
+    )
+
+
+def first_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """F1 — keep the first record per key under an explicit order
+    (the FilteringSource ``seen``-set with order pinned)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,850 @@
+"""Driver-contract query suite: each operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` builder **plus** a semantically
+identical ANSI-SQL string for the DuckDB oracle (tables ``region
+nation customer supplier part orders lineitem events documents
+embeddings`` are pre-registered views over the same parquet).
+
+Two correctness rules shape everything here:
+
+1. **Column names must match** between Spark and SQL (the driver sorts
+   columns by name before hashing) — every computed column is aliased
+   identically, all lowercase so DuckDB's case folding can't bite.
+2. **Values must hash equal** — all semantically relevant hashing uses
+   ``md5`` over strings (identical in Spark and DuckDB), numeric
+   derivations stay in integer→double IEEE arithmetic with matching
+   operation order, and float outputs are rounded on both sides.
+
+The relational KG queries run over a *triples view* derived
+deterministically from the TPC-H-ish tables (nation/region/customer →
+skos concept scheme), so the SPARQL-template operators
+(:mod:`.sparqlets`) are exercised end-to-end against plain SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.clean import normalise_scheme_col
+from ..functions.uritemplate import uritemplate_col
+from ..functions.xsd import (
+    unite_col,
+    uri_format_col,
+    xsd_boolean_col,
+    xsd_gyear_col,
+    xsd_integer_col,
+    xsd_string_col,
+)
+from ..operators.closure import connected_components, transitive_closure
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.linkage import detect_mentions
+from ..operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
+from ..operators.windows import first_per_key, with_ctrl
+from ..functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from . import sparqlets
+
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+OWL = "http://www.w3.org/2002/07/owl#"
+DC = "http://purl.org/dc/terms/"
+EX = "http://www.example.org/"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# =====================================================================
+# the deterministic triples view (nation/region/customer → SKOS graph)
+# =====================================================================
+
+
+def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-ish tables → a SKOS concept scheme as (s,p,o,o_kind,
+    o_datatype,o_lang) rows.
+
+    Shape: world ← region (Collection, title/prefLabel) ← nation
+    (Concept, member-of-region) ← customer (member-of-nation), with
+    identifiers, deprecation flags and pref/alt labels — enough surface
+    to exercise every sparqlet join/filter/closure (SURVEY.md §2.3-2.7)
+    against a plain-SQL oracle.
+    """
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+
+    def rows(df, s, triples):
+        out = []
+        for p, o, kind, lang in triples:
+            out.append(
+                df.select(
+                    s.alias("s"),
+                    F.lit(p).alias("p"),
+                    (o if not isinstance(o, str) else F.lit(o)).alias("o"),
+                    F.lit(kind).alias("o_kind"),
+                    F.lit(None).cast("string").alias("o_datatype"),
+                    (F.lit(lang) if lang else F.lit(None)).cast("string").alias("o_lang"),
+                )
+            )
+        return out
+
+    r_s = F.concat(F.lit("urn:region:"), F.col("r_regionkey").cast("string"))
+    n_s = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    n_region = F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string"))
+    c_s = F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string"))
+    c_nation = F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string"))
+
+    parts = []
+    parts += rows(
+        region,
+        r_s,
+        [
+            (RDF + "type", SKOS + "Collection", "iri", None),
+            (DC + "title", F.col("r_name"), "literal", "en"),
+            (SKOS + "prefLabel", F.col("r_name"), "literal", "en"),
+            (SKOS + "broader", "urn:world:0", "iri", None),
+        ],
+    )
+    parts += rows(
+        nation,
+        n_s,
+        [
+            (RDF + "type", SKOS + "Concept", "iri", None),
+            (SKOS + "prefLabel", F.col("n_name"), "literal", "en"),
+            (
+                DC + "identifier",
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string")),
+                "literal",
+                None,
+            ),
+            (
+                OWL + "deprecated",
+                F.when(F.col("n_nationkey") % 5 == 0, "true").otherwise("false"),
+                "literal",
+                None,
+            ),
+            (SKOS + "broader", n_region, "iri", None),
+        ],
+    )
+    parts += rows(nation, n_region, [(SKOS + "member", n_s, "iri", None)])
+    parts += rows(
+        customer,
+        c_s,
+        [
+            (RDF + "type", EX + "Customer", "iri", None),
+            (SKOS + "prefLabel", F.col("c_name"), "literal", "en"),
+            (
+                DC + "identifier",
+                F.concat(F.lit("C"), F.col("c_custkey").cast("string")),
+                "literal",
+                None,
+            ),
+            (
+                OWL + "deprecated",
+                F.when(F.col("c_custkey") % 7 == 0, "true").otherwise("false"),
+                "literal",
+                None,
+            ),
+            (SKOS + "broader", c_nation, "iri", None),
+            (SKOS + "altLabel", F.upper(F.col("c_name")), "literal", None),
+        ],
+    )
+    parts += rows(customer, c_nation, [(SKOS + "member", c_s, "iri", None)])
+    parts += rows(
+        customer.where(F.col("c_custkey") % 2 == 0),
+        c_s,
+        [(SKOS + "altLabel", F.col("c_name"), "literal", "en")],
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# the same view in DuckDB SQL (CTE prefix reused by every KG oracle)
+KG_SQL = f"""
+WITH triples(s, p, o, o_kind, o_datatype, o_lang) AS (
+  SELECT 'urn:region:' || r_regionkey, '{RDF}type', '{SKOS}Collection', 'iri', NULL, NULL FROM region
+  UNION ALL SELECT 'urn:region:' || r_regionkey, '{DC}title', r_name, 'literal', NULL, 'en' FROM region
+  UNION ALL SELECT 'urn:region:' || r_regionkey, '{SKOS}prefLabel', r_name, 'literal', NULL, 'en' FROM region
+  UNION ALL SELECT 'urn:region:' || r_regionkey, '{SKOS}broader', 'urn:world:0', 'iri', NULL, NULL FROM region
+  UNION ALL SELECT 'urn:nation:' || n_nationkey, '{RDF}type', '{SKOS}Concept', 'iri', NULL, NULL FROM nation
+  UNION ALL SELECT 'urn:nation:' || n_nationkey, '{SKOS}prefLabel', n_name, 'literal', NULL, 'en' FROM nation
+  UNION ALL SELECT 'urn:nation:' || n_nationkey, '{DC}identifier', 'N' || n_nationkey, 'literal', NULL, NULL FROM nation
+  UNION ALL SELECT 'urn:nation:' || n_nationkey, '{OWL}deprecated',
+      CASE WHEN n_nationkey % 5 = 0 THEN 'true' ELSE 'false' END, 'literal', NULL, NULL FROM nation
+  UNION ALL SELECT 'urn:nation:' || n_nationkey, '{SKOS}broader', 'urn:region:' || n_regionkey, 'iri', NULL, NULL FROM nation
+  UNION ALL SELECT 'urn:region:' || n_regionkey, '{SKOS}member', 'urn:nation:' || n_nationkey, 'iri', NULL, NULL FROM nation
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{RDF}type', '{EX}Customer', 'iri', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{SKOS}prefLabel', c_name, 'literal', NULL, 'en' FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{DC}identifier', 'C' || c_custkey, 'literal', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{OWL}deprecated',
+      CASE WHEN c_custkey % 7 = 0 THEN 'true' ELSE 'false' END, 'literal', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{SKOS}broader', 'urn:nation:' || c_nationkey, 'iri', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{SKOS}altLabel', upper(c_name), 'literal', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:nation:' || c_nationkey, '{SKOS}member', 'urn:cust:' || c_custkey, 'iri', NULL, NULL FROM customer
+  UNION ALL SELECT 'urn:cust:' || c_custkey, '{SKOS}altLabel', c_name, 'literal', NULL, 'en'
+      FROM customer WHERE c_custkey % 2 = 0
+)
+"""
+
+# recursive closure over the skos:broader slice (shared by the oracle
+# of every path/closure query; mirrors operators/closure.py semantics:
+# dist = minimum hop count)
+CLOSURE_SQL = (
+    KG_SQL.replace("WITH triples", "WITH RECURSIVE triples", 1)
+    + f""",
+edges AS (
+  SELECT s AS src, o AS dst FROM triples
+  WHERE p = '{SKOS}broader' AND o_kind = 'iri'
+),
+paths(src, dst, dist) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT p.src, e.dst, p.dist + 1 FROM paths p JOIN edges e ON p.dst = e.src
+),
+closure AS (
+  SELECT src, dst, min(dist) AS dist FROM paths GROUP BY src, dst
+)
+"""
+)
+
+
+# ---- shared SQL fragments for the text/dedup family ----
+
+
+def _toks_sql(col: str) -> str:
+    """Normalized token list — mirror of dedup.normalized_tokens."""
+    return (
+        "list_filter(string_split_regex(lower(regexp_replace("
+        + col
+        + r", '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> x <> '')"
+    )
+
+
+TOKS = _toks_sql("text")
+
+
+# =====================================================================
+# query builders + oracles
+# =====================================================================
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# ---- sparqlet surface (SURVEY.md §2.3-2.7, sema/query templates) ----
+
+_register(
+    "all_triples",
+    lambda spark, sf: sparqlets.all_triples(kg_triples(spark, sf)),
+    KG_SQL + "SELECT s, p, o FROM triples",
+)
+
+_register(
+    "rdf_predicates",
+    lambda spark, sf: sparqlets.rdf_predicates(kg_triples(spark, sf)),
+    KG_SQL + "SELECT DISTINCT p AS predicate FROM triples",
+)
+
+_register(
+    "rdf_predicates_count",
+    lambda spark, sf: sparqlets.rdf_predicates_count(kg_triples(spark, sf))
+    .select(F.col("pred"), F.col("count").alias("cnt")),
+    KG_SQL + "SELECT p AS pred, count(o) AS cnt FROM triples GROUP BY p",
+)
+
+_register(
+    "rdf_types",
+    lambda spark, sf: sparqlets.rdf_types(kg_triples(spark, sf)),
+    KG_SQL
+    + f"SELECT DISTINCT o AS type FROM triples WHERE p = '{RDF}type'",
+)
+
+_register(
+    "skos_collection",
+    lambda spark, sf: sparqlets.skos_collection(kg_triples(spark, sf), language="en"),
+    KG_SQL
+    + f"""
+SELECT c.s AS collection, t.o AS title
+FROM triples c JOIN triples t ON t.s = c.s
+WHERE c.p = '{RDF}type' AND c.o = '{SKOS}Collection'
+  AND t.p = '{DC}title' AND coalesce(t.o_lang, '') = 'en'
+""",
+)
+
+_register(
+    "skos_collection_member_count",
+    lambda spark, sf: sparqlets.skos_collection_member_count(kg_triples(spark, sf))
+    .select("collection", "title", F.col("count").alias("cnt")),
+    KG_SQL
+    + f"""
+SELECT m.s AS collection, t.o AS title, count(m.o) AS cnt
+FROM triples m
+JOIN triples c ON c.s = m.s AND c.p = '{RDF}type' AND c.o = '{SKOS}Collection'
+JOIN triples t ON t.s = m.s AND t.p = '{DC}title' AND coalesce(t.o_lang,'') = 'en'
+WHERE m.p = '{SKOS}member'
+GROUP BY m.s, t.o
+""",
+)
+
+_register(
+    "bodc_find",
+    lambda spark, sf: sparqlets.bodc_find(
+        kg_triples(spark, sf),
+        collections=["0", "1"],
+        regex="nation_1",
+        language="en",
+        collection_base="urn:region:{}",
+    ).select(
+        F.col("uri"), F.col("identifier"), F.col("prefLabel").alias("preflabel")
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT m.o AS uri, i.o AS identifier, pl.o AS preflabel
+FROM triples m
+JOIN triples pl ON pl.s = m.o AND pl.p = '{SKOS}prefLabel'
+  AND (lower(coalesce(pl.o_lang,'')) = 'en' OR starts_with(lower(coalesce(pl.o_lang,'')), 'en-'))
+JOIN triples d ON d.s = m.o AND d.p = '{OWL}deprecated' AND d.o = 'false'
+JOIN triples i ON i.s = m.o AND i.p = '{DC}identifier'
+WHERE m.p = '{SKOS}member' AND m.s IN ('urn:region:0', 'urn:region:1')
+  AND regexp_matches(pl.o, '(?i)nation_1')
+""",
+)
+
+_register(
+    "bodc_listing",
+    lambda spark, sf: sparqlets.bodc_listing(
+        kg_triples(spark, sf), cc="5", lang="en", collection_base="urn:nation:{}"
+    ),
+    KG_SQL
+    + f"""
+SELECT i.o AS id, pl.o AS pref_lang, al.o AS alt_lang, ap.o AS alt,
+       d.o AS depr, m.o AS member
+FROM triples m
+JOIN triples pl ON pl.s = m.o AND pl.p = '{SKOS}prefLabel'
+  AND (lower(coalesce(pl.o_lang,'')) = 'en' OR starts_with(lower(coalesce(pl.o_lang,'')), 'en-'))
+JOIN triples i ON i.s = m.o AND i.p = '{DC}identifier'
+JOIN triples ap ON ap.s = m.o AND ap.p = '{SKOS}altLabel' AND coalesce(ap.o_lang,'') = ''
+JOIN triples d ON d.s = m.o AND d.p = '{OWL}deprecated'
+LEFT JOIN triples al ON al.s = m.o AND al.p = '{SKOS}altLabel'
+  AND (lower(coalesce(al.o_lang,'')) = 'en' OR starts_with(lower(coalesce(al.o_lang,'')), 'en-'))
+WHERE m.p = '{SKOS}member' AND m.s = 'urn:nation:5'
+""",
+)
+
+_register(
+    "term_match_in_collection",
+    lambda spark, sf: sparqlets.term_match_in_collection(
+        kg_triples(spark, sf), col_uri="urn:nation:3", term="[02468]$"
+    ),
+    KG_SQL
+    + f"""
+SELECT m.o AS term, pl.o AS lbl
+FROM triples m
+JOIN triples pl ON pl.s = m.o AND pl.p = '{SKOS}prefLabel'
+WHERE m.p = '{SKOS}member' AND m.s = 'urn:nation:3'
+  AND regexp_matches(pl.o, '(?i)[02468]$')
+""",
+)
+
+_register(
+    "broader_terms",
+    lambda spark, sf: sparqlets.broader_terms(kg_triples(spark, sf), term="urn:cust:1"),
+    CLOSURE_SQL
+    + f"""
+SELECT c.dst AS bterm, pl.o AS blbl
+FROM closure c
+JOIN triples pl ON pl.s = c.dst AND pl.p = '{SKOS}prefLabel'
+WHERE c.src = 'urn:cust:1'
+""",
+)
+
+_register(
+    "skos_broader_depth",
+    lambda spark, sf: sparqlets.skos_broader_depth(kg_triples(spark, sf))
+    .select(
+        F.col("super"),
+        F.col("sub"),
+        F.col("distance").cast("long").alias("distance"),
+    ),
+    CLOSURE_SQL
+    + "SELECT src AS super, dst AS sub, CAST(dist AS BIGINT) AS distance FROM closure",
+)
+
+# ---- window / ctrl / unique-filter surface (§2.5, F1) ----
+
+_register(
+    "ctrl_windows",
+    lambda spark, sf: with_ctrl(
+        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+    ).select("event_id", "user_id", "idx", "is_first", "is_last"),
+    """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w - 1 AS INT) AS idx,
+       (row_number() OVER w = 1) AS is_first,
+       (lead(event_id) OVER w IS NULL) AS is_last
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+
+_register(
+    "unique_filter",
+    lambda spark, sf: first_per_key(
+        _t(spark, sf, "events"), ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("event_id", "user_id", "event_type"),
+    """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+
+# ---- dedup suite (training-data ops) ----
+
+_register(
+    "exact_dedup",
+    lambda spark, sf: exact_dedup(_t(spark, sf, "documents")),
+    """
+SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+FROM documents
+""",
+)
+
+_register(
+    "minhash_neardup",
+    lambda spark, sf: minhash_dedup(
+        _t(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4
+    ),
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
+),
+sigs AS (
+  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM toks, (SELECT unnest(range(16)) AS perm)
+  GROUP BY doc_id, perm
+),
+buckets AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM sigs GROUP BY doc_id, perm % 4
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN toks ta ON ta.doc_id = p.a
+  JOIN toks tb ON tb.doc_id = p.b AND tb.token = ta.token
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, i.i / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
+""",
+)
+
+_register(
+    "ngram_jaccard",
+    lambda spark, sf: ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.05
+    ),
+    f"""
+WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i + 1 : i + 3], ' ') AS gram
+  FROM toklists, (SELECT unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i)
+  WHERE len(array_to_string(toks[i + 1 : i + 3], ' ')) > 0
+),
+idx AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id ORDER BY gram) AS rn
+    FROM grams
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM idx x JOIN idx y ON x.gram = y.gram AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.a
+  JOIN grams gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, i.i / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.05
+""",
+)
+
+_register(
+    "simhash",
+    lambda spark, sf: simhash(_t(spark, sf, "documents"), bits=32),
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
+),
+th AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT) AS BIGINT) AS th
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, bit,
+         CASE WHEN CAST(floor(th / power(2.0, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS v
+  FROM th, (SELECT unnest(range(32)) AS bit)
+),
+scores AS (SELECT doc_id, bit, sum(v) AS score FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END
+                * CAST(power(2.0, bit) AS BIGINT)) AS BIGINT) AS simhash
+FROM scores GROUP BY doc_id
+""",
+)
+
+# ---- text analysis ----
+
+_register(
+    "lang_id",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
+    ),
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) / greatest(len(toks), 1) AS s_en,
+    len(list_filter(toks, x -> x IN ('de','het','een','en','van','ik','dat','niet'))) / greatest(len(toks), 1) AS s_nl,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','des','une','est','dans'))) / greatest(len(toks), 1) AS s_fr,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) / greatest(len(toks), 1) AS s_de
+  FROM (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_en, s_nl, s_fr, s_de) <= 0 THEN 'und'
+       WHEN s_nl >= s_en AND s_nl >= s_fr AND s_nl >= s_de THEN 'nl'
+       WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_en >= s_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM scored
+""",
+)
+
+_register(
+    "token_counts",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    ),
+    r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_ws,
+  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')) AS INT) AS n_bpe
+FROM documents
+""",
+)
+
+_register(
+    "quality_score",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ),
+    f"""
+WITH q AS (
+  SELECT doc_id,
+    greatest(length(text), 1) AS n_chars,
+    length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^.,;:!?"''()\\[\\]{{}}]', '', 'g')) AS punct,
+    {TOKS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, alpha, punct,
+    greatest(len(toks), 1) AS n_toks,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS stop_hits
+  FROM q
+)
+SELECT doc_id,
+  round((least(n_toks / 20.0, 1.0) + alpha / n_chars
+         + greatest(0.0, 1.0 - (punct / n_chars) * 5) + least(stop_hits / 2.0, 1.0)) / 4.0, 6) AS quality
+FROM m
+""",
+)
+
+_register(
+    "doc_fingerprint",
+    lambda spark, sf: _t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ),
+    f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
+)
+
+# ---- similarity search ----
+
+
+def _queries_df(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+_register(
+    "cosine_topk",
+    lambda spark, sf: cosine_topk(
+        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5
+    ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.v, q.q_vec)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS c
+  FROM e, q
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= 5
+""",
+)
+
+
+def _neardup_exact(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine(
+                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+        .select("a", "b", F.round(F.col("cos"), 6).alias("cos"))
+    )
+
+
+_register(
+    "embedding_neardup",
+    _neardup_exact,
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35
+""",
+)
+
+# LSH variants: recall-bounded approximations — rows-only check (the
+# driver records the weaker gate; exactness is covered by the brute-
+# force twins above and tests/test_spark_operators.py)
+_register(
+    "lsh_cosine_topk",
+    lambda spark, sf: lsh_cosine_topk(
+        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5, dim=64
+    ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
+    None,
+)
+_register(
+    "embedding_neardup_lsh",
+    lambda spark, sf: embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, planes=4, tables=4
+    ).select("a", "b", F.round(F.col("cos"), 6).alias("cos")),
+    None,
+)
+
+# ---- entity linkage ----
+
+_MENTION_DICT = [
+    ("urn:w:spark", "Spark"),
+    ("urn:w:table", "Table"),
+    ("urn:w:stream", "stream"),
+    ("urn:w:query-window", "Query Window"),
+    ("urn:w:fast-table", "fast table"),
+    ("urn:w:merge-batch", "Merge BATCH"),
+]
+
+
+def _mentions(spark, sf):
+    docs = _t(spark, sf, "documents")
+    d = spark.createDataFrame(_MENTION_DICT, "entity string, label string")
+    return detect_mentions(docs, d, max_gram=2)
+
+
+_MENTION_DICT_SQL = "VALUES " + ", ".join(
+    f"('{e}', '{l}')" for e, l in _MENTION_DICT
+)
+
+_register(
+    "detect_mentions",
+    _mentions,
+    f"""
+WITH dict AS (
+  SELECT entity, array_to_string({_toks_sql('label')}, ' ') AS gram
+  FROM (SELECT * FROM ({_MENTION_DICT_SQL}) AS t(entity, label))
+  WHERE len(array_to_string({_toks_sql('label')}, ' ')) > 0
+),
+norm AS (
+  SELECT doc_id, ' ' || array_to_string({TOKS}, ' ') || ' ' AS padded FROM documents
+)
+SELECT DISTINCT n.doc_id, d.gram AS mention, d.entity
+FROM norm n JOIN dict d ON n.padded LIKE '% ' || d.gram || ' %'
+""",
+)
+
+# ---- canonicalization: connected components ----
+
+
+def _cc(spark, sf):
+    docs = _t(spark, sf, "documents")
+    edges = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return connected_components(edges)
+
+
+_register(
+    "connected_components",
+    _cc,
+    # chains doc_id → doc_id−1 within decades ⇒ component = min of the
+    # decade; a closed form the recursive operator must agree with
+    "SELECT doc_id AS node, (doc_id // 10) * 10 AS comp FROM documents",
+)
+
+_register(
+    "transitive_closure",
+    lambda spark, sf: transitive_closure(
+        kg_triples(spark, sf)
+        .where((F.col("p") == SKOS + "broader") & (F.col("o_kind") == "iri"))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    ).select("src", "dst", F.col("dist").cast("long").alias("dist")),
+    CLOSURE_SQL + "SELECT src, dst, CAST(dist AS BIGINT) AS dist FROM closure",
+)
+
+# ---- scalar/formatting layer (§2.8 — subyt literal serialization) ----
+
+_register(
+    "xsd_literals",
+    lambda spark, sf: _t(spark, sf, "orders").select(
+        "o_orderkey",
+        xsd_integer_col(F.col("o_custkey"), '"').alias("lit_int"),
+        xsd_boolean_col((F.col("o_orderkey") % 2).cast("string"), '"').alias("lit_bool"),
+        F.concat(
+            F.lit('"'),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+            F.lit('"^^xsd:date'),
+        ).alias("lit_date"),
+        xsd_string_col(F.col("o_orderpriority"), '"', lang="en").alias("lit_str"),
+        xsd_gyear_col(F.year(F.col("o_orderdate")), '"').alias("lit_gyear"),
+        unite_col(
+            F.col("o_orderpriority"), F.col("o_orderstatus"), sep=" ", n=3
+        ).alias("united"),
+        uri_format_col(
+            F.concat(
+                F.lit("https://example.org/order/"), F.col("o_orderkey").cast("string")
+            )
+        ).alias("uri"),
+    ),
+    r"""
+SELECT o_orderkey,
+  concat('"', o_custkey, '"^^xsd:integer') AS lit_int,
+  concat('"', CASE WHEN o_orderkey % 2 = 0 THEN 'false' ELSE 'true' END, '"^^xsd:boolean') AS lit_bool,
+  concat('"', strftime(o_orderdate, '%Y-%m-%d'), '"^^xsd:date') AS lit_date,
+  concat('"', replace(replace(o_orderpriority, '\', '\\'), '"', '\"'), '"@en') AS lit_str,
+  concat('"', lpad(CAST(year(o_orderdate) AS VARCHAR), 4, '0'), '"^^xsd:gYear') AS lit_gyear,
+  CASE WHEN length(o_orderpriority) > 0 AND length(o_orderstatus) > 0
+       THEN concat(o_orderpriority, ' ', o_orderstatus) ELSE '' END AS united,
+  concat('<https://example.org/order/', o_orderkey, '>') AS uri
+FROM orders
+""",
+)
+
+_register(
+    "normalise_scheme",
+    lambda spark, sf: _t(spark, sf, "part").select(
+        "p_partkey",
+        normalise_scheme_col(
+            F.when(
+                F.col("p_partkey") % 2 == 0,
+                F.concat(F.lit("http://schema.org/brand/"), F.col("p_brand")),
+            ).otherwise(
+                F.concat(F.lit("https://schema.org/brand/"), F.col("p_brand"))
+            )
+        ).alias("norm_uri"),
+    ),
+    """
+SELECT p_partkey,
+  regexp_replace(
+    CASE WHEN p_partkey % 2 = 0 THEN concat('http://schema.org/brand/', p_brand)
+         ELSE concat('https://schema.org/brand/', p_brand) END,
+    '^https?://schema\\.org', 'https://schema.org') AS norm_uri
+FROM part
+""",
+)
+
+_register(
+    "uritemplate_expand",
+    lambda spark, sf: _t(spark, sf, "part").select(
+        "p_partkey",
+        uritemplate_col(
+            "https://example.org/part/{p_brand}/{p_partkey}",
+            {"p_brand": F.col("p_brand"), "p_partkey": F.col("p_partkey")},
+        ).alias("expanded"),
+    ),
+    """
+SELECT p_partkey,
+  concat('https://example.org/part/', replace(p_brand, ' ', '%20'), '/', p_partkey) AS expanded
+FROM part
+""",
+)
