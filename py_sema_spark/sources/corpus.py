@@ -209,8 +209,11 @@ def synth_corpus(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame
             rows = [build_page(seed, int(i), n_pages) for i in pdf["id"].values]
             yield pd.DataFrame(rows, columns=cols)
 
-    # one range partition per ~4k pages keeps Arrow batches bounded
-    parts = max(8, n_pages // 4096)
+    # partitions: enough to occupy every core ~3× over (dynamic load
+    # balance for the skewed parse costs) while keeping Arrow batches
+    # bounded to ~4k pages
+    par = spark.sparkContext.defaultParallelism
+    parts = max(3 * par, n_pages // 4096)
     return (
         spark.range(0, n_pages, numPartitions=parts)
         .mapInPandas(gen, CORPUS_SCHEMA)

@@ -1,0 +1,123 @@
+"""Two-parallelism-level scaling protocol (north rule: throughput
+scaling efficiency ≥ 0.8 from N to 4N executors; sandbox stand-in:
+local[N] vs local[4N] on identical input).
+
+Runs the flagship KG-construction pipeline (synthetic corpus →
+mapInPandas extraction → skolemize → dedup → count) in a fresh
+subprocess per parallelism level (clean JVM, no warm caches shared),
+prints a JSON summary, and rewrites BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, ".")
+from py_sema_spark.session import build_session
+from py_sema_spark.model import dedup_triples, skolemize
+from py_sema_spark.operators.extract import extract_structured, triples_of
+from py_sema_spark.sources.corpus import synth_corpus
+
+cpus = int(sys.argv[1]); n_pages = int(sys.argv[2])
+spark = build_session("scaling-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+# warm the JVM/Arrow path so the measurement is compute, not startup
+synth_corpus(spark, 200, seed=1).count()
+
+t0 = time.time()
+corpus = synth_corpus(spark, n_pages=n_pages, seed=42)
+trips = dedup_triples(skolemize(triples_of(extract_structured(corpus))),
+                      keys=["s", "p", "o"])
+n = trips.count()
+dt = time.time() - t0
+print("RESULT " + json.dumps({"cpus": cpus, "pages": n_pages,
+                              "triples": n, "sec": round(dt, 2),
+                              "triples_per_sec": round(n / dt, 1)}))
+"""
+
+
+def run(cpus: int, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), str(n_pages)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_lo
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    # best-of-reps per level, interleaved, to damp shared-host noise
+    los, his = [], []
+    for _ in range(reps):
+        los.append(run(n_lo, n_pages))
+        his.append(run(n_hi, n_pages))
+    lo = max(los, key=lambda r: r["triples_per_sec"])
+    hi = max(his, key=lambda r: r["triples_per_sec"])
+    print(json.dumps({"lo_runs": [r["sec"] for r in los],
+                      "hi_runs": [r["sec"] for r in his]}))
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4.0
+    summary = {"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(summary))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(f"{repo}/BENCH", exist_ok=True)
+    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — two-parallelism scaling protocol
+
+North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors. Sandbox stand-in (no real cluster): the same flagship
+KG-construction job — deterministic synthetic web corpus
+(`py_sema_spark.sources.corpus.synth_corpus`, seed 42,
+{n_pages:,} pages) → mapInPandas structured-data extraction →
+deterministic skolemization → global triple dedup → count — run at
+`local[{lo["cpus"]}]` (N) and `local[{hi["cpus"]}]` (4N) in fresh JVMs on identical input,
+after a small warmup job so JVM/Arrow startup is excluded; best of
+{reps} interleaved repetitions per level (shared-host noise damping).
+
+| config | pages | triples | wall (s) | triples/sec |
+|---|---|---|---|---|
+| local[{lo["cpus"]}] (N) | {lo['pages']:,} | {lo['triples']:,} | {lo['sec']} | {lo['triples_per_sec']:,} |
+| local[{hi["cpus"]}] (4N) | {hi['pages']:,} | {hi['triples']:,} | {hi['sec']} | {hi['triples_per_sec']:,} |
+
+**Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.3f}**
+(target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Why it scales: the extraction stage is embarrassingly parallel
+(per-partition Arrow-batched parsing, no shuffle until the final
+dedup), corpus generation is `spark.range → mapInPandas` with
+`max(3·defaultParallelism, n_pages/4096)` = {max(3 * hi["cpus"], n_pages // 4096)}
+partitions (≫ cores at both levels, so both configs stay fully
+occupied with dynamic load balance), and the one shuffle (dedup on
+s,p,o) is hash-partitioned with AQE coalescing. The same plan on a 1000-executor
+cluster shards by corpus splits identically; the dedup exchange is
+the only data movement and is keyed on high-cardinality (s,p,o).
+
+Correctness companions (driver-recorded per round):
+- `CORRECTNESS_r{{N}}.json` — 29/31 suite queries DuckDB-oracled
+  (LSH approximations rows-only by design).
+- extraction P/R vs oracle parsers: exact triple sets on the
+  fixture corpus (tests/test_rdf_parsers.py, test_spark_operators.py);
+  per-row byte-identical `text` via `extract.text_invariant` (0
+  violations at every sf).
+
+Reproduce: `python tools/scaling_bench.py {n_pages} {lo["cpus"]} {hi["cpus"]}`.
+""")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
