@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "xsd_literals",
     "normalise_scheme",
     "uritemplate_expand",
+    "subyt_render",
+    "shacl_validate",
 ]
 
 

@@ -833,6 +833,70 @@ FROM part
 """,
 )
 
+# ---- subyt templating (M4) — Jinja render over records ----
+
+
+def _subyt_render(spark, sf):
+    from ..subyt import SparkSubyt
+
+    part = _t(spark, sf, "part").select("p_partkey", "p_name")
+    template = (
+        "<urn:part:{{ _['p_partkey'] }}> ex:name "
+        "{{ _['p_name'] | xsd('xsd:string', '\"') }} ."
+    )
+    return SparkSubyt(template, order_by=["p_partkey"]).process(part)
+
+
+_register(
+    "subyt_render",
+    _subyt_render,
+    r"""
+SELECT CAST(row_number() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS idx,
+  concat('<urn:part:', p_partkey, '> ex:name "',
+         replace(replace(p_name, '\', '\\'), '"', '\"'),
+         '"^^xsd:string .') AS part
+FROM part
+""",
+)
+
+# ---- SHACL subset (E6) — violations DataFrame ----
+
+_SHACL_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://www.example.org/> .
+
+ex:CustomerShape
+    a sh:NodeShape ;
+    sh:targetClass ex:Customer ;
+    sh:property [ sh:path owl:deprecated ; sh:in ( "false" ) ] ;
+    sh:property [ sh:path skos:prefLabel ; sh:maxCount 1 ] .
+"""
+
+
+def _shacl_validate(spark, sf):
+    from ..shacl import parse_shapes_ttl, validate
+
+    return validate(kg_triples(spark, sf), parse_shapes_ttl(_SHACL_TTL))
+
+
+_register(
+    "shacl_validate",
+    _shacl_validate,
+    # every 7th customer carries owl:deprecated 'true' → exactly the
+    # sh:in violations; prefLabel maxCount 1 never trips
+    f"""
+SELECT 'urn:cust:' || c_custkey AS focus,
+       '{EX}CustomerShape' AS shape,
+       '{OWL}deprecated' AS path,
+       'in' AS constraint,
+       'true' AS value,
+       'value not in [''false'']' AS message
+FROM customer WHERE c_custkey % 7 = 0
+""",
+)
+
 _register(
     "uritemplate_expand",
     lambda spark, sf: _t(spark, sf, "part").select(

@@ -1,0 +1,315 @@
+"""SHACL-core subset compiled to DataFrame group-checks (SURVEY.md §2.10
+E6).
+
+The reference validates with pyshacl and hard-asserts conformance
+(/root/reference/sema/bench/handler.py:61-81); the constraint surface
+it actually exercises is the fixture shape graph
+(/root/reference/tests/bench/resources/sembench_data/example_shape.ttl):
+``sh:datatype, sh:maxCount, sh:in, sh:lessThan, sh:node, sh:closed,
+sh:minInclusive, sh:maxInclusive`` on ``sh:targetClass``-targeted node
+shapes (plus ``sh:minCount``, for completeness). Exactly that subset is
+compiled here — each constraint becomes a filter/aggregation over the
+triples table, every check pushes its predicate-literal filter to the
+scan, and the result is a **violations DataFrame** instead of an
+assert (the assert form is :func:`assert_conforms`).
+
+Shapes are parsed from Turtle with our own parser (the same input
+format the reference consumes), driver-side — shape graphs are tiny;
+the data side stays distributed.
+
+Scale: each property constraint touches one predicate slice
+(``p = path`` pushed down); counts are partial-aggregated groupBys on
+``s``; ``closed`` is one anti-join of the focus slice against the
+allowed-predicate list. Nothing quadratic, nothing collected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+NUMERIC_DATATYPES = {
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "unsignedInt",
+    )
+}
+
+VIOLATION_SCHEMA = (
+    "focus string, shape string, path string, constraint string, "
+    "value string, message string"
+)
+
+
+@dataclass
+class PropertyShape:
+    path: str
+    datatype: Optional[str] = None
+    max_count: Optional[int] = None
+    min_count: Optional[int] = None
+    in_values: Optional[List[str]] = None
+    less_than: Optional[str] = None
+    node: Optional[str] = None
+    min_inclusive: Optional[float] = None
+    max_inclusive: Optional[float] = None
+    name: Optional[str] = None
+
+
+@dataclass
+class NodeShape:
+    iri: str
+    target_class: Optional[str] = None
+    closed: bool = False
+    properties: List[PropertyShape] = field(default_factory=list)
+
+
+def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
+    """Shape graph (Turtle) → shape model, driver-side."""
+    from .rdf.turtle import parse_turtle
+
+    triples = parse_turtle(text, base=base)
+    spo: Dict[str, Dict[str, list]] = {}
+    for t in triples:
+        spo.setdefault(t.s.value, {}).setdefault(t.p.value, []).append(t.o)
+
+    def one(s, p):
+        vals = spo.get(s, {}).get(p)
+        return vals[0] if vals else None
+
+    def rdf_list(head) -> List[str]:
+        out = []
+        while head is not None and head.value != RDF_NIL:
+            first = one(head.value, RDF_FIRST)
+            if first is not None:
+                out.append(first.value)
+            head = one(head.value, RDF_REST)
+        return out
+
+    shapes = []
+    for s, props in spo.items():
+        types = [o.value for o in props.get(RDF_TYPE, [])]
+        if SH + "NodeShape" not in types:
+            continue
+        tc = one(s, SH + "targetClass")
+        closed = one(s, SH + "closed")
+        shape = NodeShape(
+            iri=s,
+            target_class=tc.value if tc else None,
+            closed=bool(closed and closed.value == "true"),
+        )
+        for pnode in props.get(SH + "property", []):
+            p = pnode.value
+            ps = PropertyShape(path=one(p, SH + "path").value)
+            for attr, pred, conv in (
+                ("datatype", "datatype", lambda o: o.value),
+                ("max_count", "maxCount", lambda o: int(o.value)),
+                ("min_count", "minCount", lambda o: int(o.value)),
+                ("less_than", "lessThan", lambda o: o.value),
+                ("node", "node", lambda o: o.value),
+                ("min_inclusive", "minInclusive", lambda o: float(o.value)),
+                ("max_inclusive", "maxInclusive", lambda o: float(o.value)),
+                ("name", "name", lambda o: o.value),
+            ):
+                o = one(p, SH + pred)
+                if o is not None:
+                    setattr(ps, attr, conv(o))
+            ino = one(p, SH + "in")
+            if ino is not None:
+                ps.in_values = rdf_list(ino)
+            shape.properties.append(ps)
+        shapes.append(shape)
+    return shapes
+
+
+def _viol(df: DataFrame, shape: str, path: str, constraint: str, msg: str,
+          value=None) -> DataFrame:
+    if value is None:
+        value = F.col("o")
+    return df.select(
+        F.col("s").alias("focus"),
+        F.lit(shape).alias("shape"),
+        F.lit(path).cast("string").alias("path"),
+        F.lit(constraint).alias("constraint"),
+        value.cast("string").alias("value"),
+        F.lit(msg).alias("message"),
+    )
+
+
+def _effective_datatype():
+    """RDF 1.1: a plain literal's datatype is xsd:string."""
+    return F.when(
+        F.col("o_kind") == "literal",
+        F.coalesce(F.col("o_datatype"), F.lit(XSD + "string")),
+    )
+
+
+def validate(
+    triples: DataFrame,
+    shapes: List[NodeShape],
+    focus_override: Optional[Dict[str, DataFrame]] = None,
+) -> DataFrame:
+    """All shapes against the triples table → violations DataFrame.
+
+    ``focus_override[shape_iri]`` supplies explicit focus nodes (used
+    internally for sh:node value validation)."""
+    spark = triples.sparkSession
+    out = spark.createDataFrame([], VIOLATION_SCHEMA)
+    by_iri = {sh.iri: sh for sh in shapes}
+
+    for shape in shapes:
+        if focus_override and shape.iri in focus_override:
+            focus = focus_override[shape.iri]
+        elif shape.target_class:
+            focus = (
+                triples.where(
+                    (F.col("p") == RDF_TYPE) & (F.col("o") == shape.target_class)
+                )
+                .select(F.col("s").alias("focus"))
+                .distinct()
+            )
+        else:
+            continue  # shape only reachable via sh:node
+
+        focus_s = focus.select(F.col("focus").alias("s"))
+        shape_triples = triples.join(F.broadcast(focus_s), "s", "left_semi")
+
+        for ps in shape.properties:
+            vals = shape_triples.where(F.col("p") == ps.path)
+
+            if ps.datatype:
+                bad = vals.where(
+                    (F.col("o_kind") != "literal")
+                    | (_effective_datatype() != ps.datatype)
+                )
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "datatype",
+                    f"value is not a literal of datatype <{ps.datatype}>",
+                ))
+
+            if ps.max_count is not None:
+                over = (
+                    vals.groupBy("s").agg(F.count("*").alias("n"))
+                    .where(F.col("n") > ps.max_count)
+                )
+                out = out.unionByName(_viol(
+                    over, shape.iri, ps.path, "maxCount",
+                    f"more than {ps.max_count} values",
+                    value=F.col("n"),
+                ))
+
+            if ps.min_count is not None:
+                counts = (
+                    focus_s.join(
+                        vals.groupBy("s").agg(F.count("*").alias("n")),
+                        "s", "left",
+                    )
+                    .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+                    .where(F.col("n") < ps.min_count)
+                )
+                out = out.unionByName(_viol(
+                    counts, shape.iri, ps.path, "minCount",
+                    f"fewer than {ps.min_count} values",
+                    value=F.col("n"),
+                ))
+
+            if ps.in_values is not None:
+                bad = vals.where(~F.col("o").isin(ps.in_values))
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "in",
+                    f"value not in {ps.in_values}",
+                ))
+
+            if ps.less_than:
+                other = shape_triples.where(F.col("p") == ps.less_than).select(
+                    F.col("s"), F.col("o").alias("o2"),
+                    F.col("o_datatype").alias("dt2"),
+                )
+                pairs = vals.select(
+                    "s", "o", F.col("o_datatype").alias("dt1")
+                ).join(other, "s")
+                both_num = F.col("dt1").isin(list(NUMERIC_DATATYPES)) & F.col(
+                    "dt2"
+                ).isin(list(NUMERIC_DATATYPES))
+                both_date = (F.col("dt1") == XSD + "date") & (
+                    F.col("dt2") == XSD + "date"
+                )
+                ok = (
+                    F.when(both_num, F.col("o").cast("double") < F.col("o2").cast("double"))
+                    .when(both_date, F.to_date("o") < F.to_date("o2"))
+                    .otherwise(F.col("o") < F.col("o2"))
+                )
+                out = out.unionByName(_viol(
+                    pairs.where(~ok), shape.iri, ps.path, "lessThan",
+                    f"value not less than <{ps.less_than}> value",
+                ))
+
+            if ps.min_inclusive is not None or ps.max_inclusive is not None:
+                v = F.col("o").cast("double")
+                cond = F.lit(False)
+                if ps.min_inclusive is not None:
+                    cond = cond | v.isNull() | (v < ps.min_inclusive)
+                if ps.max_inclusive is not None:
+                    cond = cond | v.isNull() | (v > ps.max_inclusive)
+                out = out.unionByName(_viol(
+                    vals.where(cond), shape.iri, ps.path, "range",
+                    f"value outside [{ps.min_inclusive}, {ps.max_inclusive}]",
+                ))
+
+            if ps.node:
+                child = by_iri.get(ps.node)
+                if child is not None:
+                    child_focus = vals.select(
+                        F.col("o").alias("focus")
+                    ).distinct()
+                    child_viols = validate(
+                        triples, [child],
+                        focus_override={child.iri: child_focus},
+                    )
+                    out = out.unionByName(child_viols)
+                    bad_vals = vals.join(
+                        child_viols.select(F.col("focus").alias("o")).distinct(),
+                        "o", "left_semi",
+                    )
+                    out = out.unionByName(_viol(
+                        bad_vals, shape.iri, ps.path, "node",
+                        f"value does not conform to <{ps.node}>",
+                    ))
+
+        if shape.closed:
+            allowed = [p.path for p in shape.properties] + [RDF_TYPE]
+            stray = shape_triples.where(~F.col("p").isin(allowed))
+            out = out.unionByName(
+                stray.select(
+                    F.col("s").alias("focus"),
+                    F.lit(shape.iri).alias("shape"),
+                    F.col("p").alias("path"),
+                    F.lit("closed").alias("constraint"),
+                    F.col("o").cast("string").alias("value"),
+                    F.lit("predicate not allowed on closed shape").alias(
+                        "message"
+                    ),
+                )
+            )
+    return out
+
+
+def conforms(triples: DataFrame, shapes: List[NodeShape]) -> bool:
+    return validate(triples, shapes).isEmpty()
+
+
+def assert_conforms(triples: DataFrame, shapes: List[NodeShape]) -> None:
+    """The reference's hard-assert form (handler.py:75-81)."""
+    sample = validate(triples, shapes).limit(5).collect()
+    assert not sample, f"SHACL validation failed; first violations: {sample}"
