@@ -833,6 +833,58 @@ FROM part
 """,
 )
 
+# ---- generic BGP SPARQL-select compiler ----
+
+_register(
+    "sparql_bgp",
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
+    ).bgp_select(
+        kg_triples(spark, sf),
+        "SELECT DISTINCT ?c ?n ?r WHERE { "
+        "?c skos:broader ?n . ?n skos:broader ?r . ?r skos:broader ?w . }",
+        {"skos": SKOS},
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT a.s AS c, a.o AS n, b.o AS r
+FROM triples a
+JOIN triples b ON b.s = a.o AND b.p = '{SKOS}broader'
+JOIN triples w ON w.s = b.o AND w.p = '{SKOS}broader'
+WHERE a.p = '{SKOS}broader'
+""",
+)
+
+# ---- harvest frontier traversal (M5) — corpus-shaped, rows-only ----
+
+
+def _harvest_run(spark, sf):
+    from ..harvest import HarvestConfig, Harvester
+    from ..sources.corpus import BASE_URL, synth_corpus
+
+    corpus = synth_corpus(spark, n_pages=300, seed=42).persist()
+    corpus.count()
+    cfg = HarvestConfig.from_yaml(
+        f"""
+snooze-till-graph-age-minutes: 0
+prefix:
+  ex: http://www.example.org/
+assert:
+  - subjects:
+      literal:
+        - {BASE_URL}page/5
+    paths:
+      - "*"
+      - "ex:resource"
+""",
+        name="bench",
+    )
+    store, report = Harvester(spark, corpus).run(cfg)
+    return report.select("kind", "url", "success", "triple_count")
+
+
+_register("harvest_run", _harvest_run, None)
+
 # ---- subyt templating (M4) — Jinja render over records ----
 
 
