@@ -833,6 +833,60 @@ FROM part
 """,
 )
 
+# ---- serialization & naming (S16/S18) ----
+
+_register(
+    "ntriples_serialize",
+    lambda spark, sf: __import__(
+        "py_sema_spark.serialize", fromlist=["ntriples_lines"]
+    ).ntriples_lines(kg_triples(spark, sf)),
+    KG_SQL
+    + r"""
+SELECT concat('<', s, '> <', p, '> ',
+  CASE WHEN o_kind = 'iri' THEN concat('<', o, '>')
+       ELSE concat('"',
+                   replace(replace(replace(replace(replace(o,
+                     '\', '\\'), '"', '\"'), chr(10), '\n'),
+                     chr(13), '\r'), chr(9), '\t'),
+                   '"',
+                   CASE WHEN o_lang IS NOT NULL THEN concat('@', o_lang)
+                        WHEN o_datatype IS NOT NULL
+                             AND o_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+                             THEN concat('^^<', o_datatype, '>')
+                        ELSE '' END)
+  END, ' .') AS line
+FROM triples
+""",
+)
+
+
+def _unique_filenames(spark, sf):
+    from ..serialize import unique_filename_col
+
+    orders = _t(spark, sf, "orders")
+    url = F.concat(
+        F.lit("https://example.org/order/"), F.col("o_orderkey").cast("string")
+    )
+    return orders.select(
+        "o_orderkey",
+        unique_filename_col(url, F.lit("text/turtle")).alias("filename"),
+    )
+
+
+_register(
+    "unique_filenames",
+    _unique_filenames,
+    """
+SELECT o_orderkey,
+  concat(
+    replace(replace(substr(to_base64(from_hex(sha256(
+      concat('https://example.org/order/', o_orderkey, 'text/turtle')))), 1, 13),
+      '+', '-'), '/', '_'),
+    '-order-', o_orderkey, '.ttl') AS filename
+FROM orders
+""",
+)
+
 # ---- generic BGP SPARQL-select compiler ----
 
 _register(

@@ -1,0 +1,162 @@
+"""Serialization & naming (SURVEY.md §2.1 S16/S18, §2.8 X20).
+
+- :func:`ntriples_line_col` / :func:`write_ntriples` — triples →
+  canonical N-Triples text, ordered by (s,p,o) for determinism (the
+  reference sorts JSON-LD output by @id for the same reason,
+  object_graph_mapper.py:62-64). This is the canonical diff format for
+  the P/R gate: two engines' outputs compare as sorted line sets.
+- :func:`unique_filename_col` — the content-dump naming rule
+  ``urlsafe_b64(sha256(url+mime+profile))[:13]-{last2pathparts}{suffix}``
+  (/root/reference/sema/commons/web/download_to_file.py:56-76) as pure
+  column expressions.
+- :func:`files_as_corpus` — rglob'd RDF files presented as a corpus
+  DataFrame, so the Aggregator (aggregator.py:9-40) is just
+  ``extract_structured(files_as_corpus(...))`` — one distributed parse
+  path for web pages and dump files alike.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+# mime → dump-file suffix (subset of fileformats/mimetypes.py:26-69)
+MIME_SUFFIX = {
+    "text/turtle": ".ttl",
+    "application/ld+json": ".jsonld",
+    "application/json": ".json",
+    "text/html": ".html",
+    "application/rdf+xml": ".xml",
+    "application/n-triples": ".nt",
+    "application/octet-stream": "",
+}
+
+
+def _escape_nt(col: Column) -> Column:
+    """N-Triples string escaping: backslash first, then quote and
+    control characters."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return out
+
+
+def ntriples_line_col() -> Column:
+    """One N-Triples line from (s,p,o,o_kind,o_datatype,o_lang) cols.
+
+    Canonical form: plain/xsd:string literals carry no datatype suffix
+    (RDF 1.1); language-tagged → ``@lang``; other datatypes →
+    ``^^<dt>``.
+    """
+    obj = F.when(
+        F.col("o_kind") == "iri",
+        F.concat(F.lit("<"), F.col("o"), F.lit(">")),
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            _escape_nt(F.col("o")),
+            F.lit('"'),
+            F.when(
+                F.col("o_lang").isNotNull(),
+                F.concat(F.lit("@"), F.col("o_lang")),
+            )
+            .when(
+                F.col("o_datatype").isNotNull()
+                & (F.col("o_datatype") != XSD_STRING),
+                F.concat(F.lit("^^<"), F.col("o_datatype"), F.lit(">")),
+            )
+            .otherwise(F.lit("")),
+        )
+    )
+    return F.concat(
+        F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "),
+        obj, F.lit(" ."),
+    )
+
+
+def ntriples_lines(triples: DataFrame) -> DataFrame:
+    return triples.select(ntriples_line_col().alias("line"))
+
+
+def write_ntriples(triples: DataFrame, path: str) -> None:
+    """Deterministic N-Triples dump: global (s,p,o) order via range
+    partitioning — part files concatenate in order."""
+    (
+        triples.orderBy("s", "p", "o")
+        .select(ntriples_line_col().alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def unique_filename_col(
+    url: Column, mime: Column, profile: Optional[Column] = None
+) -> Column:
+    """download_to_file.py:56-76 as column algebra:
+    ``urlsafe_b64(sha256(url||mime||profile))[:13]-{id}{suffix}``
+    where id = last ≤2 non-empty path segments of the url (extension
+    dropped), suffix from the mime map."""
+    profile = profile if profile is not None else F.lit("")
+    digest_b64 = F.translate(
+        F.base64(F.unhex(F.sha2(F.concat(url, mime, profile), 256))),
+        "+/",
+        "-_",
+    )
+    base = F.substring(digest_b64, 1, 13)
+    path = F.parse_url(url, F.lit("PATH"))
+    segs = F.filter(
+        F.split(F.substring_index(path, ".", 1), "/"), lambda x: x != ""
+    )
+    ident = F.array_join(F.slice(segs, -2, 2), "-")
+    suffix_map = F.create_map(
+        *[F.lit(x) for kv in MIME_SUFFIX.items() for x in kv]
+    )
+    suffix = F.coalesce(suffix_map[mime], F.lit(""))
+    return F.concat(base, F.lit("-"), ident, suffix)
+
+
+def files_as_corpus(
+    spark: SparkSession, patterns: Dict[str, str] | List[str]
+) -> DataFrame:
+    """Aggregator front-end: glob patterns (optionally mapped to a
+    format hint, which the format-fallback parser makes advisory) →
+    corpus rows (url=file URI, html=bytes). Parsing then runs through
+    the same distributed extraction stage as web pages."""
+    if isinstance(patterns, dict):
+        pats = list(patterns.keys())
+    else:
+        pats = list(patterns)
+    paths: List[str] = []
+    for p in pats:
+        paths.extend(sorted(_glob.glob(p, recursive=True)))
+    if not paths:
+        raise FileNotFoundError(f"no files matched {pats}")
+    df = spark.read.format("binaryFile").load(paths)
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def aggregate_files(
+    spark: SparkSession, patterns: Dict[str, str] | List[str]
+) -> DataFrame:
+    """The reference Aggregator (aggregator.py:9-40): parse every
+    matched file into one triples set."""
+    from .model import dedup_triples
+    from .operators.extract import extract_structured, triples_of
+
+    corpus = files_as_corpus(spark, patterns)
+    return dedup_triples(
+        triples_of(extract_structured(corpus)), keys=["s", "p", "o"]
+    )

@@ -1,0 +1,110 @@
+"""Named-graph triple store over parquet (SURVEY.md §1.2).
+
+The reference's ``RDFStore`` contract
+(/root/reference/sema/commons/store/store.py:81-314): named-graph
+scoped insert/select, per-graph lastmod administration, drop/forget.
+Here each named graph is one parquet subdirectory (the local stand-in
+for an Iceberg table partitioned by ``g`` — insert = append to the
+partition, drop = partition delete, i.e. ``DELETE WHERE g = …``), and
+the admin graph is the :class:`..model.GraphRegistry` table.
+
+Set semantics: every insert dedups against the graph's existing
+triples (``graph += g`` dedups, store.py:500-502); skolemization
+happens in extraction (:func:`..model.skolemize`), matching
+``store_graph += graph.skolemize()`` (store.py:393).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import TRIPLE_SCHEMA, GraphNameMapper, GraphRegistry, dedup_triples
+
+
+class ParquetTripleStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        mapper: Optional[GraphNameMapper] = None,
+    ):
+        self.spark = spark
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.mapper = mapper or GraphNameMapper(base="urn:sync:")
+        self.registry = GraphRegistry(spark, str(self.workdir / "_registry"))
+
+    # ---- paths ----
+
+    def _graph_dir(self, key: str) -> Path:
+        from urllib.parse import quote
+
+        return self.workdir / ("g=" + quote(key, safe=""))
+
+    # ---- contract ----
+
+    @property
+    def keys(self) -> List[str]:
+        return [
+            self.mapper.ng_to_key(ng) for ng in self.registry.named_graphs()
+        ]
+
+    def insert_for_key(self, triples: DataFrame, key: str) -> None:
+        ng = self.mapper.key_to_ng(key)
+        gdir = self._graph_dir(key)
+        incoming = triples.select(*[f.name for f in TRIPLE_SCHEMA.fields])
+        if gdir.exists():
+            existing = self.spark.read.schema(TRIPLE_SCHEMA).parquet(str(gdir))
+            merged = dedup_triples(existing.unionByName(incoming))
+        else:
+            merged = dedup_triples(incoming)
+        merged.write.mode("overwrite").parquet(str(gdir) + ".tmp")
+        self.spark.read.parquet(str(gdir) + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(str(gdir))
+        shutil.rmtree(str(gdir) + ".tmp", ignore_errors=True)
+        self.registry.touch([ng])
+
+    def drop_graph_for_key(self, key: str) -> None:
+        gdir = self._graph_dir(key)
+        if gdir.exists():
+            shutil.rmtree(gdir)
+        self.registry.drop(self.mapper.key_to_ng(key))
+
+    def graph_for_key(self, key: str) -> DataFrame:
+        gdir = self._graph_dir(key)
+        if not gdir.exists():
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        return self.spark.read.schema(TRIPLE_SCHEMA).parquet(str(gdir))
+
+    def all_triples(self) -> DataFrame:
+        """Union view with the ``g`` column (named-graph scoping =
+        partition pruning on a real Iceberg table)."""
+        out = None
+        for key in self.keys:
+            df = self.graph_for_key(key).withColumn(
+                "g", F.lit(self.mapper.key_to_ng(key))
+            )
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            out = self.spark.createDataFrame([], TRIPLE_SCHEMA).withColumn(
+                "g", F.lit(None).cast("string")
+            )
+        return out
+
+    def verify_max_age_of_key(self, key: str, reference_time) -> bool:
+        """True iff the graph is NOT older than the reference time
+        (mirrors store.py:224-255 driving the syncfs update decision)."""
+        import datetime as _dt
+
+        ts = self.registry.lastmod_ts(self.mapper.key_to_ng(key))
+        if ts is None:
+            return False
+        if isinstance(reference_time, (int, float)):
+            reference_time = _dt.datetime.utcfromtimestamp(reference_time)
+        return ts >= reference_time

@@ -1,0 +1,197 @@
+"""Store / syncfs / serialization / task-registry tests, mirroring the
+reference's sync semantics (service.py:140-171: add / update / remove /
+skip by mtime) and its deterministic-serialization rules."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.serialize import (
+    aggregate_files,
+    ntriples_lines,
+    unique_filename_col,
+    write_ntriples,
+)
+from py_sema_spark.store import ParquetTripleStore
+from py_sema_spark.syncfs import load_graph_file, perform_sync
+from py_sema_spark.tasks import dispatch, run_sembench
+
+TTL_A = """@prefix ex: <http://t.ex/> .
+ex:a ex:p "one" ; ex:q <http://t.ex/b> .
+"""
+TTL_B = """@prefix ex: <http://t.ex/> .
+ex:b ex:p "two"@en ; ex:n "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+
+
+@pytest.fixture
+def dump_dir(tmp_path):
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.ttl").write_text(TTL_A)
+    (d / "b.ttl").write_text(TTL_B)
+    return d
+
+
+class TestSync:
+    def test_add_update_remove(self, spark, dump_dir, tmp_path):
+        store = ParquetTripleStore(spark, str(tmp_path / "store"))
+        rep = perform_sync(spark, str(dump_dir), store)
+        assert rep["added"] == ["a.ttl", "b.ttl"]
+        assert store.graph_for_key("a.ttl").count() == 2
+        assert store.all_triples().count() == 4
+
+        # unchanged → skip
+        rep = perform_sync(spark, str(dump_dir), store)
+        assert rep["skipped"] == ["a.ttl", "b.ttl"] and not rep["added"]
+
+        # touch a.ttl into the future → update
+        future = time.time() + 3600
+        os.utime(dump_dir / "a.ttl", (future, future))
+        rep = perform_sync(spark, str(dump_dir), store)
+        assert rep["updated"] == ["a.ttl"]
+
+        # delete b.ttl → remove
+        (dump_dir / "b.ttl").unlink()
+        rep = perform_sync(spark, str(dump_dir), store)
+        assert rep["removed"] == ["b.ttl"]
+        assert sorted(store.keys) == ["a.ttl"]
+        assert store.all_triples().count() == 2
+
+    def test_update_replaces_content(self, spark, dump_dir, tmp_path):
+        store = ParquetTripleStore(spark, str(tmp_path / "store2"))
+        perform_sync(spark, str(dump_dir), store)
+        (dump_dir / "a.ttl").write_text(
+            '@prefix ex: <http://t.ex/> .\nex:a ex:p "changed" .\n'
+        )
+        future = time.time() + 3600
+        os.utime(dump_dir / "a.ttl", (future, future))
+        perform_sync(spark, str(dump_dir), store)
+        g = store.graph_for_key("a.ttl")
+        assert g.count() == 1
+        assert g.collect()[0]["o"] == "changed"
+
+
+class TestSerialize:
+    def test_ntriples_forms(self, spark, dump_dir):
+        df = load_graph_file(spark, str(dump_dir / "b.ttl"))
+        lines = {r["line"] for r in ntriples_lines(df).collect()}
+        assert (
+            '<http://t.ex/b> <http://t.ex/p> "two"@en .' in lines
+        )
+        assert (
+            '<http://t.ex/b> <http://t.ex/n> '
+            '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in lines
+        )
+
+    def test_ntriples_escaping(self, spark):
+        df = spark.createDataFrame(
+            [("urn:s", "urn:p", 'he said "hi"\nback\\slash',
+              "literal", None, None)],
+            "s string, p string, o string, o_kind string,"
+            " o_datatype string, o_lang string",
+        )
+        line = ntriples_lines(df).collect()[0]["line"]
+        assert line == (
+            '<urn:s> <urn:p> "he said \\"hi\\"\\nback\\\\slash" .'
+        )
+
+    def test_write_ntriples_deterministic(self, spark, dump_dir, tmp_path):
+        df = load_graph_file(spark, str(dump_dir / "a.ttl"))
+        out = str(tmp_path / "out.nt")
+        write_ntriples(df, out)
+        text = "".join(
+            open(os.path.join(out, f)).read()
+            for f in sorted(os.listdir(out))
+            if f.startswith("part-")
+        )
+        assert text.splitlines() == sorted(text.splitlines())
+        assert len(text.splitlines()) == 2
+
+    def test_unique_filename(self, spark):
+        # mirror of the reference's pure-python rule
+        import base64
+        from hashlib import sha256
+
+        url = "https://host.org/data/set.ttl"
+        mime = "text/turtle"
+        expected_base = base64.urlsafe_b64encode(
+            sha256((url + mime).encode()).digest()
+        )[:13].decode()
+        df = spark.createDataFrame([(url, mime)], "url string, mime string")
+        got = df.select(
+            unique_filename_col(F.col("url"), F.col("mime")).alias("f")
+        ).collect()[0]["f"]
+        assert got == f"{expected_base}-data-set.ttl"
+
+    def test_aggregate_files(self, spark, dump_dir):
+        triples = aggregate_files(spark, [str(dump_dir / "*.ttl")])
+        assert triples.count() == 4
+
+
+class TestTasks:
+    def test_dispatch_unknown(self, spark):
+        with pytest.raises(KeyError, match="unknown task type"):
+            dispatch(spark, "nope", {})
+
+    def test_sembench_subyt_and_aggregate(self, spark, dump_dir, tmp_path):
+        src = tmp_path / "rec.csv"
+        src.write_text("id,name\n1,x\n2,y\n")
+        tpl = tmp_path / "t.ttl"
+        tpl.write_text("<urn:r:{{ _['id'] }}> ex:n \"{{ _['name'] }}\" .\n")
+        sink = tmp_path / "out.ttl"
+        agg_sink = str(tmp_path / "agg.nt")
+        res = run_sembench(
+            spark,
+            f"""
+tasks:
+  - id: gen
+    type: subyt
+    args:
+      template: {tpl}
+      source: {src}
+      sink: {sink}
+  - id: agg
+    type: aggregate
+    args:
+      globs: ["{dump_dir}/*.ttl"]
+      sink: {agg_sink}
+""",
+        )
+        assert res["gen"] == str(sink)
+        body = sink.read_text()
+        assert '<urn:r:1> ex:n "x" .' in body and '<urn:r:2> ex:n "y" .' in body
+        assert res["agg"].count() == 4
+
+    def test_sembench_shacl(self, spark, tmp_path):
+        shapes = tmp_path / "shape.ttl"
+        shapes.write_text(
+            """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://t.ex/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:n ; sh:datatype xsd:integer ] .
+"""
+        )
+        good = tmp_path / "good.ttl"
+        good.write_text(
+            '@prefix ex: <http://t.ex/> .\n'
+            '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+            'ex:i a ex:T ; ex:n "3"^^xsd:integer .\n'
+        )
+        bad = tmp_path / "bad.ttl"
+        bad.write_text(
+            '@prefix ex: <http://t.ex/> .\n'
+            'ex:i a ex:T ; ex:n "three" .\n'
+        )
+        assert dispatch(
+            spark, "shacl",
+            {"shacl_graph": str(shapes), "data_graph": str(good)},
+        )
+        with pytest.raises(AssertionError):
+            dispatch(
+                spark, "shacl",
+                {"shacl_graph": str(shapes), "data_graph": str(bad)},
+            )
