@@ -1,0 +1,51 @@
+"""Web-header helpers (SURVEY.md §2.1 S9, §2.8 X19).
+
+The corpus replaces live HTTP, but harvested fixture tables may carry
+captured ``Link:`` headers; signposting then becomes: parse →
+``rel=describedby`` filter → urljoin → corpus join on the resulting
+url (the J8 link-follow). Mirrors
+/root/reference/sema/discovery/linkheaders.py:10-28.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+from urllib.parse import urljoin
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_link_header(
+    header: Optional[str], base_url: str, rel: Optional[str] = None
+) -> List[str]:
+    """``<url>; rel=x, <url2>; rel=y`` → absolute urls (optionally
+    rel-filtered). Python form — used in fixture prep and as the
+    semantics oracle for the column form."""
+    if not header:
+        return []
+    out = []
+    for link_str in header.split(","):
+        link, *remainder = link_str.split(";")
+        link = link.strip("<> ")
+        joined = "|".join(part.strip() for part in remainder)
+        if rel is None or f"rel={rel}" in joined:
+            out.append(urljoin(base_url, link))
+    return sorted(set(out))
+
+
+def link_header_urls_col(
+    header: Column, rel: Optional[str] = None
+) -> Column:
+    """Column form: array of raw link targets from a Link header
+    (vectorized regexp; relative→absolute resolution happens at the
+    corpus join where the base url column is in scope)."""
+    entries = F.split(header, ",")
+    if rel is not None:
+        entries = F.filter(
+            entries, lambda e: e.contains(f"rel={rel}")
+        )
+    return F.transform(
+        entries,
+        lambda e: F.regexp_extract(e, r"<\s*([^>]*)\s*>", 1),
+    )

@@ -85,11 +85,19 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per bucket.
 
     Band key = md5 of the concatenated signature slice. Pairs are
     ordered (a < b) to halve the output and make results deterministic.
+
+    ``max_bucket_size`` is the web-scale skew guard: a bucket with B
+    members emits B² pairs, so one boilerplate-heavy bucket (error
+    pages, parked domains) can dominate the whole job. Capping skips
+    buckets above the threshold — the standard recall/cost trade at
+    10^12-document scale. Default None keeps exact LSH semantics
+    (required by the oracle-checked query).
     """
     banded = signatures.withColumn("band", F.col("perm") % bands)
     buckets = (
@@ -99,6 +107,13 @@ def lsh_candidate_pairs(
         ))).alias("band_sig"))
         .withColumn("bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("bucket")
+        buckets = buckets.withColumn(
+            "_bsz", F.count("*").over(w)
+        ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = buckets.select(F.col(id_col).alias("a"), "bucket")
     b = buckets.select(F.col(id_col).alias("b"), "bucket")
     return (
