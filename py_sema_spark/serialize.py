@@ -160,3 +160,19 @@ def aggregate_files(
     return dedup_triples(
         triples_of(extract_structured(corpus)), keys=["s", "p", "o"]
     )
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",") -> None:
+    """Query-result CSV/TSV export (SURVEY.md §2.1 S17;
+    query.py:140-141 / __main__.py:234-241 choose the delimiter the
+    same way)."""
+    df.write.mode("overwrite").option("header", True).option(
+        "sep", sep
+    ).csv(path)
+
+
+def to_pandas(df: DataFrame):
+    """§1.4 tabular-result shape: the reference materializes query
+    results as a pandas DataFrame with Python-typed cells
+    (query.py:170-183); dimension-sized results only."""
+    return df.toPandas()

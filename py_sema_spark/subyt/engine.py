@@ -84,10 +84,15 @@ class GeneratorSettings:
         return dict(self.values)
 
 
-def build_env(templates_folder: Optional[str] = None):
+def build_env(
+    templates_folder: Optional[str] = None,
+    extra_filters: Optional[Dict[str, Callable]] = None,
+    extra_functions: Optional[Dict[str, Callable]] = None,
+):
     """The Jinja environment with the reference's filter/function
     registry (names must match — templates written for py-sema must
-    render unchanged)."""
+    render unchanged). ``extra_filters``/``extra_functions`` mirror the
+    J2RDFSyntaxBuilder extension points (syntax_builder.py:23-43)."""
     from jinja2 import BaseLoader, Environment, FileSystemLoader, select_autoescape
 
     env = Environment(
@@ -110,7 +115,32 @@ def build_env(templates_folder: Optional[str] = None):
             "unite": unite,
         }
     )
+    env.filters.update(extra_filters or {})
+    env.globals.update(extra_functions or {})
     return env
+
+
+def needs_regeneration(
+    source_paths: Sequence[str], sink_paths: Sequence[str]
+) -> bool:
+    """T3 conditional gate (api.py:365-380): regenerate unless every
+    sink is newer than every source — ``max(source mtimes) <
+    min(sink mtimes)`` skips. Missing sinks always regenerate; at
+    corpus scale the same comparison runs on ``max(warc_ts)`` /
+    snapshot ids against the checkpoint metrics table."""
+    import os
+
+    sink_mtimes = [
+        os.path.getmtime(p) for p in sink_paths if os.path.exists(p)
+    ]
+    if len(sink_mtimes) != len(list(sink_paths)) or not sink_mtimes:
+        return True
+    source_mtimes = [
+        os.path.getmtime(p) for p in source_paths if os.path.exists(p)
+    ]
+    if not source_mtimes:
+        return True
+    return max(source_mtimes) >= min(sink_mtimes)
 
 
 def _preprocess(item: dict, settings: GeneratorSettings) -> dict:

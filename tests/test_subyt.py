@@ -220,3 +220,58 @@ class TestSources:
         assert [r["n"] for r in collect_set(df)] == ["1", "2", "3"]
         df2 = make_source_df(spark, str(tmp_path / "*.csv"))
         assert [r["n"] for r in collect_set(df2)] == ["1", "2", "3"]
+
+
+class TestGapFillers:
+    def test_extra_filters_and_functions(self, spark, records):
+        from py_sema_spark.subyt.engine import build_env
+
+        env = build_env(
+            extra_filters={"shout": lambda s: str(s).upper()},
+            extra_functions={"double": lambda x: x * 2},
+        )
+        out = env.from_string(
+            "{{ 'abc' | shout }} {{ double(21) }} {{ 'x' | xsd('xsd:string') }}"
+        ).render()
+        assert out == "ABC 42 'x'^^xsd:string"
+
+    def test_needs_regeneration(self, tmp_path):
+        import os
+        import time
+
+        from py_sema_spark.subyt.engine import needs_regeneration
+
+        src = tmp_path / "src.csv"
+        src.write_text("a\n1\n")
+        sink = tmp_path / "out.ttl"
+        assert needs_regeneration([str(src)], [str(sink)])  # sink missing
+        sink.write_text("done")
+        future = time.time() + 60
+        os.utime(sink, (future, future))
+        assert not needs_regeneration([str(src)], [str(sink)])  # sink newer
+        os.utime(src, (future + 60, future + 60))
+        assert needs_regeneration([str(src)], [str(sink)])  # src newer
+
+    def test_format_maps(self):
+        from py_sema_spark.rdf.formats import (
+            MIME_TO_FORMAT,
+            format_for_suffix,
+        )
+
+        assert format_for_suffix("x/y.ttl") == "turtle"
+        assert format_for_suffix("a.jsonld") == "json-ld"
+        assert MIME_TO_FORMAT["application/ld+json"] == "json-ld"
+
+    def test_write_csv(self, spark, records, tmp_path):
+        import os
+
+        from py_sema_spark.serialize import write_csv
+
+        out = str(tmp_path / "res")
+        write_csv(records, out, sep="\t")
+        body = "".join(
+            open(os.path.join(out, f)).read()
+            for f in sorted(os.listdir(out))
+            if f.startswith("part-")
+        )
+        assert "id\tname\tseen" in body and "1\talpha\t2021-03-04" in body
