@@ -1,0 +1,214 @@
+"""Command-line surface mirroring the reference's console scripts
+(`sema-get`, `sema-harvest`, `sema-subyt`, `sema-query`, `sema-syncfs`,
+`sema-bench` — /root/reference/pyproject.toml:58-68), adapted to the
+batch/corpus model: every command takes DataFrame-shaped inputs
+(parquet corpus / triples tables) instead of live URLs.
+
+    python -m py_sema_spark extract  --corpus c.parquet --out triples/
+    python -m py_sema_spark harvest  --config h.yml --corpus c.parquet --out t/
+    python -m py_sema_spark subyt    --template t.ttl --source r.csv --sink out.ttl
+    python -m py_sema_spark query    --triples t/ --sparql 'SELECT …' --out res/
+    python -m py_sema_spark syncfs   --from dumps/ --store store/
+    python -m py_sema_spark shacl    --shapes s.ttl --data d.ttl
+    python -m py_sema_spark pipeline --corpus c.parquet --workdir wd/
+    python -m py_sema_spark bench    --sembench tasks.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import build_session
+
+    return build_session(
+        "py-sema-spark-cli", master=args.master or None
+    )
+
+
+def cmd_extract(args) -> int:
+    spark = _spark(args)
+    from .model import dedup_triples, skolemize
+    from .operators.extract import extract_structured, triples_of
+    from .serialize import write_ntriples
+
+    corpus = spark.read.parquet(args.corpus)
+    trips = dedup_triples(
+        skolemize(triples_of(extract_structured(corpus))), keys=["s", "p", "o"]
+    )
+    if args.format == "nt":
+        write_ntriples(trips, args.out)
+    else:
+        trips.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"triples": trips.count(), "out": args.out}))
+    return 0
+
+
+def cmd_harvest(args) -> int:
+    spark = _spark(args)
+    from .harvest import HarvestConfig, Harvester
+
+    with open(args.config) as f:
+        cfg = HarvestConfig.from_yaml(f.read(), name=args.name)
+    corpus = spark.read.parquet(args.corpus).persist()
+    store, report = Harvester(spark, corpus).run(cfg)
+    store.write.mode("overwrite").parquet(args.out)
+    report.write.mode("overwrite").parquet(args.out.rstrip("/") + "_report")
+    print(json.dumps({"triples": store.count(), "out": args.out}))
+    return 0
+
+
+def cmd_subyt(args) -> int:
+    spark = _spark(args)
+    from .tasks import dispatch
+
+    sets = dict(kv.split("=", 1) for kv in (args.set or []))
+    variables = dict(kv.split("=", 1) for kv in (args.var or []))
+    dispatch(
+        spark,
+        "subyt",
+        {
+            "template": args.template,
+            "source": args.source,
+            "sink": args.sink,
+            "mode": args.mode,
+            "sets": sets,
+            "variables": variables,
+        },
+    )
+    print(json.dumps({"sink": args.sink}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    spark = _spark(args)
+    from .queries.bgp import bgp_select
+    from .serialize import write_csv
+
+    triples = spark.read.parquet(args.triples)
+    sparql = args.sparql
+    if args.template:
+        from .queries.templated import SparqlBuilder
+
+        variables = dict(kv.split("=", 1) for kv in (args.var or []))
+        with open(args.template) as f:
+            sparql = SparqlBuilder().build_from_string(f.read(), **variables)
+    out = bgp_select(triples, sparql)
+    if args.out:
+        write_csv(out, args.out, sep="\t" if args.tsv else ",")
+    else:
+        for row in out.limit(50).collect():
+            print(row.asDict())
+    return 0
+
+
+def cmd_syncfs(args) -> int:
+    spark = _spark(args)
+    from .store import ParquetTripleStore
+    from .syncfs import perform_sync
+
+    store = ParquetTripleStore(spark, args.store)
+    report = perform_sync(spark, args.from_path, store)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_shacl(args) -> int:
+    spark = _spark(args)
+    from .shacl import parse_shapes_ttl, validate
+    from .syncfs import load_graph_file
+
+    with open(args.shapes) as f:
+        shapes = parse_shapes_ttl(f.read())
+    viols = validate(load_graph_file(spark, args.data), shapes)
+    rows = viols.collect()
+    for v in rows[:50]:
+        print(v.asDict())
+    print(json.dumps({"violations": len(rows), "conforms": not rows}))
+    return 0 if not rows else 1
+
+
+def cmd_pipeline(args) -> int:
+    spark = _spark(args)
+    from .pipeline import Pipeline
+
+    corpus = spark.read.parquet(args.corpus)
+    out = Pipeline(spark, args.workdir).run(corpus)
+    print(json.dumps({"triples": out.count(), "workdir": args.workdir}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    spark = _spark(args)
+    from .tasks import run_sembench
+
+    with open(args.sembench) as f:
+        results = run_sembench(spark, f.read())
+    print(json.dumps({k: str(v) for k, v in results.items()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    top = argparse.ArgumentParser(prog="py_sema_spark")
+    top.add_argument("--master", default=None)
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="corpus parquet → triples")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", choices=["parquet", "nt"], default="parquet")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("harvest", help="config-driven traversal harvest")
+    p.add_argument("--config", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--name", default="harvest")
+    p.set_defaults(fn=cmd_harvest)
+
+    p = sub.add_parser("subyt", help="records × template → triples text")
+    p.add_argument("--template", required=True)
+    p.add_argument("--source", required=True)
+    p.add_argument("--sink", required=True)
+    p.add_argument("--mode", default=None)
+    p.add_argument("--set", action="append", metavar="NAME=PATH")
+    p.add_argument("--var", action="append", metavar="K=V")
+    p.set_defaults(fn=cmd_subyt)
+
+    p = sub.add_parser("query", help="SPARQL subset over a triples table")
+    p.add_argument("--triples", required=True)
+    p.add_argument("--sparql", default=None)
+    p.add_argument("--template", default=None)
+    p.add_argument("--var", action="append", metavar="K=V")
+    p.add_argument("--out", default=None)
+    p.add_argument("--tsv", action="store_true")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("syncfs", help="sync rdf dump folder ↔ store")
+    p.add_argument("--from", dest="from_path", required=True)
+    p.add_argument("--store", required=True)
+    p.set_defaults(fn=cmd_syncfs)
+
+    p = sub.add_parser("shacl", help="validate data against shapes")
+    p.add_argument("--shapes", required=True)
+    p.add_argument("--data", required=True)
+    p.set_defaults(fn=cmd_shacl)
+
+    p = sub.add_parser("pipeline", help="full KG pipeline with resume")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--workdir", required=True)
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("bench", help="run a sembench task file")
+    p.add_argument("--sembench", required=True)
+    p.set_defaults(fn=cmd_bench)
+
+    args = top.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
