@@ -15,9 +15,21 @@ semantics only) over Spark DataFrames:
                    sinks,
 - ``templating`` : subyt-style record×template triple generation,
 - ``queries``    : the reference SPARQL-template surface as DataFrame
-                   builders,
+                   builders + a generic BGP SELECT compiler + Jinja
+                   SPARQL templating,
+- ``subyt``      : record×template triple generation (sources, engine,
+                   sinks),
 - ``harvest``    : frontier-driven traversal harvesting over a corpus
                    table,
+- ``shacl``      : SHACL-core subset → violations DataFrame,
+- ``store``/``syncfs`` : named-graph parquet store + mtime-diff sync,
+- ``serialize``  : canonical N-Triples / CSV export / dump naming /
+                   file aggregation,
+- ``ogm``        : blueprint → triples (RO-Crate specialization),
+- ``tasks``      : sembench task registry,
+- ``streaming``  : Structured-Streaming ingestion + watermarked windows,
+- ``cli``        : ``python -m py_sema_spark`` console surface,
+- ``pipeline``   : checkpoint/resume staged pipeline with metrics,
 - ``model``      : the triples-table data model (schema, dedup,
                    skolemization, graph registry, stage metrics).
 
