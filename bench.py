@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "uritemplate_expand",
     "subyt_render",
     "shacl_validate",
+    "frame_sample",
+    "media_decode_stats",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no media libraries (PIL/torchvision/ffmpeg), so the
+**decode step is stubbed**: each codec hook tries its real library and
+otherwise falls back to a clearly-marked deterministic fake (sha256-
+derived), keeping the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — real and tested. Swapping in the real
+decoder changes only the inner per-batch function.
+
+Scale notes:
+- media rows are big; ``MEDIA_BATCH_CONF`` caps Arrow batch sizes so a
+  batch of 4K-video rows doesn't blow the worker heap;
+- every stage is stateless map-side (no shuffle); downstream joins
+  key on ``media_id`` and co-partition by its hash like any other id;
+- frame sampling explodes rows map-side and feeds partial aggregation
+  exactly like triple extraction does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+# worker-side conf for big binaries: small Arrow batches
+MEDIA_BATCH_CONF = {"spark.sql.execution.arrow.maxRecordsPerBatch": "64"}
+
+FEATURE_DIM = 16
+
+
+def _try_real_image_decoder():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _fake_pixels(content: bytes, dim: int = FEATURE_DIM):
+    """STUB decode: deterministic pseudo-features from sha256(content).
+    Replaced 1:1 by a real decoder when the codec lib is present."""
+    h = hashlib.sha256(content or b"").digest()
+    raw = (h * ((4 * dim) // len(h) + 1))[: 4 * dim]
+    return [
+        int.from_bytes(raw[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(dim)
+    ]
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Per-item decode → basic stats (real lib if present, else stub).
+
+    Output: (media_id, ok, n_bytes, mean, std) — the plumbing every
+    real decoder variant shares.
+    """
+    schema = (
+        "media_id long, ok boolean, n_bytes long, mean double, std double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _try_real_image_decoder()
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                if real is not None:
+                    # real decode path (not reachable in this container)
+                    raise NotImplementedError(
+                        "real image decoding wired but untested here"
+                    )
+                px = _fake_pixels(data)
+                mean = sum(px) / len(px)
+                std = (sum((v - mean) ** 2 for v in px) / len(px)) ** 0.5
+                rows.append((int(mid), True, len(data), mean, std))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ok", "n_bytes", "mean", "std"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Embedding-shaped features per item: (media_id, feature
+    array<float>) — the input contract of the similarity operators
+    (operators/similarity.py), so near-dup/ANN over media falls out."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), _fake_pixels(bytes(c) if c is not None else b"", dim))
+                for mid, c in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "feature"])
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Resize stage: new binary + updated meta. Stub transform =
+    content-hash-stamped header + truncation (deterministic); the real
+    path swaps in PIL's resize. Non-images pass through unchanged."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for kind, content, meta in zip(
+                pdf["kind"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content) if content is not None else b""
+                meta = dict(meta) if meta is not None else {}
+                if kind == "image":
+                    stamp = hashlib.sha256(
+                        data + f"|{width}x{height}".encode()
+                    ).digest()[:8]
+                    data = b"RSZ0" + stamp + data[: width * height // 8]
+                    meta = {**meta, "width": width, "height": height}
+                out_content.append(data)
+                out_meta.append(meta)
+            pdf = pdf.copy()
+            pdf["content"] = out_content
+            pdf["meta"] = out_meta
+            yield pdf
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, every_ms: int = 500, max_frames: Optional[int] = None
+) -> DataFrame:
+    """Video → frame rows (media_id, frame_idx, ts_ms, frame binary).
+
+    The frame *schedule* is pure column algebra (sequence+explode —
+    JVM-side, mirrors the SQL oracle 1:1); only frame *content* comes
+    from the stubbed per-frame decode."""
+    vids = media.where(F.col("kind") == "video")
+    n_frames = (
+        F.floor(
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+            / F.lit(every_ms)
+        ).cast("int")
+        + 1
+    )
+    if max_frames is not None:
+        n_frames = F.least(n_frames, F.lit(max_frames))
+    sched = vids.select(
+        "media_id",
+        "content",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
+
+    schema = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                hashlib.sha256(
+                    (bytes(c) if c is not None else b"")
+                    + int(ts).to_bytes(8, "big")
+                ).digest()
+                for c, ts in zip(pdf["content"], pdf["ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_ms": pdf["ts_ms"].astype("int32"),
+                    "frame": frames,
+                }
+            )
+
+    return sched.mapInPandas(gen, schema)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    kind cycles by doc_id, content = utf-8 text bytes, duration from
+    n_chars — the test/bench stand-in for a real media crawl."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+    )
+    meta = F.struct(
+        F.when(kind == "video", "video/mp4")
+        .when(kind == "image", "image/png")
+        .otherwise("audio/wav")
+        .alias("mime"),
+        F.lit(640).alias("width"),
+        F.lit(480).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("n_chars") * 7).cast("int").alias("duration_ms"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        meta.alias("meta"),
+    )

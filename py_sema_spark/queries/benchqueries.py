@@ -833,6 +833,45 @@ FROM part
 """,
 )
 
+# ---- multimodal plumbing (training-data ops) ----
+
+
+def _frame_schedule(spark, sf):
+    from ..operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(_t(spark, sf, "documents"))
+    return frame_sample(media, every_ms=500).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
+_register(
+    "frame_sample",
+    _frame_schedule,
+    # videos = every 3rd doc; duration_ms = n_chars*7; frames every
+    # 500ms inclusive of frame 0
+    """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * 500 AS INT) AS ts_ms
+FROM (
+  SELECT doc_id, unnest(range((n_chars * 7) // 500 + 1)) AS i
+  FROM documents WHERE doc_id % 3 = 0
+)
+""",
+)
+
+
+def _media_stats(spark, sf):
+    from ..operators.multimodal import decode_stats, media_from_documents
+
+    media = media_from_documents(_t(spark, sf, "documents"))
+    return decode_stats(media).select(
+        "media_id", "ok", "n_bytes", F.round(F.col("mean"), 6).alias("mean")
+    )
+
+
+_register("media_decode_stats", _media_stats, None)
+
 # ---- serialization & naming (S16/S18) ----
 
 _register(
