@@ -47,6 +47,34 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """sema-get analog: triples for one subject url, following
+    describedby links into the corpus (discovery §3.2; the conneg
+    strategy ladder degenerates to parse-what-the-row-has)."""
+    spark = _spark(args)
+    from .model import dedup_triples, skolemize
+    from .operators.extract import extract_with_link_follow
+    from .serialize import write_ntriples
+
+    corpus = spark.read.parquet(args.corpus)
+    seeds = spark.createDataFrame([(args.url,)], "url string")
+    trips = dedup_triples(
+        skolemize(
+            extract_with_link_follow(corpus, seeds, max_hops=args.max_hops)
+        ),
+        keys=["s", "p", "o"],
+    )
+    if args.out:
+        write_ntriples(trips, args.out)
+    else:
+        from .serialize import ntriples_lines
+
+        for r in ntriples_lines(trips).limit(100).collect():
+            print(r["line"])
+    print(json.dumps({"triples": trips.count(), "url": args.url}))
+    return 0
+
+
 def cmd_harvest(args) -> int:
     spark = _spark(args)
     from .harvest import HarvestConfig, Harvester
@@ -161,6 +189,13 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--format", choices=["parquet", "nt"], default="parquet")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("get", help="triples for one subject url (+links)")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--url", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--max-hops", type=int, default=3)
+    p.set_defaults(fn=cmd_get)
 
     p = sub.add_parser("harvest", help="config-driven traversal harvest")
     p.add_argument("--config", required=True)

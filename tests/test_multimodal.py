@@ -85,3 +85,50 @@ def test_frame_sample_schedule_and_content(media):
     assert capped.groupBy("media_id").count().agg(
         F.max("count")
     ).collect()[0][0] <= 3
+
+
+class TestLinkFollow:
+    """Discovery J8: describedby links found in HTML pages re-enter
+    extraction as a bounded frontier join (discovery.py:195-207)."""
+
+    def test_seeded_link_follow(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.operators.extract import (
+            extract_structured,
+            extract_with_link_follow,
+            links_of,
+        )
+        from py_sema_spark.sources.corpus import (
+            _h,
+            page_kind,
+            page_url,
+            synth_corpus,
+        )
+
+        corpus = synth_corpus(spark, 150, seed=42).persist()
+        # seed: an html page whose describedby target is itself a page
+        # with structured data (noise targets legitimately add nothing)
+        html_idx = next(
+            i
+            for i in range(150)
+            if page_kind(42, i) == "html"
+            and page_kind(42, (_h(42, i, "desc") % 150) or 1) in ("ttl", "jsonld")
+        )
+        seed_url = page_url(html_idx)
+        seeds = spark.createDataFrame([(seed_url,)], "url string")
+
+        trips = extract_with_link_follow(corpus, seeds, max_hops=1).persist()
+        # the seed page's own JSON-LD script triples are present …
+        assert trips.where(F.col("src_url") == seed_url).count() > 0
+        # … and the describedby target got dereferenced too
+        linked = links_of(
+            extract_structured(
+                corpus.where(F.col("url") == seed_url)
+            )
+        ).collect()
+        assert linked, "html fixture page should carry a describedby link"
+        target = linked[0]["link_url"]
+        assert trips.where(F.col("src_url") == target).count() > 0
+        srcs = {r["src_url"] for r in trips.select("src_url").distinct().collect()}
+        assert srcs == {seed_url, target}
