@@ -86,6 +86,12 @@ def extract_page(url: str, body: str) -> Tuple[List[Tuple[Triple, str]], List[st
                 continue
             parsed, fmt = parse_rdf_auto(content, base=url, formats=fmts)
             triples.extend((t, fmt) for t in parsed)
+        # attribute-level structured data (north_star: RDFa + microdata)
+        from ..rdf.microdata import parse_microdata
+        from ..rdf.rdfa import parse_rdfa
+
+        triples.extend((t, "microdata") for t in parse_microdata(body, base=url))
+        triples.extend((t, "rdfa") for t in parse_rdfa(body, base=url))
     return triples, links
 
 

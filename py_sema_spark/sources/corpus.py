@@ -152,7 +152,21 @@ def _html_body(seed: int, i: int, n: int) -> str:
     mention_a = entity_label(seed, (_h(seed, i, "m1") % n) or 1)
     mention_b = entity_label(seed, (_h(seed, i, "m2") % n) or 1)
     target = ((_h(seed, i, "desc") % n) or 1)
+    based = ((_h(seed, i, "based") % n) or 1)
     script = _jsonld_body(seed, i)
+    # attribute-level structured data: half the html pages carry a
+    # microdata author card, the other half an RDFa dataset block —
+    # the north_star's "JSON-LD, RDFa, microdata extraction" mix
+    if _h(seed, i, "attrkind") % 2 == 0:
+        attr_block = f"""<div itemscope itemtype="https://schema.org/Person" itemid="#author">
+  <span itemprop="name">{mention_a}</span>
+  <link itemprop="mainEntityOfPage" href="/page/{i}">
+</div>"""
+    else:
+        attr_block = f"""<p vocab="https://schema.org/" resource="#dataset" typeof="Dataset">
+  <span property="name">{label}</span>
+  <a property="isBasedOn" href="/page/{based}">source</a>
+</p>"""
     return f"""<!DOCTYPE html>
 <html>
 <head>
@@ -167,6 +181,7 @@ def _html_body(seed: int, i: int, n: int) -> str:
 <h1>{label}</h1>
 <p>This page documents {label}, closely related to {mention_a}
 and occasionally confused with {mention_b}.</p>
+{attr_block}
 <p>Identifier DS-{i:07d} was registered on 2024-01-01.</p>
 </body>
 </html>"""

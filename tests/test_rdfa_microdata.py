@@ -1,0 +1,112 @@
+"""RDFa Lite + microdata extraction tests (north_star surface: the
+third and fourth structured-data syntaxes next to JSON-LD and Turtle
+script blocks)."""
+
+from py_sema_spark.rdf.microdata import parse_microdata
+from py_sema_spark.rdf.rdfa import parse_rdfa
+
+BASE = "https://md.test/page/1"
+
+
+def spo(triples):
+    return {(t.s.value, t.p.value, t.o.value) for t in triples}
+
+
+class TestMicrodata:
+    HTML = """<!DOCTYPE html><html><body>
+<div itemscope itemtype="https://schema.org/Person" itemid="#alice">
+  <span itemprop="name">Alice <b>B.</b> Carol</span>
+  <a itemprop="url" href="/alice">home</a>
+  <meta itemprop="height" content="1.70">
+  <time itemprop="birthDate" datetime="1990-04-01">April Fools 1990</time>
+  <div itemprop="address" itemscope itemtype="https://schema.org/PostalAddress">
+    <span itemprop="postalCode">90210</span>
+  </div>
+</div>
+</body></html>"""
+
+    def test_typed_item_with_values(self):
+        triples = parse_microdata(self.HTML, base=BASE)
+        got = spo(triples)
+        subj = "https://md.test/page/1#alice"
+        assert (subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "https://schema.org/Person") in got
+        assert (subj, "https://schema.org/name", "Alice B. Carol") in got
+        assert (subj, "https://schema.org/url", "https://md.test/alice") in got
+        assert (subj, "https://schema.org/height", "1.70") in got
+        assert (subj, "https://schema.org/birthDate", "1990-04-01") in got
+        # nested item linked from parent, typed, with its own property
+        addr = [o for s, p, o in got if p == "https://schema.org/address"]
+        assert addr and addr[0].startswith("_:md")
+        assert (addr[0], "https://schema.org/postalCode", "90210") in got
+
+    def test_no_markup_no_triples(self):
+        assert parse_microdata("<html><body><p>plain</p></body></html>", BASE) == []
+
+    def test_bnode_numbering_deterministic(self):
+        a = parse_microdata(self.HTML, base=BASE)
+        b = parse_microdata(self.HTML, base=BASE)
+        assert [t.s.value for t in a] == [t.s.value for t in b]
+
+
+class TestRdfa:
+    HTML = """<!DOCTYPE html><html><body>
+<div vocab="https://schema.org/" resource="#book" typeof="Book">
+  <h1 property="name">Spark <i>Graft</i></h1>
+  <a property="publisher" href="/acme">ACME</a>
+  <meta property="isbn" content="978-3-16-148410-0">
+  <span property="inLanguage" lang="en">English</span>
+  <div property="author" typeof="Person">
+    <span property="name">Robin</span>
+  </div>
+  <span prefix="dc: http://purl.org/dc/terms/ xsd: http://www.w3.org/2001/XMLSchema#"
+        property="dc:created" datatype="xsd:date">2020-01-02</span>
+</div>
+</body></html>"""
+
+    def test_rdfa_lite_surface(self):
+        triples = parse_rdfa(self.HTML, base=BASE)
+        got = spo(triples)
+        subj = "https://md.test/page/1#book"
+        assert (subj, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "https://schema.org/Book") in got
+        assert (subj, "https://schema.org/name", "Spark Graft") in got
+        assert (subj, "https://schema.org/publisher", "https://md.test/acme") in got
+        assert (subj, "https://schema.org/isbn", "978-3-16-148410-0") in got
+        # lang-tagged literal
+        lang_t = [t for t in triples if t.p.value.endswith("inLanguage")][0]
+        assert lang_t.o.value == "English" and lang_t.o.lang == "en"
+        # chained bnode author
+        author = [o for s, p, o in got if p == "https://schema.org/author"]
+        assert author and author[0].startswith("_:ra")
+        assert (author[0], "https://schema.org/name", "Robin") in got
+        # prefixed predicate with datatype
+        dc = [t for t in triples if t.p.value == "http://purl.org/dc/terms/created"]
+        assert dc and dc[0].o.value == "2020-01-02"
+        assert dc[0].o.datatype == "http://www.w3.org/2001/XMLSchema#date"
+
+    def test_plain_html_yields_nothing(self):
+        assert parse_rdfa("<html><body><p property='x'>t</p></body></html>", BASE) == []
+
+
+class TestExtractIntegration:
+    def test_extract_page_collects_all_syntaxes(self):
+        from py_sema_spark.operators.extract import extract_page
+
+        body = (
+            "<!DOCTYPE html><html><head>"
+            '<script type="application/ld+json">'
+            '{"@id": "https://md.test/e1", "@type": "https://schema.org/Thing"}'
+            "</script></head><body>"
+            '<div itemscope itemtype="https://schema.org/Person" itemid="#p">'
+            '<span itemprop="name">Ada</span></div>'
+            '<div vocab="https://schema.org/" resource="#r" typeof="Report">'
+            '<span property="name">Rep</span></div>'
+            "</body></html>"
+        )
+        triples, links = extract_page(BASE, body)
+        fmts = {fmt for _, fmt in triples}
+        assert {"json-ld", "microdata", "rdfa"} <= fmts
+        got = {(t.s.value, t.p.value, t.o.value) for t, _ in triples}
+        assert ("https://md.test/page/1#p", "https://schema.org/name", "Ada") in got
+        assert ("https://md.test/page/1#r", "https://schema.org/name", "Rep") in got
