@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
     "embedding_neardup_lsh",
     "detect_mentions",
     "xsd_literals",

@@ -12,8 +12,16 @@ graph and is logged in an execution report
 gate skips configs whose graph is fresh (config_build.py:353-355).
 
 Spark re-expression — the per-subject recursion becomes **batched
-frontier rounds** (the same set of documents gets dereferenced, in
-breadth-first order instead of depth-first):
+frontier rounds** (breadth-first instead of depth-first). One
+documented divergence: at a partially-satisfied depth the reference
+dereferences only the *first* reachable ``?o`` binding per step
+(path_assertion.py:258-272 uses ``bindings[0]``) and loops; the batch
+form dereferences *all* reachable nodes at that prefix depth in one
+round. On DAG-shaped corpora both converge to the same store content
+whenever the path ultimately verifies; the batch form may fetch
+sibling documents the depth-first walk would have skipped after an
+early success — the right trade at corpus scale, where per-document
+sequencing would serialize the cluster:
 
     subjects ──deref──▶ store ──path-prefix join──▶ next frontier
         ▲                                               │

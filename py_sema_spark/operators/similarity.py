@@ -136,6 +136,87 @@ def lsh_cosine_topk(
     )
 
 
+def _ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+) -> list:
+    """Deterministic coarse quantizer: centroids = the vectors whose
+    ids hash smallest (a seeded sample standing in for k-means — the
+    IVF property that matters for the *plan* is the bucket structure,
+    not centroid optimality). Driver-side: n_lists vectors only."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    return [list(r[vec_col]) for r in rows]
+
+
+def _nearest_centroid(vec: Column, centroids: list, probe: int = 1) -> Column:
+    """Index array of the ``probe`` nearest centroids (by cosine)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    vec.cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("cos"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, probe)
+    return F.transform(top, lambda s: s["idx"])
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to
+    their nearest coarse centroid (one list each); queries probe their
+    ``n_probe`` nearest lists and score only those lists' members.
+
+    Scale shape: assignment is map-side column algebra; the
+    probe-join is an equi-join on ``list`` (queries broadcast); at
+    10^12 scale the lists become the partition/bucket key so a query
+    touches n_probe/n_lists of the data. Recall grows with n_probe —
+    at n_probe = n_lists this degrades gracefully to brute force.
+    """
+    cents = _ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    e = embeddings.withColumn(
+        "list", _nearest_centroid(F.col(vec_col), cents, probe=1)[0]
+    ).select(id_col, vec_col, "list")
+    q = queries.withColumn(
+        "_lists", _nearest_centroid(F.col(q_vec_col), cents, probe=n_probe)
+    ).select(q_id_col, q_vec_col, F.explode("_lists").alias("list"))
+    cand = e.join(F.broadcast(q), "list").dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col),
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col(q_vec_col).cast("array<double>"),
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -697,6 +697,16 @@ _register(
     None,
 )
 _register(
+    "ivf_cosine_topk",
+    lambda spark, sf: __import__(
+        "py_sema_spark.operators.similarity", fromlist=["ivf_cosine_topk"]
+    ).ivf_cosine_topk(
+        _t(spark, sf, "embeddings"), _queries_df(spark, sf),
+        k=5, n_lists=16, n_probe=4,
+    ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
+    None,
+)
+_register(
     "embedding_neardup_lsh",
     lambda spark, sf: embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.35, dim=64, planes=4, tables=4

@@ -132,3 +132,60 @@ class TestLinkFollow:
         assert trips.where(F.col("src_url") == target).count() > 0
         srcs = {r["src_url"] for r in trips.select("src_url").distinct().collect()}
         assert srcs == {seed_url, target}
+
+
+class TestScalePrimitives:
+    def test_ivf_topk_recall(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.operators.similarity import (
+            cosine_topk,
+            ivf_cosine_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = ivf = None
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        ivf = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_cosine_topk(
+                emb, queries, k=3, n_lists=8, n_probe=4
+            ).collect()
+        }
+        # self-match always survives (query's own list is its nearest)
+        assert all((q, q) in ivf for q in range(5))
+        recall = len(exact & ivf) / len(exact)
+        assert recall >= 0.4  # probe 4/8 lists → partial recall by design
+        # degrades to brute force when probing every list
+        full = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_cosine_topk(
+                emb, queries, k=3, n_lists=8, n_probe=8
+            ).collect()
+        }
+        assert full == exact
+
+    def test_hub_salting_spreads_subject(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.model import with_subject_bucket
+
+        # one hub subject with 5k rows + background subjects
+        hub = spark.range(5000).select(
+            F.lit("urn:hub").alias("s"),
+            F.lit("urn:p:member").alias("p"),
+            F.concat(F.lit("urn:m:"), F.col("id").cast("string")).alias("o"),
+        )
+        out = with_subject_bucket(hub, n_buckets=64, hub_salt=16)
+        # the hub's rows land in ONE s_bucket but spread over the salts
+        assert out.select("s_bucket").distinct().count() == 1
+        salt_counts = out.groupBy("salt").count().collect()
+        assert len(salt_counts) == 16
+        sizes = [r["count"] for r in salt_counts]
+        assert max(sizes) < 5000 * 0.2  # no salt partition dominates
