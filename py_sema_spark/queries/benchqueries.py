@@ -958,6 +958,34 @@ WHERE a.p = '{SKOS}broader'
 """,
 )
 
+_register(
+    "sparql_optional_filter",
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
+    ).bgp_select(
+        kg_triples(spark, sf),
+        '''SELECT DISTINCT ?c ?pl ?alt WHERE {
+             ?c skos:broader ?n .
+             ?c skos:prefLabel ?pl .
+             OPTIONAL { ?c skos:altLabel ?alt . }
+             FILTER(regex(str(?pl), "customer#0{6}9", "i"))
+             FILTER(langMatches(lang(?pl), "en"))
+           }''',
+        {"skos": SKOS},
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT b.s AS c, pl.o AS pl, al.o AS alt
+FROM triples b
+JOIN triples pl ON pl.s = b.s AND pl.p = '{SKOS}prefLabel'
+LEFT JOIN triples al ON al.s = b.s AND al.p = '{SKOS}altLabel'
+WHERE b.p = '{SKOS}broader'
+  AND regexp_matches(pl.o, '(?i)customer#0{{6}}9')
+  AND (lower(coalesce(pl.o_lang, '')) = 'en'
+       OR starts_with(lower(coalesce(pl.o_lang, '')), 'en-'))
+""",
+)
+
 # ---- harvest frontier traversal (M5) — corpus-shaped, rows-only ----
 
 

@@ -11,9 +11,10 @@ Supported subset — what the reference's own configs/templates actually
 use for *programmatic* queries (harvest subject selection,
 config_build.py:80-116): ``SELECT [DISTINCT] ?v… | * WHERE { tp . tp …
 }`` with terms ``?var``, ``<iri>``, ``curie:ref``, ``"literal"``
-[``@lang`` | ``^^dt``], plus LIMIT. The templated analytic queries
-live as dedicated builders in :mod:`.sparqlets`; FILTER/OPTIONAL/UNION
-shapes are exercised there.
+[``@lang`` | ``^^dt``], plus ``OPTIONAL { … }`` groups (left joins,
+J3), ``FILTER`` with regex / langMatches / lang-eq / (in)equality
+(F7/F8), ORDER BY and LIMIT. UNION and property paths stay with the
+dedicated builders in :mod:`.sparqlets` / :mod:`..operators.closure`.
 
 Scale: each pattern with a bound predicate prunes to its predicate
 slice before any join (pushdown on ``p``); bound subjects/objects
@@ -74,10 +75,64 @@ def _parse_term(tok: re.Match, prefixes: Dict[str, str]) -> Term:
     return Term("iri", _expand(tok.group("curie"), prefixes))
 
 
+class Filter:
+    """One supported FILTER shape: regex / langMatches / lang-eq /
+    var-eq (exactly the predicates the reference templates use —
+    SURVEY.md §2.2 F7/F8)."""
+
+    __slots__ = ("kind", "var", "arg", "flags")
+
+    def __init__(self, kind: str, var: str, arg: str, flags: str = ""):
+        self.kind, self.var, self.arg, self.flags = kind, var, arg, flags
+
+
+def _parse_filter(expr: str) -> Filter:
+    expr = expr.strip()
+    m = re.match(
+        r'(?is)^regex\s*\(\s*(?:str\s*\(\s*)?\?(\w+)\s*\)?\s*,\s*"([^"]*)"'
+        r'\s*(?:,\s*"([^"]*)")?\s*\)$',
+        expr,
+    )
+    if m:
+        return Filter("regex", m.group(1), m.group(2), m.group(3) or "")
+    m = re.match(
+        r'(?is)^langMatches\s*\(\s*lang\s*\(\s*\?(\w+)\s*\)\s*,\s*"([^"]*)"\s*\)$',
+        expr,
+    )
+    if m:
+        return Filter("langmatches", m.group(1), m.group(2))
+    m = re.match(
+        r'(?is)^lang\s*\(\s*\?(\w+)\s*\)\s*=\s*"([^"]*)"$', expr
+    )
+    if m:
+        return Filter("langeq", m.group(1), m.group(2))
+    m = re.match(r'(?is)^\?(\w+)\s*(!?=)\s*"([^"]*)"$', expr)
+    if m:
+        return Filter("eq" if m.group(2) == "=" else "neq", m.group(1), m.group(3))
+    m = re.match(r"(?is)^\?(\w+)\s*(!?=)\s*<([^>]*)>$", expr)
+    if m:
+        return Filter("eq" if m.group(2) == "=" else "neq", m.group(1), m.group(3))
+    raise ValueError(f"unsupported FILTER expression: {expr!r}")
+
+
+def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Term, Term]]:
+    patterns = []
+    for chunk in text.split("."):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        terms = [_parse_term(t, prefixes) for t in _TERM_RE.finditer(chunk)]
+        if len(terms) != 3:
+            raise ValueError(f"unsupported triple pattern: {chunk!r}")
+        patterns.append(tuple(terms))
+    return patterns
+
+
 def parse_select(
     sparql: str, prefixes: Optional[Dict[str, str]] = None
-) -> Tuple[List[str], bool, List[Tuple[Term, Term, Term]], Optional[int]]:
-    """→ (projected vars, distinct, patterns, limit)."""
+):
+    """→ (proj vars, distinct, patterns, optional groups, filters,
+    order_by, limit)."""
     prefixes = dict(prefixes or {})
     # inline PREFIX declarations (resolve_sparql-style injection,
     # /root/reference/sema/harvest/helper.py:39-43)
@@ -89,6 +144,7 @@ def parse_select(
 
     m = re.search(
         r"(?is)\bSELECT\s+(DISTINCT\s+)?(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
+        r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s]+?))?"
         r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
         body,
     )
@@ -97,40 +153,45 @@ def parse_select(
     distinct = bool(m.group(1))
     proj_raw = m.group("proj").strip()
     limit = int(m.group("limit")) if m.group("limit") else None
+    order_by = (
+        [v[1:] for v in m.group("order").split() if v.startswith("?")]
+        if m.group("order")
+        else []
+    )
 
-    patterns = []
-    for chunk in m.group("w").split("."):
-        chunk = chunk.strip()
-        if not chunk:
-            continue
-        terms = [
-            _parse_term(t, prefixes) for t in _TERM_RE.finditer(chunk)
-        ]
-        if len(terms) != 3:
-            raise ValueError(f"unsupported triple pattern: {chunk!r}")
-        patterns.append(tuple(terms))
+    where = m.group("w")
+    optionals = []
+    for om in re.finditer(r"(?is)OPTIONAL\s*\{([^{}]*)\}", where):
+        optionals.append(_parse_patterns(om.group(1), prefixes))
+    where = re.sub(r"(?is)OPTIONAL\s*\{[^{}]*\}", " ", where)
+
+    # FILTER bodies nest parens two deep (regex(str(?x), …))
+    _depth2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+    filters = []
+    for fm in re.finditer(r"(?is)FILTER\s*\((" + _depth2 + r")\)", where):
+        filters.append(_parse_filter(fm.group(1)))
+    where = re.sub(r"(?is)FILTER\s*\(" + _depth2 + r"\)\s*\.?", " ", where)
+
+    patterns = _parse_patterns(where, prefixes)
 
     if proj_raw == "*":
         seen = []
-        for tp in patterns:
+        for tp in patterns + [p for g in optionals for p in g]:
             for t in tp:
                 if t.kind == "var" and t.value not in seen:
                     seen.append(t.value)
         proj = seen
     else:
         proj = [v[1:] for v in proj_raw.split() if v.startswith("?")]
-    return proj, distinct, patterns, limit
+    return proj, distinct, patterns, optionals, filters, order_by, limit
 
 
-def bgp_select(
+def _compile_patterns(
     triples: DataFrame,
-    sparql: str,
-    prefixes: Optional[Dict[str, str]] = None,
-) -> DataFrame:
-    """Compile + run a BGP SELECT against a triples DataFrame; columns
-    are the projected variable names."""
-    proj, distinct, patterns, limit = parse_select(sparql, prefixes)
-
+    patterns: List[Tuple[Term, Term, Term]],
+    lang_vars: set,
+    tag: str = "",
+) -> Optional[DataFrame]:
     plan = None
     for i, (s, p, o) in enumerate(patterns):
         df = triples
@@ -142,6 +203,8 @@ def bgp_select(
         ):
             if term.kind == "var":
                 cols.append(F.col(pos).alias(term.value))
+                if pos == "o" and term.value in lang_vars:
+                    cols.append(F.col("o_lang").alias(term.value + "__lang"))
             elif term.kind == "iri":
                 df = df.where(F.col(pos) == term.value)
                 if kind_col:
@@ -164,29 +227,81 @@ def bgp_select(
                         df = df.where(F.col(pos) == F.col(pos_of[t.value]))
                     else:
                         pos_of[t.value] = pos
-            cols = [
-                F.col(pos).alias(var) for var, pos in pos_of.items()
-            ]
+            cols = [F.col(pos).alias(var) for var, pos in pos_of.items()]
         # fully-bound pattern = existence gate: empty slice → empty
         # result, non-empty → no row multiplication
         part = (
             df.select(*cols)
             if cols
-            else df.limit(1).select(F.lit(1).alias(f"_m{i}"))
+            else df.limit(1).select(F.lit(1).alias(f"_m{tag}{i}"))
         )
         if plan is None:
             plan = part
         else:
             shared = [c for c in plan.columns if c in part.columns]
             plan = plan.join(part, shared) if shared else plan.crossJoin(part)
+    return plan
+
+
+def _apply_filter(plan: DataFrame, f: Filter) -> DataFrame:
+    if f.var not in plan.columns:
+        raise ValueError(f"FILTER references unbound var ?{f.var}")
+    col = F.col(f.var)
+    if f.kind == "regex":
+        pat = ("(?i)" if "i" in f.flags else "") + f.arg
+        return plan.where(col.rlike(pat))
+    if f.kind in ("langmatches", "langeq"):
+        lang_col = F.lower(F.coalesce(F.col(f.var + "__lang"), F.lit("")))
+        want = f.arg.lower()
+        if f.kind == "langmatches":
+            return plan.where(
+                (lang_col == want) | lang_col.startswith(want + "-")
+            )
+        return plan.where(lang_col == want)
+    if f.kind == "eq":
+        return plan.where(col == f.arg)
+    if f.kind == "neq":
+        return plan.where(col != f.arg)
+    raise ValueError(f.kind)
+
+
+def bgp_select(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Compile + run a BGP SELECT (with OPTIONAL / FILTER / ORDER BY /
+    LIMIT) against a triples DataFrame; columns are the projected
+    variable names. OPTIONAL groups compile to left joins on their
+    shared variables (J3); FILTERs to post-join predicates, which
+    Catalyst pushes down into the pattern slices where legal."""
+    proj, distinct, patterns, optionals, filters, order_by, limit = (
+        parse_select(sparql, prefixes)
+    )
+    lang_vars = {
+        f.var for f in filters if f.kind in ("langmatches", "langeq")
+    }
+
+    plan = _compile_patterns(triples, patterns, lang_vars)
     if plan is None:
         raise ValueError("empty WHERE clause")
+    for group in optionals:
+        sub = _compile_patterns(triples, group, lang_vars, tag="o")
+        shared = [c for c in plan.columns if c in sub.columns]
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable with base")
+        plan = plan.join(sub, shared, "left")
+    for f in filters:
+        plan = _apply_filter(plan, f)
+
     missing = [v for v in proj if v not in plan.columns]
     if missing:
         raise ValueError(f"projected vars not bound: {missing}")
     out = plan.select(*proj)
     if distinct:
         out = out.distinct()
+    if order_by:
+        out = out.orderBy(*order_by)
     if limit is not None:
         out = out.limit(limit)
     return out

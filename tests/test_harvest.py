@@ -28,7 +28,8 @@ DOCS = {
 @prefix ex: <{EX}> .
 <{U}D1> ex:resource <{U}D2> , <{U}D3> ;
     ex:subset [ ex:id <{U}D5> ] ;
-    ex:label "doc one" .
+    ex:label "doc one" ;
+    ex:name "one"@en , "eins"@de .
 """,
     f"{U}D2": f"""
 @prefix ex: <{EX}> .
@@ -125,6 +126,48 @@ class TestBGP:
             f'PREFIX e: <{EX}>\nSELECT ?s WHERE {{ ?s e:label "doc two" . }}',
         )
         assert [r["s"] for r in out.collect()] == [f"{U}D2"]
+
+    def test_optional_left_join(self, triples):
+        out = bgp_select(
+            triples,
+            "SELECT ?s ?o ?id WHERE { ?s ex:label ?o . "
+            "OPTIONAL { ?s ex:next ?id . } }",
+            {"ex": EX},
+        )
+        rows = {r["s"]: r["id"] for r in out.collect()}
+        assert len(rows) == 6
+        assert rows[f"{U}D2"] == f"{U}D4"  # optional matched
+        assert rows[f"{U}D3"] is None  # optional unmatched → null kept
+
+    def test_filter_regex_and_eq(self, triples):
+        out = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s ex:label ?o . '
+            'FILTER(regex(str(?o), "THREE|four", "i")) }',
+            {"ex": EX},
+        )
+        assert {r["s"] for r in out.collect()} == {f"{U}D3", f"{U}D4"}
+        out2 = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s ex:label ?o . FILTER(?o = "doc six") }',
+            {"ex": EX},
+        )
+        assert [r["s"] for r in out2.collect()] == [f"{U}D6"]
+
+    def test_filter_langmatches_and_order(self, triples):
+        out = bgp_select(
+            triples,
+            'SELECT ?n WHERE { ?s ex:name ?n . '
+            'FILTER(langMatches(lang(?n), "de")) } ORDER BY ?n',
+            {"ex": EX},
+        )
+        assert [r["n"] for r in out.collect()] == ["eins"]
+        out2 = bgp_select(
+            triples,
+            'SELECT ?n WHERE { ?s ex:name ?n . FILTER(lang(?n) = "en") }',
+            {"ex": EX},
+        )
+        assert [r["n"] for r in out2.collect()] == ["one"]
 
     def test_limit_and_star(self, triples):
         out = bgp_select(
