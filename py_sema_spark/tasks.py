@@ -103,14 +103,58 @@ def dispatch(spark: SparkSession, task_type: str, args: Dict[str, Any]):
     return HANDLERS[task_type](spark, args)
 
 
-def run_sembench(spark: SparkSession, yaml_text: str) -> Dict[str, Any]:
-    """Minimal sembench runner: {tasks: [{id, type, args}…]} in order."""
+def _resolving_loader(context: Dict[str, Any]):
+    """YAML loader with the reference's ``!resolve`` tag
+    (/root/reference/sema/commons/yml, exercised by
+    tests/bench/resources/resolving-sembench.yml): scalar values
+    tagged ``!resolve`` interpolate ``{key}`` from the context."""
     import yaml
 
-    doc = yaml.safe_load(yaml_text)
-    results = {}
-    for task in doc.get("tasks", []):
-        results[task.get("id", task["type"])] = dispatch(
-            spark, task["type"], task.get("args") or {}
-        )
-    return results
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    def _resolve(loader, node):
+        value = loader.construct_scalar(node)
+        try:
+            return value.format(**context)
+        except (KeyError, IndexError):
+            return value
+
+    _Loader.add_constructor("!resolve", _resolve)
+    return _Loader
+
+
+def run_sembench(
+    spark: SparkSession,
+    yaml_text: str,
+    context: Dict[str, Any] | None = None,
+) -> Dict[str, Any]:
+    """Run a sembench document, accepting both shapes:
+
+    - this engine's list form  — ``{tasks: [{id, type, args}…]}``;
+    - the reference's mapping form — ``{task_name: {func: Type,
+      args: {...}}}`` (sembench.yaml), func names case-folded onto the
+      handler registry, ``!resolve`` values interpolated from
+      ``context``.
+    Tasks run in document order.
+    """
+    import yaml
+
+    doc = yaml.load(yaml_text, Loader=_resolving_loader(context or {}))
+    results: Dict[str, Any] = {}
+    if isinstance(doc, dict) and "tasks" in doc:
+        for task in doc.get("tasks", []):
+            results[task.get("id", task["type"])] = dispatch(
+                spark, task["type"], task.get("args") or {}
+            )
+        return results
+    if isinstance(doc, dict):
+        for name, spec in doc.items():
+            if not isinstance(spec, dict) or "func" not in spec:
+                raise ValueError(f"task {name!r} missing 'func'")
+            func = str(spec["func"]).lower().replace("_", "-")
+            aliases = {"syncfstriples": "sync-fs-triples"}
+            func = aliases.get(func, func)
+            results[name] = dispatch(spark, func, spec.get("args") or {})
+        return results
+    raise ValueError("unrecognized sembench document shape")

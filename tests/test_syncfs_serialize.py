@@ -195,3 +195,25 @@ ex:S a sh:NodeShape ; sh:targetClass ex:T ;
                 spark, "shacl",
                 {"shacl_graph": str(shapes), "data_graph": str(bad)},
             )
+
+    def test_sembench_reference_shape(self, spark, dump_dir, tmp_path):
+        """The reference's sembench.yaml mapping form (name -> {func,
+        args}) with !resolve interpolation runs unchanged."""
+        from py_sema_spark.tasks import run_sembench
+
+        agg_sink = str(tmp_path / "ref_agg.nt")
+        res = run_sembench(
+            spark,
+            f"""
+collect_dumps:
+  func: Aggregate
+  args:
+    globs: ["{dump_dir}/*.ttl"]
+    sink: !resolve "{{out}}"
+""",
+            context={"out": agg_sink},
+        )
+        assert res["collect_dumps"].count() == 4
+        import os
+
+        assert os.path.isdir(agg_sink)
