@@ -28,8 +28,8 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .model import dedup_triples, materialize_triples, skolemize
-from .operators.extract import extract_structured, links_of, triples_of
+from .model import dedup_triples, skolemize
+from .operators.extract import extract_structured, triples_of
 from .operators.linkage import (
     canonical_map,
     detect_mentions,

@@ -21,7 +21,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.closure import closure_from_triples, reflexive_closure
+from ..operators.closure import closure_from_triples
 
 SKOS = "http://www.w3.org/2004/02/skos/core#"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"

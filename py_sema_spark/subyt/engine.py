@@ -34,7 +34,6 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..functions.uritemplate import uritemplate_expand
 from ..functions.xsd import (

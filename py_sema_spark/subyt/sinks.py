@@ -16,8 +16,6 @@
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
