@@ -14,7 +14,8 @@ config_build.py:80-116): ``SELECT [DISTINCT] ?v… | * WHERE { tp . tp …
 [``@lang`` | ``^^dt``], plus ``OPTIONAL { … }`` groups (left joins,
 J3), ``FILTER`` with regex / langMatches / lang-eq / (in)equality
 (F7/F8), ORDER BY and LIMIT. UNION and property paths stay with the
-dedicated builders in :mod:`.sparqlets` / :mod:`..operators.closure`.
+``{…} UNION {…}`` blocks (branches must bind the same variables).
+Property paths stay with :mod:`..operators.closure`.
 
 Scale: each pattern with a bound predicate prunes to its predicate
 slice before any join (pushdown on ``p``); bound subjects/objects
@@ -165,6 +166,17 @@ def parse_select(
         optionals.append(_parse_patterns(om.group(1), prefixes))
     where = re.sub(r"(?is)OPTIONAL\s*\{[^{}]*\}", " ", where)
 
+    # { g1 } UNION { g2 } [UNION { g3 } …] — one union block supported
+    unions = []
+    um = re.search(
+        r"(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+", where
+    )
+    if um:
+        block = um.group(0)
+        for bm in re.finditer(r"\{([^{}]*)\}", block):
+            unions.append(_parse_patterns(bm.group(1), prefixes))
+        where = where.replace(block, " ")
+
     # FILTER bodies nest parens two deep (regex(str(?x), …))
     _depth2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
     filters = []
@@ -176,14 +188,18 @@ def parse_select(
 
     if proj_raw == "*":
         seen = []
-        for tp in patterns + [p for g in optionals for p in g]:
+        for tp in patterns + [p for g in optionals for p in g] + [
+            p for g in unions for p in g
+        ]:
             for t in tp:
                 if t.kind == "var" and t.value not in seen:
                     seen.append(t.value)
         proj = seen
     else:
         proj = [v[1:] for v in proj_raw.split() if v.startswith("?")]
-    return proj, distinct, patterns, optionals, filters, order_by, limit
+    return (
+        proj, distinct, patterns, optionals, unions, filters, order_by, limit
+    )
 
 
 def _compile_patterns(
@@ -275,7 +291,7 @@ def bgp_select(
     variable names. OPTIONAL groups compile to left joins on their
     shared variables (J3); FILTERs to post-join predicates, which
     Catalyst pushes down into the pattern slices where legal."""
-    proj, distinct, patterns, optionals, filters, order_by, limit = (
+    proj, distinct, patterns, optionals, unions, filters, order_by, limit = (
         parse_select(sparql, prefixes)
     )
     lang_vars = {
@@ -283,6 +299,33 @@ def bgp_select(
     }
 
     plan = _compile_patterns(triples, patterns, lang_vars)
+    if unions:
+        branches = [
+            _compile_patterns(triples, g, lang_vars, tag=f"u{k}")
+            for k, g in enumerate(unions)
+        ]
+        # SPARQL union: vars unbound in a branch come through as null
+        all_cols = []
+        for b in branches:
+            for c in b.columns:
+                if c not in all_cols:
+                    all_cols.append(c)
+        aligned = []
+        for b in branches:
+            for c in all_cols:
+                if c not in b.columns:
+                    b = b.withColumn(c, F.lit(None).cast("string"))
+            aligned.append(b.select(*all_cols))
+        ublock = aligned[0]
+        for b in aligned[1:]:
+            ublock = ublock.unionByName(b)
+        if plan is None:
+            plan = ublock
+        else:
+            shared = [c for c in plan.columns if c in ublock.columns]
+            plan = (
+                plan.join(ublock, shared) if shared else plan.crossJoin(ublock)
+            )
     if plan is None:
         raise ValueError("empty WHERE clause")
     for group in optionals:

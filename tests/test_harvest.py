@@ -325,3 +325,49 @@ assert:
             HarvestConfig.from_yaml("assert: []")
         with pytest.raises(ValueError, match="assert"):
             HarvestConfig.from_yaml("snooze-till-graph-age-minutes: 0")
+
+
+class TestBGPUnion:
+    def test_union_branches(self, spark):
+        from py_sema_spark.model import TRIPLE_SCHEMA
+        from py_sema_spark.rdf.turtle import parse_turtle
+
+        rows = []
+        for url, body in DOCS.items():
+            for t in parse_turtle(body, base=url):
+                rows.append(
+                    (t.s.value, t.p.value, t.o.value, t.o.kind,
+                     t.o.datatype, t.o.lang)
+                )
+        triples = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        out = bgp_select(
+            triples,
+            "SELECT DISTINCT ?x WHERE { "
+            "{ ?s ex:resource ?x . } UNION { ?s ex:next ?x . } }",
+            {"ex": EX},
+        )
+        got = {r["x"] for r in out.collect()}
+        assert got == {f"{U}D2", f"{U}D3", f"{U}D4", f"{U}D6"}
+
+    def test_union_joined_with_base(self, spark):
+        from py_sema_spark.model import TRIPLE_SCHEMA
+        from py_sema_spark.rdf.turtle import parse_turtle
+
+        rows = []
+        for url, body in DOCS.items():
+            for t in parse_turtle(body, base=url):
+                rows.append(
+                    (t.s.value, t.p.value, t.o.value, t.o.kind,
+                     t.o.datatype, t.o.lang)
+                )
+        triples = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        # base pattern binds ?x's label; union supplies ?x two ways
+        out = bgp_select(
+            triples,
+            "SELECT DISTINCT ?x ?l WHERE { "
+            "{ ?a ex:resource ?x . } UNION { ?b ex:next ?x . } "
+            "?x ex:label ?l . }",
+            {"ex": EX},
+        )
+        got = dict((r["x"], r["l"]) for r in out.collect())
+        assert got[f"{U}D4"] == "doc four" and len(got) == 4
