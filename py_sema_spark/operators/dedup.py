@@ -187,19 +187,21 @@ def ngram_jaccard_pairs(
     with Jaccard ≥ t must share one of the first
     ``⌊(1−t)·|set|⌋+1`` grams; k=2 is exact for t ≥ 0.5 on small sets
     and a high-recall block at scale."""
-    grams = docs.select(
+    # materialize the token array once per row — slicing a column
+    # reference is O(1) per gram; inlining normalized_tokens into the
+    # lambda would re-tokenize the document at every index (O(n²))
+    toks = docs.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(
-                        F.size(normalized_tokens(F.col(text_col))) - n, F.lit(0)
-                    ),
+                    F.greatest(F.size("_toks") - n, F.lit(0)),
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(normalized_tokens(F.col(text_col)), i + 1, n)
-                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
             )
         ).alias("gram"),
     ).where(F.length("gram") > 0).distinct()
