@@ -282,6 +282,8 @@ class Harvester:
                     )
                     continue
                 depth_used = 0
+                n_subj = subjects.count()
+                n_verified = 0
                 for depth in range(len(path) + 1):
                     # frontier = nodes reachable via path[:depth]
                     frontier = _reachable(store, subjects, path[:depth])
@@ -296,15 +298,10 @@ class Harvester:
                         else download_rows.unionByName(dl)
                     )
                     depth_used = depth
-                    verified = verify_path(store, subjects, path)
-                    n_subj = subjects.count()
-                    if n_subj and verified.count() == n_subj:
+                    n_verified = verify_path(store, subjects, path).count()
+                    if n_subj and n_verified == n_subj:
                         break
-                ok = bool(
-                    subjects.count()
-                    and verify_path(store, subjects, path).count()
-                    == subjects.count()
-                )
+                ok = bool(n_subj and n_verified == n_subj)
                 reports.append(
                     ("assertion", config.name, t_idx, None,
                      " / ".join(path), None, ok, 0, depth_used)

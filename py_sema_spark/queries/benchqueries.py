@@ -993,7 +993,7 @@ def _harvest_run(spark, sf):
     from ..harvest import HarvestConfig, Harvester
     from ..sources.corpus import BASE_URL, synth_corpus
 
-    corpus = synth_corpus(spark, n_pages=300, seed=42).persist()
+    corpus = synth_corpus(spark, n_pages=150, seed=42).persist()
     corpus.count()
     cfg = HarvestConfig.from_yaml(
         f"""
