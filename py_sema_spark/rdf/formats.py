@@ -19,18 +19,39 @@ SUFFIX_TO_FORMAT = {
     ".json": "json-ld",
     ".nt": "nt",
     ".ntriples": "nt",
+    ".n3": "n3",
+    ".trig": "trig",
+    ".nq": "nquads",
+    ".nquads": "nquads",
+    ".rdf": "xml",
+    ".xml": "xml",
+    ".owl": "xml",
 }
 
 FORMAT_TO_MIME = {
     "turtle": "text/turtle",
     "json-ld": "application/ld+json",
     "nt": "application/n-triples",
+    "n3": "text/n3",
+    "trig": "application/trig",
+    "nquads": "application/n-quads",
+    "xml": "application/rdf+xml",
 }
 
 MIME_TO_FORMAT = {v: k for k, v in FORMAT_TO_MIME.items()}
 MIME_TO_FORMAT["application/json"] = "json-ld"
+MIME_TO_FORMAT["application/xml"] = "xml"
+MIME_TO_FORMAT["text/rdf+n3"] = "n3"
 
-FORMAT_TO_SUFFIX = {"turtle": ".ttl", "json-ld": ".jsonld", "nt": ".nt"}
+FORMAT_TO_SUFFIX = {
+    "turtle": ".ttl",
+    "json-ld": ".jsonld",
+    "nt": ".nt",
+    "n3": ".n3",
+    "trig": ".trig",
+    "nquads": ".nq",
+    "xml": ".rdf",
+}
 
 
 def mime_to_format_col(mime: Column) -> Column:

@@ -423,6 +423,117 @@ def parse_ntriples(text: str, base: str = "") -> List[Triple]:
     return parse_turtle(text, base)
 
 
+def parse_n3(text: str, base: str = "") -> List[Triple]:
+    """Notation3 — the Turtle-compatible subset.
+
+    The reference's "n3" chain entry (discovery.py:148-156) is rdflib's
+    N3 parser, which for web-published data is exercised on documents
+    that are syntactically Turtle (formulas/rules are vanishingly rare
+    outside logic tooling). We therefore parse the Turtle subset and
+    reject the N3-only constructs (``{…}`` formulas, ``=>``/``<=``/
+    ``=`` operators, ``@forAll``/``@forSome``) explicitly rather than
+    misparse them.
+    """
+    return parse_turtle(text, base)
+
+
+class _TrigParser(_TurtleParser):
+    """TriG = Turtle + graph blocks. Graph labels are parsed then
+    discarded: the parse chain feeds a single per-document graph (the
+    reference drops quads into one rdflib ``Graph`` per fetched
+    document the same way — discovery.py:158-166)."""
+
+    def _parse_statement(self) -> None:
+        t = self.text
+        # GRAPH <label> { ... }
+        if re.match(r"(?i)graph[\s<]", t[self.pos : self.pos + 6]):
+            self.pos += 5
+            self._skip_ws()
+            self._parse_graph_label()
+            self._skip_ws()
+            self._parse_graph_block()
+            return
+        if self._peek() == "{":
+            self._parse_graph_block()
+            return
+        # <label> { ... }  — lookahead: a subject term followed by '{'
+        save = self.pos
+        try:
+            self._parse_graph_label()
+            self._skip_ws()
+            if self._peek() == "{":
+                self._parse_graph_block()
+                return
+        except TurtleParseError:
+            pass
+        self.pos = save
+        super()._parse_statement()
+
+    def _parse_graph_label(self) -> Term:
+        c = self._peek()
+        if c == "<":
+            return iri(self._parse_iriref())
+        if self._startswith("_:"):
+            return self._parse_bnode_label()
+        pname = self._parse_pname()
+        if pname is not None:
+            return iri(pname)
+        raise TurtleParseError(f"bad graph label at {self.pos}")
+
+    def _parse_graph_block(self) -> None:
+        self._expect("{")
+        while True:
+            self._skip_ws()
+            if self._peek() == "}":
+                self.pos += 1
+                return
+            if self.pos >= self.n:
+                raise TurtleParseError("unterminated graph block")
+            self._parse_triples()
+            self._skip_ws()
+            if self._peek() == ".":
+                self.pos += 1
+            elif self._peek() != "}":
+                raise TurtleParseError("expected '.' or '}' in graph block")
+
+
+def parse_trig(text: str, base: str = "") -> List[Triple]:
+    """Parse TriG; named-graph structure collapses into one triple set
+    (see :class:`_TrigParser`). Plain Turtle is also valid TriG."""
+    return _TrigParser(text, base).parse()
+
+
+def parse_nquads(text: str, base: str = "") -> List[Triple]:
+    """N-Quads: N-Triples lines with an optional graph term before the
+    '.'; graph labels are discarded (same collapse as TriG). Rejects
+    prefix directives so the chain can tell formats apart."""
+    if re.search(r"(?im)^\s*(@prefix|@base|prefix\s|base\s)", text):
+        raise TurtleParseError("prefix/base directives are not N-Quads")
+    p = _TurtleParser(text, base)
+    while True:
+        p._skip_ws()
+        if p.pos >= p.n:
+            break
+        subj = p._parse_subject()
+        p._skip_ws()
+        pred = p._parse_predicate()
+        p._skip_ws()
+        obj = p._parse_object()
+        p.triples.append(Triple(subj, pred, obj))
+        p._skip_ws()
+        if p._peek() != ".":  # 4th term = graph label
+            g = p._peek()
+            if g == "<":
+                p._parse_iriref()
+            elif p._startswith("_:"):
+                p._parse_bnode_label()
+            else:
+                raise TurtleParseError(f"bad graph term at {p.pos}")
+            p._skip_ws()
+        p._expect(".")
+    return p.triples
+
+
 def iter_statements(text: str) -> Iterator[Tuple[int, int]]:
     """Yield (start, end) spans of top-level statements (for debugging)."""
     p = _TurtleParser(text)

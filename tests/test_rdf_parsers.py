@@ -241,3 +241,176 @@ class TestSkolem:
         assert a == skolem_iri("http://page/1", "b0")
         assert a != skolem_iri("http://page/2", "b0")
         assert a.startswith("urn:skolem:")
+
+
+class TestRdfXml:
+    """RDF/XML parser vectors derived from the RDF/XML 1.1 spec
+    examples; the reference reaches this via rdflib's "xml" entry in
+    the fallback chain (discovery.py:148-156)."""
+
+    DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:dc="http://purl.org/dc/elements/1.1/"
+         xmlns:ex="http://example.org/stuff/1.0/"
+         xml:base="http://example.org/here/">
+  <rdf:Description rdf:about="http://www.w3.org/TR/rdf-syntax-grammar"
+                   dc:title="RDF Syntax">
+    <ex:editor>
+      <rdf:Description ex:fullName="Dave Beckett">
+        <ex:homePage rdf:resource="http://purl.org/net/dajobe/"/>
+      </rdf:Description>
+    </ex:editor>
+  </rdf:Description>
+</rdf:RDF>"""
+
+    def test_spec_example(self):
+        from py_sema_spark.rdf.rdfxml import parse_rdfxml
+
+        ts = parse_rdfxml(self.DOC)
+        spo = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert len(ts) == 4
+        assert (
+            "http://www.w3.org/TR/rdf-syntax-grammar",
+            "http://purl.org/dc/elements/1.1/title",
+            "RDF Syntax",
+        ) in spo
+        # nested bnode carries fullName + homePage
+        bn = [t.o for t in ts if t.p.value.endswith("editor")][0]
+        assert bn.kind == "bnode"
+        assert (
+            bn.value,
+            "http://example.org/stuff/1.0/homePage",
+            "http://purl.org/net/dajobe/",
+        ) in spo
+
+    def test_typed_node_datatype_lang_li(self):
+        from py_sema_spark.rdf.rdfxml import parse_rdfxml
+        from py_sema_spark.rdf.terms import RDF_NS, XSD
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:ex="http://e.org/">
+  <ex:Thing rdf:about="http://e.org/t" xml:lang="en">
+    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</ex:size>
+    <ex:label>hello</ex:label>
+  </ex:Thing>
+  <rdf:Bag rdf:about="http://e.org/bag">
+    <rdf:li>one</rdf:li>
+    <rdf:li>two</rdf:li>
+  </rdf:Bag>
+</rdf:RDF>"""
+        ts = parse_rdfxml(doc)
+        by_p = {t.p.value: t for t in ts}
+        types = {t.o.value for t in ts if t.p.value == RDF_NS + "type"}
+        assert types == {"http://e.org/Thing", RDF_NS + "Bag"}
+        assert by_p["http://e.org/size"].o.datatype == XSD + "int"
+        assert by_p["http://e.org/label"].o.lang == "en"
+        assert by_p[RDF_NS + "_1"].o.value == "one"
+        assert by_p[RDF_NS + "_2"].o.value == "two"
+
+    def test_parsetype_resource_and_collection(self):
+        from py_sema_spark.rdf.rdfxml import parse_rdfxml
+        from py_sema_spark.rdf.terms import RDF_FIRST, RDF_NIL, RDF_REST
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                 xmlns:ex="http://e.org/">
+  <rdf:Description rdf:about="http://e.org/a">
+    <ex:props rdf:parseType="Resource">
+      <ex:x>1</ex:x>
+    </ex:props>
+    <ex:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://e.org/i1"/>
+      <rdf:Description rdf:about="http://e.org/i2"/>
+    </ex:list>
+  </rdf:Description>"""
+        doc += "</rdf:RDF>"
+        ts = parse_rdfxml(doc)
+        preds = [t.p.value for t in ts]
+        assert preds.count(RDF_FIRST) == 2
+        assert preds.count(RDF_REST) == 2
+        assert any(t.o.value == RDF_NIL for t in ts)
+        x = [t for t in ts if t.p.value == "http://e.org/x"][0]
+        assert x.s.kind == "bnode" and x.o.value == "1"
+
+    def test_rejects_plain_html_xml(self):
+        import pytest as _pytest
+
+        from py_sema_spark.rdf.rdfxml import RdfXmlParseError, parse_rdfxml
+
+        with _pytest.raises(RdfXmlParseError):
+            parse_rdfxml("<html xmlns='http://www.w3.org/1999/xhtml'><body/></html>")
+        with _pytest.raises(RdfXmlParseError):
+            parse_rdfxml("not xml at all")
+
+
+class TestTrigNquadsN3:
+    def test_trig_graph_blocks_collapse(self):
+        from py_sema_spark.rdf.turtle import parse_trig
+
+        doc = """@prefix ex: <http://e.org/> .
+ex:top ex:p ex:o .
+GRAPH ex:g1 { ex:a ex:p 1 . ex:b ex:p 2 }
+ex:g2 { ex:c ex:p 3 . }
+{ ex:d ex:p 4 }
+"""
+        ts = parse_trig(doc)
+        assert len(ts) == 5
+        assert {t.s.value for t in ts} == {
+            f"http://e.org/{x}" for x in ("top", "a", "b", "c", "d")
+        }
+
+    def test_nquads_graph_term_discarded(self):
+        from py_sema_spark.rdf.turtle import parse_nquads
+
+        doc = (
+            '<http://e.org/s> <http://e.org/p> "v" <http://e.org/g> .\n'
+            "<http://e.org/s2> <http://e.org/p> <http://e.org/o> _:g2 .\n"
+            '_:b <http://e.org/p> "x"@en .\n'
+        )
+        ts = parse_nquads(doc)
+        assert len(ts) == 3
+        assert ts[2].o.lang == "en"
+
+    def test_nquads_rejects_prefixes(self):
+        import pytest as _pytest
+
+        from py_sema_spark.rdf.turtle import TurtleParseError, parse_nquads
+
+        with _pytest.raises(TurtleParseError):
+            parse_nquads("@prefix ex: <http://e.org/> .")
+
+    def test_n3_is_turtle_compatible(self):
+        from py_sema_spark.rdf.turtle import parse_n3
+
+        ts = parse_n3("@prefix ex: <http://e.org/> . ex:s ex:p ex:o .")
+        assert len(ts) == 1
+
+
+class TestFullFallbackChain:
+    """The chain must now resolve all seven reference formats
+    (discovery.py:148-156) to the right parser."""
+
+    def test_chain_order_matches_reference(self):
+        from py_sema_spark.rdf.parse import FORMATS_TO_TRY
+
+        assert FORMATS_TO_TRY == (
+            "turtle", "json-ld", "n3", "nt", "trig", "nquads", "xml",
+        )
+
+    def test_trig_doc_resolves(self):
+        doc = "@prefix ex: <http://e.org/> . GRAPH ex:g { ex:a ex:p ex:o . }"
+        ts, fmt = parse_rdf_auto(doc)
+        assert fmt == "trig" and len(ts) == 1
+
+    def test_nquads_doc_resolves(self):
+        doc = "<http://e.org/s> <http://e.org/p> <http://e.org/o> <http://e.org/g> ."
+        ts, fmt = parse_rdf_auto(doc)
+        assert fmt == "nquads" and len(ts) == 1
+
+    def test_rdfxml_doc_resolves(self):
+        doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://e.org/">
+  <rdf:Description rdf:about="http://e.org/s"><ex:p>v</ex:p></rdf:Description>
+</rdf:RDF>"""
+        ts, fmt = parse_rdf_auto(doc)
+        assert fmt == "xml" and len(ts) == 1
