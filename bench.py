@@ -100,6 +100,38 @@ def run_kg_pipeline(spark, n_pages: int) -> dict:
     }
 
 
+def ann_recall(spark, sf_dir: str) -> dict:
+    """Measured recall of the approximate ANN entries vs their exact
+    oracled twins, at the same parameters the bench times."""
+    from py_sema_spark.queries.benchqueries import QUERIES
+    from py_sema_spark.operators.similarity import recall_against_exact
+
+    exact_topk = QUERIES["cosine_topk"](spark, sf_dir)
+    exact_nd = QUERIES["embedding_neardup"](spark, sf_dir)
+    return {
+        "lsh_cosine_topk": round(
+            recall_against_exact(
+                QUERIES["lsh_cosine_topk"](spark, sf_dir), exact_topk
+            ),
+            3,
+        ),
+        "ivf_cosine_topk": round(
+            recall_against_exact(
+                QUERIES["ivf_cosine_topk"](spark, sf_dir), exact_topk
+            ),
+            3,
+        ),
+        "embedding_neardup_lsh": round(
+            recall_against_exact(
+                QUERIES["embedding_neardup_lsh"](spark, sf_dir),
+                exact_nd,
+                keys=("a", "b"),
+            ),
+            3,
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -127,6 +159,10 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # quantified recall of each approximate ANN path against its
+    # exact twin at this sf (VERDICT r01 #5) — untimed
+    recall = ann_recall(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "suite_total",
@@ -138,6 +174,7 @@ def main() -> None:
         "kg_pages": kg["pages"],
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "ann_recall": recall,
     }
     print(json.dumps(out))
 

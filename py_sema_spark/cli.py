@@ -215,8 +215,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("query", help="SPARQL subset over a triples table")
     p.add_argument("--triples", required=True)
-    p.add_argument("--sparql", default=None)
-    p.add_argument("--template", default=None)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--sparql", default=None)
+    g.add_argument("--template", default=None)
     p.add_argument("--var", action="append", metavar="K=V")
     p.add_argument("--out", default=None)
     p.add_argument("--tsv", action="store_true")

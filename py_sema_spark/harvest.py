@@ -209,8 +209,27 @@ class Harvester:
     def _deref(
         self, urls: DataFrame, downloaded: DataFrame
     ) -> Tuple[DataFrame, DataFrame, DataFrame]:
-        """Dereference new urls: (new_triples, download_rows, downloaded')."""
-        fresh = urls.join(downloaded, "url", "left_anti").distinct()
+        """Dereference new urls: (new_triples, download_rows, downloaded').
+
+        ``fresh`` and the returned ``downloaded'`` are localCheckpointed:
+        ``downloaded'`` references ``downloaded`` twice (directly and
+        through the anti-join in ``fresh``), so without a lineage cut
+        the plan doubles every round — exponential analysis time after
+        ~20 dereference rounds. An empty frontier short-circuits before
+        the Arrow extraction stage (no Python workers for no work)."""
+        fresh = (
+            urls.join(downloaded, "url", "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            empty_dl = self.spark.createDataFrame(
+                [], "url string, triple_count bigint"
+            )
+            empty_triples = self._empty.select(
+                "*", F.lit(None).cast("string").alias("src_url")
+            )
+            return empty_triples, empty_dl, downloaded
         pages = self.corpus.join(F.broadcast(fresh), "url", "left_semi")
         extracted = skolemize(triples_of(extract_structured(pages)))
         # one extraction pass feeds three consumers (union, download
@@ -229,7 +248,13 @@ class Harvester:
         dl = dl.unionByName(
             zero.withColumn("triple_count", F.lit(0))
         )
-        return new_triples, dl, downloaded.unionByName(fresh.select("url"))
+        return (
+            new_triples,
+            dl,
+            downloaded.unionByName(fresh.select("url")).localCheckpoint(
+                eager=True
+            ),
+        )
 
     def run(self, config: HarvestConfig) -> Tuple[DataFrame, DataFrame]:
         """→ (store_triples tagged with g, report_df)."""
@@ -300,6 +325,27 @@ class Harvester:
                     depth_used = depth
                     n_verified = verify_path(store, subjects, path).count()
                     if n_subj and n_verified == n_subj:
+                        # Reference parity: on a successful assertion
+                        # the reference dereferences the first binding
+                        # at the end of the verified path
+                        # (path_assertion.py:258-272 ``_harvest`` uses
+                        # bindings[0]); the batch form derefs *all*
+                        # dereferenceable path-end URLs in one round.
+                        ends = _reachable(store, subjects, path).where(
+                            F.col("node").rlike(r"^https?://")
+                        )
+                        new, dl, downloaded = self._deref(
+                            ends.select(F.col("node").alias("url")),
+                            downloaded,
+                        )
+                        if not new.isEmpty():
+                            store = store.unionByName(new).localCheckpoint(
+                                eager=True
+                            )
+                        download_rows = (
+                            dl if download_rows is None
+                            else download_rows.unionByName(dl)
+                        )
                         break
                 ok = bool(n_subj and n_verified == n_subj)
                 reports.append(

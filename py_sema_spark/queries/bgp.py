@@ -117,15 +117,37 @@ def _parse_filter(expr: str) -> Filter:
 
 
 def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Term, Term]]:
-    patterns = []
-    for chunk in text.split("."):
-        chunk = chunk.strip()
-        if not chunk:
-            continue
-        terms = [_parse_term(t, prefixes) for t in _TERM_RE.finditer(chunk)]
-        if len(terms) != 3:
-            raise ValueError(f"unsupported triple pattern: {chunk!r}")
-        patterns.append(tuple(terms))
+    """Tokenize first, then treat '.' as a statement separator only
+    *between* term tokens — dots inside <IRI>s, quoted literals, and
+    dotted CURIE locals (ex:v1.0) are part of the term, never a split
+    point. A CURIE token that swallowed a trailing '.' (PN_LOCAL
+    cannot end with one) is stripped and counts as a terminator."""
+    patterns: List[Tuple[Term, Term, Term]] = []
+    cur: List[Term] = []
+
+    def flush(ctx: str) -> None:
+        if not cur:
+            return
+        if len(cur) != 3:
+            raise ValueError(f"unsupported triple pattern: {ctx!r}")
+        patterns.append(tuple(cur))
+        cur.clear()
+
+    last_end = 0
+    for tok in _TERM_RE.finditer(text):
+        sep = text[last_end : tok.start()]
+        if "." in sep:
+            flush(text[max(0, tok.start() - 60) : tok.start()])
+        term = _parse_term(tok, prefixes)
+        dot_after = False
+        if tok.group("curie") and term.value.endswith("."):
+            term.value = term.value.rstrip(".")
+            dot_after = True
+        cur.append(term)
+        if dot_after:
+            flush(text[tok.start() : tok.end()])
+        last_end = tok.end()
+    flush(text[last_end:][:60] or text[-60:])
     return patterns
 
 

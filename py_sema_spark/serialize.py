@@ -96,6 +96,177 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
     )
 
 
+def _obj_nt_col(o, o_kind, o_datatype, o_lang) -> Column:
+    """Object term in N-Triples/Turtle surface syntax (shared by the
+    NT line builder and the Turtle block builder)."""
+    return (
+        F.when(o_kind == "iri", F.concat(F.lit("<"), o, F.lit(">")))
+        .when(o_kind == "bnode", o)
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                _escape_nt(o),
+                F.lit('"'),
+                F.when(o_lang.isNotNull(), F.concat(F.lit("@"), o_lang))
+                .when(
+                    o_datatype.isNotNull() & (o_datatype != XSD_STRING),
+                    F.concat(F.lit("^^<"), o_datatype, F.lit(">")),
+                )
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+
+
+def turtle_blocks(triples: DataFrame) -> DataFrame:
+    """Triples → one deterministic Turtle block per subject:
+    ``(s, block)`` with predicates sorted, objects grouped per
+    predicate with ``,`` and predicates joined with ``;`` — the
+    serializer surface the reference gets from
+    ``graph.serialize(format="turtle")``
+    (/root/reference/sema/discovery/discovery.py:277-287), made
+    deterministic (rdflib's output order is dict-dependent).
+
+    Full IRIs only (always-valid Turtle; prefix compaction is
+    presentation sugar the parser ignores). Column algebra end to end:
+    groupBy(s) + sort_array keeps the whole build JVM-side, one
+    shuffle on the subject key — the same partitioning the triples
+    table already uses at scale.
+    """
+    obj = _obj_nt_col(
+        F.col("o"), F.col("o_kind"), F.col("o_datatype"), F.col("o_lang")
+    )
+    per_sp = (
+        triples.select("s", "p", obj.alias("ot"))
+        .groupBy("s", "p")
+        .agg(F.array_join(F.array_sort(F.collect_set("ot")), ", ").alias("objs"))
+    )
+    subj = F.when(
+        F.col("s").startswith("_:"), F.col("s")
+    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    return (
+        per_sp.groupBy("s")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.concat(F.lit("<"), F.col("p"), F.lit("> "), F.col("objs"))
+                )
+            ).alias("preds")
+        )
+        .select(
+            "s",
+            F.concat(
+                subj,
+                F.lit(" "),
+                F.array_join(F.col("preds"), " ;\n    "),
+                F.lit(" ."),
+            ).alias("block"),
+        )
+    )
+
+
+def write_turtle(triples: DataFrame, path: str) -> None:
+    """Deterministic Turtle dump, blocks in subject order (part files
+    concatenate in order, same contract as :func:`write_ntriples`)."""
+    turtle_blocks(triples).orderBy("s").select(
+        F.col("block").alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def turtle_text(triples: DataFrame) -> str:
+    """Driver-side full Turtle document (dimension-sized dumps by
+    contract — mirrors the reference serializing an in-memory graph)."""
+    rows = turtle_blocks(triples).orderBy("s").select("block").collect()
+    return "\n".join(r["block"] for r in rows) + "\n"
+
+
+def _jsonld_value_col() -> Column:
+    """One JSON-LD value object per triple object, via ``to_json``
+    (JVM-side JSON escaping): IRIs → {"@id": …}, literals →
+    {"@value": …[, "@language"|"@type": …]}."""
+    return (
+        F.when(
+            F.col("o_kind") == "iri",
+            F.to_json(F.struct(F.col("o").alias("@id"))),
+        )
+        .when(
+            F.col("o_kind") == "bnode",
+            F.to_json(F.struct(F.col("o").alias("@id"))),
+        )
+        .when(
+            F.col("o_lang").isNotNull(),
+            F.to_json(
+                F.struct(
+                    F.col("o").alias("@value"),
+                    F.col("o_lang").alias("@language"),
+                )
+            ),
+        )
+        .when(
+            F.col("o_datatype").isNotNull()
+            & (F.col("o_datatype") != XSD_STRING),
+            F.to_json(
+                F.struct(
+                    F.col("o").alias("@value"),
+                    F.col("o_datatype").alias("@type"),
+                )
+            ),
+        )
+        .otherwise(F.to_json(F.struct(F.col("o").alias("@value"))))
+    )
+
+
+def jsonld_nodes(triples: DataFrame) -> DataFrame:
+    """Triples → one flat JSON-LD node object per subject:
+    ``(s, node)`` with predicate keys sorted and each predicate's
+    values as a sorted array — the deterministic ``@graph`` entry
+    shape of the reference's OGM dump
+    (/root/reference/sema/commons/ogm/object_graph_mapper.py:62-64
+    sorts ``@graph`` for byte-stable output)."""
+    # a correctly-JSON-escaped string: to_json wraps it, regexp unwraps
+    def jstr(col: Column) -> Column:
+        return F.regexp_extract(
+            F.to_json(F.struct(col.alias("k"))), r'^\{"k":(".*")\}$', 1
+        )
+
+    per_sp = (
+        triples.select("s", "p", _jsonld_value_col().alias("vj"))
+        .groupBy("s", "p")
+        .agg(
+            F.concat(
+                jstr(F.first("p")),
+                F.lit(":["),
+                F.array_join(F.array_sort(F.collect_set("vj")), ","),
+                F.lit("]"),
+            ).alias("entry")
+        )
+    )
+    sid = F.concat(
+        F.lit('{"@id":'), jstr(F.col("s")), F.lit("")
+    )
+    return (
+        per_sp.groupBy("s")
+        .agg(F.array_sort(F.collect_list("entry")).alias("entries"))
+        .select(
+            "s",
+            F.concat(
+                sid,
+                F.lit(","),
+                F.array_join(F.col("entries"), ","),
+                F.lit("}"),
+            ).alias("node"),
+        )
+    )
+
+
+def jsonld_document(triples: DataFrame) -> str:
+    """Driver-side sorted-``@graph`` JSON-LD document (deterministic:
+    nodes sorted by @id, keys sorted within each node)."""
+    rows = jsonld_nodes(triples).orderBy("s").select("node").collect()
+    graph = ",".join(r["node"] for r in rows)
+    return '{"@graph":[' + graph + "]}"
+
+
 def unique_filename_col(
     url: Column, mime: Column, profile: Optional[Column] = None
 ) -> Column:

@@ -159,14 +159,22 @@ def validate(
     triples: DataFrame,
     shapes: List[NodeShape],
     focus_override: Optional[Dict[str, DataFrame]] = None,
+    _visiting: Optional[frozenset] = None,
+    _registry: Optional[Dict[str, "NodeShape"]] = None,
 ) -> DataFrame:
     """All shapes against the triples table → violations DataFrame.
 
     ``focus_override[shape_iri]`` supplies explicit focus nodes (used
-    internally for sh:node value validation)."""
+    internally for sh:node value validation). ``_visiting`` carries
+    the sh:node recursion path so mutually-referencing node shapes
+    (A sh:node B, B sh:node A — legal in SHACL shape graphs) terminate
+    instead of recursing unboundedly on the driver."""
     spark = triples.sparkSession
     out = spark.createDataFrame([], VIOLATION_SCHEMA)
     by_iri = {sh.iri: sh for sh in shapes}
+    if _registry:
+        by_iri = {**_registry, **by_iri}
+    _visiting = _visiting or frozenset()
 
     for shape in shapes:
         if focus_override and shape.iri in focus_override:
@@ -269,13 +277,15 @@ def validate(
 
             if ps.node:
                 child = by_iri.get(ps.node)
-                if child is not None:
+                if child is not None and child.iri not in _visiting:
                     child_focus = vals.select(
                         F.col("o").alias("focus")
                     ).distinct()
                     child_viols = validate(
                         triples, [child],
                         focus_override={child.iri: child_focus},
+                        _visiting=_visiting | {shape.iri},
+                        _registry=by_iri,
                     )
                     out = out.unionByName(child_viols)
                     bad_vals = vals.join(

@@ -159,13 +159,24 @@ def make_source_df(
 
 def _concat(spark, paths, fmt, options) -> DataFrame:
     """Folder/glob source: per-file reads concatenated in sorted path
-    order; ``_ord`` is globally contiguous across files."""
+    order; ``_ord`` is globally contiguous across files.
+
+    Each file's ``_ord`` comes from ``monotonically_increasing_id``,
+    whose values jump by 2^33 between scan partitions — correct
+    *order* but not contiguous, so a plain offset would interleave
+    files. Normalize per file to dense 0..n-1 with a row_number first.
+    The single-partition window is fine here by contract: subyt
+    sources are dimension-sized (they get collected for templating);
+    corpus-scale data never flows through this reader."""
+    from pyspark.sql.window import Window
+
     out = None
     offset = 0
     for p in paths:
         df = make_source_df(spark, p, fmt=fmt, **options)
         n = df.count()
-        df = df.withColumn("_ord", F.col("_ord") + F.lit(offset))
+        dense = F.row_number().over(Window.orderBy("_ord")) - 1
+        df = df.withColumn("_ord", dense + F.lit(offset))
         offset += n
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     if out is None:

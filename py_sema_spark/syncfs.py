@@ -25,7 +25,10 @@ from .model import TRIPLE_SCHEMA
 from .rdf.parse import parse_rdf_auto
 from .store import ParquetTripleStore
 
-RDF_SUFFIXES = {".ttl", ".nt", ".jsonld", ".json"}
+RDF_SUFFIXES = {
+    ".ttl", ".nt", ".jsonld", ".json",
+    ".n3", ".trig", ".nq", ".nquads", ".rdf", ".xml", ".owl",
+}
 
 
 def load_graph_file(spark: SparkSession, path: str) -> DataFrame:

@@ -175,6 +175,38 @@ class TestBGP:
         )
         assert out.columns == ["s", "o"] and out.count() == 1
 
+    def test_absolute_iri_terms(self, triples):
+        """Dots inside <IRI> terms must not split patterns (ADVICE r01:
+        hostnames contain dots) — bound-subject and bound-predicate
+        full-IRI forms."""
+        out = bgp_select(
+            triples,
+            f"SELECT ?o WHERE {{ <{U}D1> <{EX}label> ?o . }}",
+        )
+        assert [r["o"] for r in out.collect()] == ["doc one"]
+        out2 = bgp_select(
+            triples,
+            f"SELECT ?s ?o WHERE {{ ?s <{EX}next> ?o . ?o ex:label ?l . }}",
+            {"ex": EX},
+        )
+        assert out2.count() == 2
+
+    def test_dotted_curie_local_and_literal(self, spark):
+        """CURIE locals with dots (ex:v1.0) and dotted literals parse;
+        the trailing statement dot still terminates."""
+        rows = [
+            (EX + "v1.0", EX + "label", "release 1.0", "literal", None, None),
+        ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        out = bgp_select(
+            t, 'SELECT ?s WHERE { ?s ex:label "release 1.0" . }', {"ex": EX}
+        )
+        assert [r["s"] for r in out.collect()] == [EX + "v1.0"]
+        out2 = bgp_select(
+            t, "SELECT ?o WHERE { ex:v1.0 ex:label ?o . }", {"ex": EX}
+        )
+        assert [r["o"] for r in out2.collect()] == ["release 1.0"]
+
 
 class TestHarvester:
     def test_single_hop(self, spark, corpus):
@@ -193,8 +225,10 @@ assert:
             name="t1",
         )
         store, report = Harvester(spark, corpus).run(cfg)
-        # D1's own deref satisfies the path; D2/D3 are never fetched
-        assert downloads_of(report) == {f"{U}D1"}
+        # D1's own deref satisfies the path; the path-end nodes D2/D3
+        # are then dereferenced too (reference parity:
+        # path_assertion.py:258-272 harvests at the verified path end)
+        assert downloads_of(report) == {f"{U}D1", f"{U}D2", f"{U}D3"}
         assert store.where(F.col("p") == EX + "resource").count() == 2
         assert store.select("g").distinct().collect()[0]["g"].endswith("t1")
 
@@ -214,8 +248,9 @@ assert:
             name="t2",
         )
         store, report = Harvester(spark, corpus).run(cfg)
-        # D2 alone can't verify next/next → frontier deref of D4
-        assert downloads_of(report) == {f"{U}D2", f"{U}D4"}
+        # D2 alone can't verify next/next → frontier deref of D4; on
+        # success the path-end node D6 is dereferenced as well
+        assert downloads_of(report) == {f"{U}D2", f"{U}D4", f"{U}D6"}
         asserts = report.where(F.col("kind") == "assertion").collect()
         assert all(a["success"] for a in asserts)
         subj = spark.createDataFrame([(f"{U}D2",)], "subject string")

@@ -133,6 +133,138 @@ class TestSimilarity:
         assert len(exact & approx) >= 3  # recall ≥ 0.6 on this toy set
 
 
+class TestAnnRecallGates:
+    """Quantified recall of every approximate ANN path against its
+    exact oracled twin on the real testdata embeddings (500×64d at
+    sf0.001). An LSH/IVF bug that returns wrong-but-right-sized
+    results fails here even though the driver's rows-only check would
+    pass."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+    @pytest.fixture(scope="class")
+    def queries(self, spark, emb):
+        return (
+            emb.where(F.col("vec_id") < 8)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            )
+            .persist()
+        )
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        """500 vectors in 25 tight clusters (64-d, deterministic) —
+        the regime ANN indexing exists for. The synthetic testdata
+        embeddings are near-random (top-5 neighbor cos ≈ 0.3 vs
+        background p99 ≈ 0.29), where sublinear ANN recall is
+        information-theoretically capped; the clustered fixture is
+        where a bucketing bug actually shows."""
+        import hashlib
+
+        def unit(seed: str):
+            v = []
+            for d in range(64):
+                h = hashlib.md5(f"{seed}|{d}".encode()).digest()
+                v.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+            n = sum(x * x for x in v) ** 0.5
+            return [x / n for x in v]
+
+        rows = []
+        for i in range(500):
+            c = unit(f"c{i % 25}")
+            jit = unit(f"j{i}")
+            rows.append((i, [a + 0.15 * b for a, b in zip(c, jit)]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+
+    def _cluster_queries(self, clustered):
+        return clustered.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+
+    def test_lsh_topk_recall_clustered(self, clustered):
+        from py_sema_spark.operators.similarity import recall_against_exact
+
+        q = self._cluster_queries(clustered)
+        exact = cosine_topk(clustered, q, k=5)
+        approx = lsh_cosine_topk(
+            clustered, q, k=5, dim=64, planes=6, tables=4, probe_radius=1
+        )
+        assert recall_against_exact(approx, exact) >= 0.9
+
+    def test_lsh_topk_recall_testdata(self, emb, queries):
+        """Even on the near-random testdata, multi-probe radius 2
+        holds ≥0.9 (measured 0.975)."""
+        from py_sema_spark.operators.similarity import recall_against_exact
+
+        exact = cosine_topk(emb, queries, k=5)
+        approx = lsh_cosine_topk(
+            emb, queries, k=5, dim=64, planes=6, tables=4, probe_radius=2
+        )
+        assert recall_against_exact(approx, exact) >= 0.9
+
+    def test_ivf_topk_recall_clustered(self, clustered):
+        from py_sema_spark.operators.similarity import (
+            ivf_cosine_topk,
+            recall_against_exact,
+        )
+
+        q = self._cluster_queries(clustered)
+        exact = cosine_topk(clustered, q, k=5)
+        approx = ivf_cosine_topk(clustered, q, k=5, n_lists=16, n_probe=4)
+        assert recall_against_exact(approx, exact) >= 0.9
+
+    def test_ivf_topk_recall_floor_testdata(self, emb, queries):
+        """Random-data regime: recall tracks the probed fraction
+        (8/16 lists → measured 0.775); gate a 0.6 floor so a broken
+        assignment (recall ≈ k/N) still fails."""
+        from py_sema_spark.operators.similarity import (
+            ivf_cosine_topk,
+            recall_against_exact,
+        )
+
+        exact = cosine_topk(emb, queries, k=5)
+        approx = ivf_cosine_topk(emb, queries, k=5, n_lists=16, n_probe=8)
+        assert recall_against_exact(approx, exact) >= 0.6
+
+    def test_ivf_survives_many_lists(self, emb, queries):
+        """n_lists far beyond the old inlined-literal limit: the plan
+        must stay flat (assignment is one NumPy matmul per batch)."""
+        from py_sema_spark.operators.similarity import ivf_cosine_topk
+
+        out = ivf_cosine_topk(emb, queries, k=5, n_lists=256, n_probe=32)
+        assert out.count() == 40
+
+    def test_neardup_lsh_pair_recall(self, emb):
+        from py_sema_spark.operators.similarity import (
+            cosine,
+            embedding_neardup_pairs,
+            recall_against_exact,
+        )
+
+        a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+        exact = (
+            a.join(b, F.col("a") < F.col("b"))
+            .select(
+                "a",
+                "b",
+                cosine(
+                    F.col("va").cast("array<double>"),
+                    F.col("vb").cast("array<double>"),
+                ).alias("cos"),
+            )
+            .where(F.col("cos") >= 0.35)
+        )
+        approx = embedding_neardup_pairs(
+            emb, threshold=0.35, dim=64, planes=2, tables=6
+        )
+        assert recall_against_exact(approx, exact, keys=("a", "b")) >= 0.9
+
+
 class TestLinkage:
     def test_detect_and_canonicalize(self, spark):
         docs = spark.createDataFrame(

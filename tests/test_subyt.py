@@ -221,6 +221,25 @@ class TestSources:
         df2 = make_source_df(spark, str(tmp_path / "*.csv"))
         assert [r["n"] for r in collect_set(df2)] == ["1", "2", "3"]
 
+    def test_concat_ord_contiguous_across_partitioned_files(
+        self, spark, tmp_path
+    ):
+        """ADVICE r01: per-file _ord from monotonically_increasing_id
+        jumps by 2^33 between scan partitions; the concat offset must
+        use dense per-file positions or later files sort into earlier
+        ones. A file large enough to scan as multiple partitions keeps
+        global order file-by-file."""
+        big = "n\n" + "\n".join(str(i) for i in range(2000))
+        (tmp_path / "a.csv").write_text(big)
+        (tmp_path / "b.csv").write_text("n\n9998\n9999\n")
+        df = make_source_df(spark, str(tmp_path))
+        vals = [r["n"] for r in collect_set(df)]
+        assert len(vals) == 2002
+        assert vals[:3] == ["0", "1", "2"]
+        assert vals[-2:] == ["9998", "9999"]
+        ords = [r["_ord"] for r in df.orderBy("_ord").select("_ord").collect()]
+        assert ords == list(range(2002))
+
 
 class TestGapFillers:
     def test_extra_filters_and_functions(self, spark, records):

@@ -217,3 +217,91 @@ collect_dumps:
         import os
 
         assert os.path.isdir(agg_sink)
+
+
+class TestTurtleJsonLdWriters:
+    """S16 completion: Turtle + sorted-JSON-LD writers, gated by
+    round-trips through our own (fixed-point-validated) parsers and
+    by determinism checks (the reference's serialize path is
+    discovery.py:277-287 + the OGM's sorted @graph,
+    object_graph_mapper.py:62-64)."""
+
+    @pytest.fixture(scope="class")
+    def triples(self, spark):
+        txt = """@prefix ex: <http://t.ex/> .
+ex:a ex:p "one" , "two"@en ; ex:q <http://t.ex/b> ;
+     ex:n "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:b ex:p "line\\nbreak" ; ex:r ex:a .
+"""
+        from py_sema_spark.model import TRIPLE_SCHEMA
+        from py_sema_spark.rdf.parse import parse_rdf_auto
+
+        ts, _ = parse_rdf_auto(txt)
+        rows = [
+            (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype, t.o.lang)
+            for t in ts
+        ]
+        return spark.createDataFrame(rows, TRIPLE_SCHEMA).persist()
+
+    def _as_set(self, df):
+        return {
+            (r["s"], r["p"], r["o"], r["o_kind"], r["o_datatype"], r["o_lang"])
+            for r in df.collect()
+        }
+
+    def test_turtle_roundtrip(self, spark, triples):
+        from py_sema_spark.model import TRIPLE_SCHEMA
+        from py_sema_spark.rdf.parse import parse_rdf_auto
+        from py_sema_spark.serialize import turtle_text
+
+        text = turtle_text(triples)
+        ts, fmt = parse_rdf_auto(text)
+        assert fmt == "turtle"
+        back = spark.createDataFrame(
+            [
+                (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype,
+                 t.o.lang)
+                for t in ts
+            ],
+            TRIPLE_SCHEMA,
+        )
+        assert self._as_set(back) == self._as_set(triples)
+
+    def test_turtle_deterministic(self, triples):
+        from py_sema_spark.serialize import turtle_text
+
+        assert turtle_text(triples) == turtle_text(
+            triples.orderBy(F.rand(7))
+        )
+
+    def test_jsonld_roundtrip_and_sorted(self, spark, triples):
+        import json
+
+        from py_sema_spark.model import TRIPLE_SCHEMA
+        from py_sema_spark.rdf.parse import parse_rdf_auto
+        from py_sema_spark.serialize import jsonld_document
+
+        doc = jsonld_document(triples)
+        parsed = json.loads(doc)  # valid JSON
+        ids = [n["@id"] for n in parsed["@graph"]]
+        assert ids == sorted(ids)  # deterministic @graph order
+        ts, fmt = parse_rdf_auto(doc)
+        assert fmt == "json-ld"
+        back = spark.createDataFrame(
+            [
+                (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype,
+                 t.o.lang)
+                for t in ts
+            ],
+            TRIPLE_SCHEMA,
+        )
+        assert self._as_set(back) == self._as_set(triples)
+
+    def test_write_turtle_files(self, spark, triples, tmp_path):
+        from py_sema_spark.serialize import write_turtle
+
+        out = tmp_path / "dump.ttl.d"
+        write_turtle(triples, str(out))
+        parts = sorted(out.glob("part-*"))
+        text = "".join(p.read_text() for p in parts)
+        assert text.count(" .") == 2  # one block per subject
