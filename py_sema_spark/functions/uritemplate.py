@@ -39,7 +39,10 @@ _OP_TABLE = {
 }
 
 _EXPR_RE = re.compile(r"\{([+#./;?&]?)([^}]+)\}")
-_VARSPEC_RE = re.compile(r"^([\w.%]+)(?:(\*)|:(\d{1,4}))?$")
+# varname is liberal beyond RFC 6570 (spaces, '-'): the reference's
+# uritemplate package resolves names like '{/Alpha-2 code}' against
+# dict keys verbatim (exercised by the subyt 02-collection golden)
+_VARSPEC_RE = re.compile(r"^([\w.%][\w.% -]*?)(?:(\*)|:(\d{1,4}))?$")
 
 
 def _pct(value: str, allow_reserved: bool) -> str:

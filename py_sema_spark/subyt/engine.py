@@ -104,10 +104,23 @@ def build_env(
             default=True,
         ),
     )
+    from jinja2 import pass_context
+
+    @pass_context
+    def _uritexpand(jctx, template, context=None):
+        # j2_functions.py:366-373: a falsy context (None, Undefined —
+        # e.g. a macro called with an undefined arg) falls back to the
+        # full template context, minus callables
+        if not context:
+            context = {
+                k: v for k, v in jctx.get_all().items() if not callable(v)
+            }
+        return uritemplate_expand(template, context)
+
     env.filters.update({"xsd": xsd_format, "uri": uri_format})
     env.globals.update(
         {
-            "uritexpand": uritemplate_expand,
+            "uritexpand": _uritexpand,
             "regexreplace": regexreplace,
             "map": map_build,
             "xsd": xsd_format,

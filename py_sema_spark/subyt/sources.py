@@ -58,6 +58,12 @@ def _csv(
     reader = (
         spark.read.option("sep", delimiter)
         .option("quote", quotechar)
+        # csv.DictReader parity (the reference's CSVFileSource):
+        # quoted fields may span lines, quotes escape by doubling,
+        # and backslash is a plain character — Spark's default escape
+        # ('\') would eat it
+        .option("multiLine", True)
+        .option("escape", quotechar)
         .option("mode", "PERMISSIVE")
     )
     if comment:
@@ -68,7 +74,8 @@ def _csv(
         )
     else:
         reader = reader.option("header", True)
-    return _with_ord(reader.csv(path))
+    # csv.DictReader yields '' (never None) for empty fields
+    return _with_ord(reader.csv(path).na.fill(""))
 
 
 def _unwrap_json(obj):
@@ -94,12 +101,26 @@ def _json_file(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def _inner_xml(elem: ET.Element) -> str:
+    """Element content serialized back to markup (text + child tags +
+    tails) — the xmlasdict behaviour the reference's XMLFileSource
+    exposes for mixed-content elements (templates render descriptions
+    with inline markup verbatim; see the 09-mixedxml golden)."""
+    parts = [elem.text or ""]
+    for ch in elem:
+        parts.append(ET.tostring(ch, encoding="unicode"))
+    return "".join(parts).strip()
+
+
 def _xml_as_dict(elem: ET.Element):
-    """Minimal xml-as-dict: text-only element → str; children grouped
-    by tag, repeated tags → list (the shape templates consume)."""
+    """xml-as-dict: text-only element → str; mixed content → inner
+    markup string; element children grouped by tag, repeated tags →
+    list; attributes as ``@name``."""
     children = list(elem)
-    if not children:
+    if not children and not elem.attrib:
         return (elem.text or "").strip()
+    if children and (elem.text or "").strip():
+        return _inner_xml(elem)  # mixed content
     out: dict = {}
     for ch in children:
         val = _xml_as_dict(ch)
@@ -114,8 +135,19 @@ def _xml_as_dict(elem: ET.Element):
 
 
 def _xml_file(spark: SparkSession, path: str) -> DataFrame:
+    """xmlasdict ``unpack()`` semantics: descend through single-child
+    root wrappers; if the unwrapped node's children all repeat one tag
+    (<movies><movie/>…) each child is a record, otherwise the node
+    itself is a single record (<wrap2><id/><name/></wrap2>)."""
     root = ET.parse(path).getroot()
-    items = list(root)
+    while len(list(root)) == 1 and len(list(list(root)[0])) > 0:
+        root = list(root)[0]
+    children = list(root)
+    tags = {c.tag for c in children}
+    if len(children) > 1 and len(tags) == 1:
+        items = children
+    else:
+        items = [root]
     rows = []
     for i, it in enumerate(items):
         d = _xml_as_dict(it)
