@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "unique_filter",
     "exact_dedup",
     "minhash_neardup",
+    "minhash_neardup_shingle",
     "ngram_jaccard",
     "simhash",
     "lang_id",

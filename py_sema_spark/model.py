@@ -217,12 +217,14 @@ class GraphRegistry:
             .join(new.select("graph"), "graph", "left_anti")
             .unionByName(new)
         )
-        # registry is tiny: single-file rewrite is the local stand-in
-        # for MERGE INTO
-        merged.coalesce(1).write.mode("overwrite").parquet(self.path + ".tmp")
-        self.spark.read.parquet(self.path + ".tmp").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        # registry is tiny by contract: collect severs the lineage on
+        # self.path so one atomic overwrite suffices (the previous
+        # .tmp double-write was racy under concurrent touch) — the
+        # cluster-scale stand-in is MERGE INTO on an Iceberg table
+        rows = merged.collect()
+        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(self.path)
 
     def lastmod_ts(self, graph: str):
         rows = self.load().where(F.col("graph") == graph).collect()
@@ -243,8 +245,7 @@ class GraphRegistry:
         return (ref - ts).total_seconds() / 60.0 <= age_minutes
 
     def drop(self, graph: str) -> None:
-        remaining = self.load().where(F.col("graph") != graph)
-        remaining.coalesce(1).write.mode("overwrite").parquet(self.path + ".tmp")
-        self.spark.read.parquet(self.path + ".tmp").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        rows = self.load().where(F.col("graph") != graph).collect()
+        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(self.path)

@@ -82,7 +82,11 @@ def transitive_closure(
         new = new.transform(_materialize)
         if new.isEmpty():
             break
-        paths = paths.unionByName(new).transform(_materialize)
+        # accumulate as a lazy union of checkpointed deltas: each round
+        # rewrites only its own frontier, not the whole closure (the
+        # previous re-materialize here was O(rounds·|closure|) I/O);
+        # the union tree stays flat — k checkpointed leaves
+        paths = paths.unionByName(new)
         frontier = new
     if not with_distance:
         return paths.select("src", "dst")

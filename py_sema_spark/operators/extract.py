@@ -156,8 +156,10 @@ def extract_with_link_follow(
     )
     visited = frontier.select("url")
     out: Optional[DataFrame] = None
+    persisted = []
     for _ in range(max_hops + 1):
         extracted = extract_structured(frontier).persist()
+        persisted.append(extracted)
         trips = triples_of(extracted)
         out = trips if out is None else out.unionByName(trips)
         next_urls = (
@@ -172,6 +174,12 @@ def extract_with_link_follow(
         if frontier.isEmpty():
             break
         visited = visited.unionByName(frontier.select("url"))
+    # materialize the union once, then release every round's cache —
+    # the per-round frames otherwise pin executor memory for the
+    # lifetime of the returned (lazy) plan
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
     return out
 
 

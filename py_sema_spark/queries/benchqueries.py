@@ -481,6 +481,48 @@ WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
 )
 
 _register(
+    "minhash_neardup_shingle",
+    lambda spark, sf: minhash_dedup(
+        _t(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
+        tokenizer="shingle", shingle_n=8,
+    ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")),
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS token
+  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) t(i)
+),
+sigs AS (
+  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM toks, (SELECT unnest(range(16)) AS perm)
+  GROUP BY doc_id, perm
+),
+buckets AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM sigs GROUP BY doc_id, perm % 4
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN toks ta ON ta.doc_id = p.a
+  JOIN toks tb ON tb.doc_id = p.b AND tb.token = ta.token
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, round(i.i / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
+""",
+)
+
+_register(
     "ngram_jaccard",
     lambda spark, sf: ngram_jaccard_pairs(
         _t(spark, sf, "documents"), n=3, threshold=0.05

@@ -1,0 +1,105 @@
+"""Hub-entity skew machinery, actually exercised (VERDICT r01 #8:
+``with_subject_bucket`` salting and ``max_bucket_size`` were dead code
+paths in tests).
+
+Fixture shape: one hub subject with 20k ``skos:member`` rows next to a
+long tail — the BODC collection shape that motivates the north rule's
+"explicit salting for hub-entity skew"."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.model import TRIPLE_SCHEMA, with_subject_bucket
+from py_sema_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+HUB = "https://vocab.example.org/collection/HUB/"
+N_HUB = 20_000
+N_TAIL = 500
+
+
+@pytest.fixture(scope="module")
+def skewed_triples(spark):
+    member = "http://www.w3.org/2004/02/skos/core#member"
+    hub = spark.range(N_HUB).select(
+        F.lit(HUB).alias("s"),
+        F.lit(member).alias("p"),
+        F.concat(F.lit("urn:c:"), F.col("id")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    tail = spark.range(N_TAIL).select(
+        F.concat(F.lit("urn:s:"), F.col("id")).alias("s"),
+        F.lit(member).alias("p"),
+        F.concat(F.lit("urn:t:"), F.col("id")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return hub.unionByName(tail).persist()
+
+
+class TestSubjectSalting:
+    def test_hub_spreads_over_all_salts(self, skewed_triples):
+        """Without the salt, the hub's 20k rows land in ONE
+        (s_bucket) partition; with it they spread over hub_salt
+        sub-partitions, each bounded near the fair share."""
+        out = with_subject_bucket(skewed_triples, n_buckets=256, hub_salt=16)
+        hub_parts = (
+            out.where(F.col("s") == HUB)
+            .groupBy("s_bucket", "salt")
+            .count()
+            .collect()
+        )
+        # one s_bucket (same subject) but all 16 salts populated
+        assert len({r["s_bucket"] for r in hub_parts}) == 1
+        assert len({r["salt"] for r in hub_parts}) == 16
+        fair = N_HUB / 16
+        assert max(r["count"] for r in hub_parts) < fair * 1.5
+
+    def test_salt_is_deterministic(self, skewed_triples):
+        a = with_subject_bucket(skewed_triples).select("s", "o", "salt")
+        b = with_subject_bucket(skewed_triples).select(
+            "s", "o", F.col("salt").alias("salt2")
+        )
+        diff = a.join(b, ["s", "o"]).where(
+            F.col("salt") != F.col("salt2")
+        )
+        assert diff.isEmpty()
+
+
+class TestLshBucketCap:
+    @pytest.fixture(scope="class")
+    def clone_tokens(self, spark):
+        """60 documents with IDENTICAL token sets (parked-domain
+        boilerplate) + 10 distinct documents: one adversarial LSH
+        bucket of 60 members → 1770 pairs uncapped."""
+        clones = spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array(*[F.lit(f"tok{i}") for i in range(12)])).alias(
+                "token"
+            ),
+        )
+        uniq = spark.range(60, 70).select(
+            F.col("id").alias("doc_id"),
+            F.explode(
+                F.array(*[
+                    F.concat(F.lit("u"), F.col("id"), F.lit(f"-{i}"))
+                    for i in range(12)
+                ])
+            ).alias("token"),
+        )
+        return clones.unionByName(uniq).persist()
+
+    def test_cap_skips_adversarial_bucket(self, clone_tokens):
+        sigs = minhash_signatures(clone_tokens, num_perm=16).persist()
+        uncapped = lsh_candidate_pairs(sigs, bands=4)
+        # 60 identical docs → C(60,2) = 1770 pairs from the clone bucket
+        assert uncapped.count() >= 1770
+        capped = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=10)
+        # every clone bucket exceeds the cap → no clone pairs survive;
+        # distinct docs produce no collisions on this fixture
+        assert capped.count() == 0
+        # cap above the bucket size keeps exact semantics
+        loose = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=100)
+        assert loose.count() == uncapped.count()

