@@ -82,11 +82,15 @@ def transitive_closure(
         new = new.transform(_materialize)
         if new.isEmpty():
             break
-        # accumulate as a lazy union of checkpointed deltas: each round
-        # rewrites only its own frontier, not the whole closure (the
-        # previous re-materialize here was O(rounds·|closure|) I/O);
-        # the union tree stays flat — k checkpointed leaves
-        paths = paths.unionByName(new)
+        # NOTE: accumulating as a lazy union of checkpointed deltas
+        # (no re-materialize here) would avoid the O(rounds·|closure|)
+        # rewrite, but Spark 4.1's localCheckpoint trips an
+        # attribute-resolution error ("key not found: dst#N") when a
+        # later checkpoint references the union of earlier ones — so
+        # the accumulated set is re-materialized per round. At cluster
+        # scale the equivalent incremental form is an Iceberg MERGE
+        # INTO per round (pipeline.py's per-stage checkpoints).
+        paths = paths.unionByName(new).transform(_materialize)
         frontier = new
     if not with_distance:
         return paths.select("src", "dst")

@@ -754,7 +754,8 @@ _register(
 _register(
     "embedding_neardup_lsh",
     lambda spark, sf: embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, planes=2, tables=6
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64,
+        planes=4, tables=4, probe_radius=1,
     ).select("a", "b", F.round(F.col("cos"), 6).alias("cos")),
     None,
 )

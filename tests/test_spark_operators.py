@@ -260,7 +260,7 @@ class TestAnnRecallGates:
             .where(F.col("cos") >= 0.35)
         )
         approx = embedding_neardup_pairs(
-            emb, threshold=0.35, dim=64, planes=2, tables=6
+            emb, threshold=0.35, dim=64, planes=4, tables=4, probe_radius=1
         )
         assert recall_against_exact(approx, exact, keys=("a", "b")) >= 0.9
 
