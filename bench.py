@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "embedding_neardup_lsh",
     "detect_mentions",
     "xsd_literals",
+    "turtle_serialize",
     "normalise_scheme",
     "uritemplate_expand",
     "subyt_render",

@@ -979,6 +979,48 @@ FROM triples
 )
 
 
+_register(
+    "turtle_serialize",
+    lambda spark, sf: __import__(
+        "py_sema_spark.serialize", fromlist=["turtle_blocks"]
+    ).turtle_blocks(kg_triples(spark, sf)),
+    KG_SQL
+    + r"""
+, objs AS (
+  SELECT s, p,
+    CASE WHEN o_kind = 'iri' THEN concat('<', o, '>')
+         WHEN o_kind = 'bnode' THEN o
+         ELSE concat('"',
+                     replace(replace(replace(replace(replace(o,
+                       '\', '\\'), '"', '\"'), chr(10), '\n'),
+                       chr(13), '\r'), chr(9), '\t'),
+                     '"',
+                     CASE WHEN o_lang IS NOT NULL THEN concat('@', o_lang)
+                          WHEN o_datatype IS NOT NULL
+                               AND o_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+                               THEN concat('^^<', o_datatype, '>')
+                          ELSE '' END)
+    END AS ot
+  FROM triples
+),
+per_sp AS (
+  SELECT s, p,
+         array_to_string(list_sort(list(DISTINCT ot)), ', ') AS objstr
+  FROM objs GROUP BY s, p
+)
+SELECT s,
+       concat(
+         CASE WHEN s LIKE '_:%' THEN s ELSE concat('<', s, '>') END,
+         ' ',
+         array_to_string(
+           list_sort(list(concat('<', p, '> ', objstr))),
+           concat(' ;', chr(10), '    ')),
+         ' .') AS block
+FROM per_sp GROUP BY s
+""",
+)
+
+
 def _unique_filenames(spark, sf):
     from ..serialize import unique_filename_col
 
