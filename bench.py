@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "detect_mentions",
     "xsd_literals",
     "turtle_serialize",
+    "jsonld_serialize",
     "normalise_scheme",
     "uritemplate_expand",
     "subyt_render",

@@ -1021,6 +1021,43 @@ FROM per_sp GROUP BY s
 )
 
 
+_register(
+    "jsonld_serialize",
+    lambda spark, sf: __import__(
+        "py_sema_spark.serialize", fromlist=["jsonld_nodes"]
+    ).jsonld_nodes(kg_triples(spark, sf)),
+    KG_SQL
+    + r"""
+, vals AS (
+  SELECT s, p,
+    CASE WHEN o_kind IN ('iri', 'bnode')
+           THEN concat('{"@id":', to_json(o), '}')
+         WHEN o_lang IS NOT NULL
+           THEN concat('{"@value":', to_json(o),
+                       ',"@language":', to_json(o_lang), '}')
+         WHEN o_datatype IS NOT NULL
+              AND o_datatype <> 'http://www.w3.org/2001/XMLSchema#string'
+           THEN concat('{"@value":', to_json(o),
+                       ',"@type":', to_json(o_datatype), '}')
+         ELSE concat('{"@value":', to_json(o), '}')
+    END AS vj
+  FROM triples
+),
+per_sp AS (
+  SELECT s, p,
+         concat(to_json(p), ':[',
+                array_to_string(list_sort(list(DISTINCT vj)), ','), ']')
+           AS entry
+  FROM vals GROUP BY s, p
+)
+SELECT s,
+       concat('{"@id":', to_json(s), ',',
+              array_to_string(list_sort(list(entry)), ','), '}') AS node
+FROM per_sp GROUP BY s
+""",
+)
+
+
 def _unique_filenames(spark, sf):
     from ..serialize import unique_filename_col
 

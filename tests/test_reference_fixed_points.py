@@ -198,3 +198,104 @@ class TestHarvestScenarioFixedPoints:
         # SPARQL-selected DOC4) must all verify
         assert len(asserts) == 4
         assert all(a["success"] for a in asserts)
+
+
+class TestDistributedExtractionFormats:
+    """The full 7-format fallback chain exercised through the
+    *distributed* extraction path (mapInPandas), on the reference's
+    own fixture documents plus synthetic pages for the wire formats
+    the fixtures don't cover."""
+
+    RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#">
+  <skos:Concept rdf:about="http://v.example/c1">
+    <skos:prefLabel xml:lang="en">carbon dioxide</skos:prefLabel>
+    <skos:broader rdf:resource="http://v.example/c0"/>
+  </skos:Concept>
+</rdf:RDF>"""
+    TRIG = """@prefix ex: <http://e.org/> .
+GRAPH ex:g { ex:a ex:p ex:b . ex:b ex:p ex:c . }"""
+    NQUADS = (
+        "<http://e.org/s1> <http://e.org/p> \"v1\" <http://e.org/g> .\n"
+        "<http://e.org/s2> <http://e.org/p> \"v2\" <http://e.org/g> .\n"
+    )
+
+    def test_all_formats_through_mapinpandas(self, spark):
+        from py_sema_spark.operators.extract import extract_structured
+
+        rows = []
+        for name in ("card.ttl", "metadata.ttl", "mrgid.jsonld",
+                     "ro-crate-metadata.json", "rocrate.html"):
+            body = (DOCROOT / name).read_text()
+            rows.append((BASE + name, None, body.encode(), body, "en"))
+        for name, body in (
+            ("page.rdf", self.RDFXML),
+            ("page.trig", self.TRIG),
+            ("page.nq", self.NQUADS),
+        ):
+            rows.append((BASE + name, None, body.encode(), body, "en"))
+        corpus = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string",
+        )
+        ex = extract_structured(corpus).where(
+            F.col("kind") == "triple"
+        ).persist()
+        fmt_by_url = {
+            r["src_url"]: r["fmt"]
+            for r in ex.select("src_url", "fmt").distinct().collect()
+        }
+        assert fmt_by_url[BASE + "page.rdf"] == "xml"
+        assert fmt_by_url[BASE + "page.trig"] == "trig"
+        assert fmt_by_url[BASE + "page.nq"] == "nquads"
+        assert fmt_by_url[BASE + "card.ttl"] == "turtle"
+        assert fmt_by_url[BASE + "mrgid.jsonld"] == "json-ld"
+        counts = {
+            r["src_url"]: r["n"]
+            for r in ex.groupBy("src_url").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts[BASE + "page.rdf"] == 3  # type + label + broader
+        assert counts[BASE + "page.trig"] == 2
+        assert counts[BASE + "page.nq"] == 2
+        # every RDF fixture document yields structured data;
+        # rocrate.html correctly yields none — it only signposts its
+        # ro-crate-metadata.json via <link rel=describedby>
+        for name in ("card.ttl", "metadata.ttl", "mrgid.jsonld",
+                     "ro-crate-metadata.json"):
+            assert counts.get(BASE + name, 0) > 0, name
+        assert BASE + "rocrate.html" not in counts
+        links = (
+            extract_structured(corpus)
+            .where(F.col("kind") == "link")
+            .collect()
+        )
+        assert any(
+            r["src_url"] == BASE + "rocrate.html"
+            and r["link_url"] == BASE + "ro-crate-metadata.json"
+            for r in links
+        )
+
+    def test_link_follow_pulls_signposted_metadata(self, spark):
+        """rocrate.html alone as seed: the bounded link-follow join
+        must fetch ro-crate-metadata.json and yield its triples
+        (discovery.py:195-207 recursion, batch form)."""
+        from py_sema_spark.operators.extract import extract_with_link_follow
+
+        rows = []
+        for name in ("rocrate.html", "ro-crate-metadata.json"):
+            body = (DOCROOT / name).read_text()
+            rows.append((BASE + name, None, body.encode(), body, "en"))
+        corpus = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string",
+        )
+        seeds = spark.createDataFrame(
+            [(BASE + "rocrate.html",)], "url string"
+        )
+        trips = extract_with_link_follow(corpus, seed_urls=seeds)
+        srcs = {r["src_url"] for r in trips.select("src_url").distinct().collect()}
+        assert BASE + "ro-crate-metadata.json" in srcs
+        assert trips.count() > 0

@@ -151,3 +151,31 @@ def test_node_constraint_propagates(spark, shapes):
     node_v = [v for v in viols if v["constraint"] == "node"][0]
     assert node_v["focus"].endswith("ann")
     assert node_v["value"].endswith("b1")
+
+
+def test_cyclic_node_shapes_terminate(spark):
+    """ADVICE r01: mutually-referencing sh:node shapes (A→B→A) must
+    validate without unbounded driver recursion."""
+    cyc_shapes = parse_shapes_ttl(
+        """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:AShape a sh:NodeShape ;
+    sh:targetClass ex:A ;
+    sh:property [ sh:path ex:toB ; sh:node ex:BShape ] .
+ex:BShape a sh:NodeShape ;
+    sh:property [ sh:path ex:toA ; sh:node ex:AShape ] .
+"""
+    )
+    data = triples_df(
+        spark,
+        """
+@prefix ex: <http://example.org/> .
+ex:a1 a ex:A ; ex:toB ex:b1 .
+ex:b1 ex:toA ex:a1 .
+""",
+    )
+    from py_sema_spark.shacl import validate
+
+    # terminates and reports no violations on the conforming cycle
+    assert validate(data, cyc_shapes).isEmpty()
