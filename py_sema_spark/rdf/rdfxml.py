@@ -285,6 +285,13 @@ def parse_rdfxml(text: str, base: str = "") -> List[Triple]:
     otherwise this is almost certainly not RDF/XML and we refuse, so
     the fallback chain's last entry doesn't claim arbitrary XML.
     """
+    # cheap necessary condition before the full XML parse: every
+    # RDF/XML document must declare the rdf namespace (rdf:RDF root or
+    # rdf:about/ID/nodeID syntax attrs all require it). This keeps the
+    # fallback chain's last entry from running ElementTree over every
+    # HTML page in a 10^12-document corpus.
+    if RDF_NS not in text:
+        raise RdfXmlParseError("rdf namespace not declared")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as e:  # noqa: BLE001 - chain moves on

@@ -117,3 +117,44 @@ def test_xsd_string_escape_parity(text):
             continue
         assert inner[i] != "'" or body.startswith("'''")
         i += 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), min_codepoint=1
+        ),
+        max_size=60,
+    ),
+    st.sampled_from(
+        [None, "en", "de-CH",
+         "http://www.w3.org/2001/XMLSchema#integer"]
+    ),
+)
+def test_nt_literal_roundtrip(text, tag):
+    """Serialize any literal with terms.n3 and parse it back with the
+    N-Triples parser: value, lang, and datatype survive — the escaping
+    contract shared by the NT/Turtle writers and the parse chain."""
+    from py_sema_spark.rdf.terms import literal, n3
+    from py_sema_spark.rdf.turtle import TurtleParseError
+
+    if tag is None:
+        term = literal(text)
+    elif tag.startswith("http"):
+        term = literal(text, datatype=tag)
+    else:
+        term = literal(text, lang=tag)
+    line = f"<urn:s> <urn:p> {n3(term)} ."
+    try:
+        ts = parse_ntriples(line)
+    except TurtleParseError:
+        # the writer must never emit unparseable lines
+        raise AssertionError(f"unparseable line: {line!r}")
+    assert len(ts) == 1
+    got = ts[0].o
+    assert got.value == text
+    assert (got.lang or None) == (term.lang or None)
+    want_dt = term.datatype or "http://www.w3.org/2001/XMLSchema#string"
+    if got.lang is None:
+        assert (got.datatype or "http://www.w3.org/2001/XMLSchema#string") == want_dt
