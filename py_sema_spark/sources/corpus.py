@@ -128,6 +128,85 @@ def _ttl_body(seed: int, i: int, n: int) -> str:
     return "\n".join(lines)
 
 
+def _wire_format(seed: int, i: int) -> str:
+    """Wire format for a ttl-kind page: the same triple content is
+    published as Turtle (60%), N-Triples / TriG / N-Quads / RDF-XML
+    (10% each) — the reference's full 7-format fallback chain
+    (discovery.py:148-156) exercised in the flagship corpus, not just
+    in parser unit tests."""
+    r = _h(seed, i, "wire") % 10
+    return {6: "nt", 7: "trig", 8: "nquads", 9: "xml"}.get(r, "turtle")
+
+
+def _reserialize(ttl_body: str, base: str, fmt: str, graph: str) -> str:
+    """Re-emit a Turtle document's triples in another wire format
+    (deterministic, pure Python — content-identical by construction;
+    asserted by tests/test_reference_fixed_points.py)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    from ..rdf.terms import RDF_NS, XSD, n3
+    from ..rdf.turtle import parse_turtle
+
+    triples = parse_turtle(ttl_body, base=base)
+    if fmt == "nt":
+        return "\n".join(
+            f"{n3(t.s)} {n3(t.p)} {n3(t.o)} ." for t in triples
+        )
+    if fmt == "nquads":
+        return "\n".join(
+            f"{n3(t.s)} {n3(t.p)} {n3(t.o)} <{graph}> ." for t in triples
+        )
+    if fmt == "trig":
+        body = "\n".join(
+            f"  {n3(t.s)} {n3(t.p)} {n3(t.o)} ." for t in triples
+        )
+        return f"GRAPH <{graph}> {{\n{body}\n}}"
+    if fmt == "xml":
+        by_s: dict = {}
+        for t in triples:
+            by_s.setdefault(t.s.value, []).append(t)
+        out = [
+            '<?xml version="1.0" encoding="utf-8"?>',
+            f'<rdf:RDF xmlns:rdf="{RDF_NS}">',
+        ]
+        for s, ts in by_s.items():
+            out.append(f"  <rdf:Description rdf:about={quoteattr(s)}>")
+            for t in ts:
+                ns, local = _split_iri(t.p.value)
+                tag = f"n:{local}"
+                nsdecl = f' xmlns:n="{escape(ns)}"'
+                o = t.o
+                if o.kind == "iri":
+                    out.append(
+                        f"    <{tag}{nsdecl} rdf:resource={quoteattr(o.value)}/>"
+                    )
+                elif o.lang:
+                    out.append(
+                        f'    <{tag}{nsdecl} xml:lang="{o.lang}">'
+                        f"{escape(o.value)}</{tag}>"
+                    )
+                elif o.datatype and o.datatype != XSD + "string":
+                    out.append(
+                        f"    <{tag}{nsdecl} rdf:datatype="
+                        f"{quoteattr(o.datatype)}>{escape(o.value)}</{tag}>"
+                    )
+                else:
+                    out.append(f"    <{tag}{nsdecl}>{escape(o.value)}</{tag}>")
+            out.append("  </rdf:Description>")
+        out.append("</rdf:RDF>")
+        return "\n".join(out)
+    raise ValueError(fmt)
+
+
+def _split_iri(iri: str) -> tuple:
+    """Split a predicate IRI into (namespace, XML-NCName local part)."""
+    for sep in ("#", "/"):
+        k = iri.rfind(sep)
+        if k > 0 and k + 1 < len(iri):
+            return iri[: k + 1], iri[k + 1 :]
+    return iri, "p"
+
+
 def _jsonld_body(seed: int, i: int) -> str:
     label = entity_label(seed, i)
     doc = {
@@ -197,6 +276,11 @@ def build_page(seed: int, i: int, n: int) -> tuple:
     kind = page_kind(seed, i)
     if kind == "ttl":
         body = _ttl_body(seed, i, n)
+        wire = _wire_format(seed, i)
+        if wire != "turtle":
+            body = _reserialize(
+                body, page_url(i), wire, f"urn:graph:{i}"
+            )
         text = body
         lang = "en"
     elif kind == "jsonld":

@@ -414,3 +414,38 @@ class TestFullFallbackChain:
 </rdf:RDF>"""
         ts, fmt = parse_rdf_auto(doc)
         assert fmt == "xml" and len(ts) == 1
+
+
+class TestCorpusWireFormats:
+    """The flagship corpus publishes the same triple content in five
+    wire formats (turtle 60%, nt/trig/nquads/rdf-xml 10% each) — each
+    variant must resolve through the fallback chain to the *identical*
+    triple set as its Turtle form (so the extraction golden is
+    wire-format-invariant by construction)."""
+
+    @pytest.mark.parametrize("i", [0, 2, 5, 8, 37])
+    def test_variant_equals_turtle(self, i):
+        from py_sema_spark.rdf.turtle import parse_turtle
+        from py_sema_spark.sources.corpus import (
+            _reserialize,
+            _ttl_body,
+            _wire_format,
+            page_url,
+        )
+
+        ttl = _ttl_body(42, i, 500)
+        want = {
+            (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype, t.o.lang)
+            for t in parse_turtle(ttl, base=page_url(i))
+        }
+        wire = _wire_format(42, i)
+        body = ttl if wire == "turtle" else _reserialize(
+            ttl, page_url(i), wire, f"urn:graph:{i}"
+        )
+        got_ts, fmt = parse_rdf_auto(body, base=page_url(i))
+        got = {
+            (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype, t.o.lang)
+            for t in got_ts
+        }
+        assert got == want
+        assert fmt in ("turtle", "trig", "nquads", "xml")
