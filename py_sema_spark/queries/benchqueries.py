@@ -728,19 +728,132 @@ WHERE list_dot_product(x.v, y.v)
 """,
 )
 
-# LSH variants: recall-bounded approximations — rows-only check from
-# the driver, but quantified: tests/test_spark_operators.py gates
-# recall vs the oracled brute-force twins, and bench.py records the
-# measured recall in its JSON. Params here are the measured ≥0.9
-# operating points on the (near-random) testdata embeddings.
+# LSH/IVF approximations: deterministic by construction (md5-seeded
+# hyperplanes / centroid choice), so they get FULL DuckDB oracles —
+# the hyperplane constants are generated from the same `_hyperplane`
+# code and inlined into the SQL. Recall vs the brute twins is
+# additionally gated in tests and recorded by bench.py.
+
+
+def _lsh_bucket_sql(vec: str, table: int, planes: int, dim: int) -> str:
+    from ..operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(planes):
+        arr = "[" + ",".join(repr(c) for c in _hyperplane(table, p, dim)) + "]"
+        bit = 2 ** (planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0"
+            f" THEN {bit} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle(
+    k: int = 5, dim: int = 64, planes: int = 6, tables: int = 4,
+    radius: int = 2,
+) -> str:
+    from ..operators.similarity import _probe_masks
+
+    masks = ",".join(str(m) for m in _probe_masks(planes, radius))
+    eb_cols = ", ".join(
+        f"{_lsh_bucket_sql('v', t, planes, dim)} AS b{t}"
+        for t in range(tables)
+    )
+    qb_cols = ", ".join(
+        f"{_lsh_bucket_sql('q_vec', t, planes, dim)} AS b{t}"
+        for t in range(tables)
+    )
+    cand_branches = "\n  UNION\n".join(
+        f"  SELECT qb.q_id, eb.vec_id FROM eb, qb,"
+        f" (SELECT unnest([{masks}]) AS m) mm"
+        f" WHERE eb.b{t} = xor(qb.b{t}, mm.m)"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 8),
+eb AS (SELECT vec_id, v, {eb_cols} FROM e),
+qb AS (SELECT q_id, q_vec, {qb_cols} FROM q),
+cand AS (
+{cand_branches}
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(e.v, q.q_vec)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS c
+  FROM (SELECT DISTINCT q_id, vec_id FROM cand) c
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN q ON q.q_id = c.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 _register(
     "lsh_cosine_topk",
     lambda spark, sf: lsh_cosine_topk(
         _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5, dim=64,
         probe_radius=2,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
-    None,
+    _lsh_topk_oracle(k=5, dim=64, planes=6, tables=4, radius=2),
 )
+def _ivf_topk_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 8),
+cent AS (
+  SELECT v AS cv,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS cidx
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists}
+),
+easn AS (
+  SELECT vec_id, v, cidx FROM (
+    SELECT e.vec_id, e.v, c.cidx,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        c.cidx ASC) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+),
+qasn AS (
+  SELECT q_id, q_vec, cidx FROM (
+    SELECT q.q_id, q.q_vec, c.cidx,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        list_dot_product(q.q_vec, c.cv)
+        / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        c.cidx ASC) AS rn
+    FROM q, cent c
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT qa.q_id, ea.vec_id,
+         list_dot_product(ea.v, qa.q_vec)
+         / (sqrt(list_dot_product(ea.v, ea.v))
+            * sqrt(list_dot_product(qa.q_vec, qa.q_vec))) AS c
+  FROM easn ea JOIN qasn qa ON ea.cidx = qa.cidx
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+  FROM (SELECT DISTINCT q_id, vec_id, c FROM scored)
+)
+SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 _register(
     "ivf_cosine_topk",
     lambda spark, sf: __import__(
@@ -749,15 +862,51 @@ _register(
         _t(spark, sf, "embeddings"), _queries_df(spark, sf),
         k=5, n_lists=16, n_probe=8,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
-    None,
+    _ivf_topk_oracle(k=5, n_lists=16, n_probe=8),
 )
+def _neardup_lsh_oracle(
+    threshold: float = 0.35, dim: int = 64, planes: int = 4,
+    tables: int = 4, radius: int = 1,
+) -> str:
+    from ..operators.similarity import _probe_masks
+
+    masks = ",".join(str(m) for m in _probe_masks(planes, radius))
+    eb_cols = ", ".join(
+        f"{_lsh_bucket_sql('v', t, planes, dim)} AS b{t}"
+        for t in range(tables)
+    )
+    branches = "\n  UNION\n".join(
+        f"  SELECT x.vec_id AS a, y.vec_id AS b FROM eb x, eb y,"
+        f" (SELECT unnest([{masks}]) AS m) mm"
+        f" WHERE xor(x.b{t}, mm.m) = y.b{t} AND x.vec_id < y.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v, {eb_cols} FROM e),
+cand AS (
+{branches}
+),
+scored AS (
+  SELECT c.a, c.b,
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v))
+            * sqrt(list_dot_product(y.v, y.v))) AS c
+  FROM (SELECT DISTINCT a, b FROM cand) c
+  JOIN e x ON x.vec_id = c.a
+  JOIN e y ON y.vec_id = c.b
+)
+SELECT a, b, round(c, 6) AS cos FROM scored WHERE c >= {threshold}
+"""
+
+
 _register(
     "embedding_neardup_lsh",
     lambda spark, sf: embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.35, dim=64,
         planes=4, tables=4, probe_radius=1,
     ).select("a", "b", F.round(F.col("cos"), 6).alias("cos")),
-    None,
+    _neardup_lsh_oracle(0.35, 64, 4, 4, 1),
 )
 
 # ---- entity linkage ----
