@@ -294,19 +294,39 @@ def unique_filename_col(
 
 
 def files_as_corpus(
-    spark: SparkSession, patterns: Dict[str, str] | List[str]
+    spark: SparkSession,
+    patterns: Dict[str, str] | List[str],
+    root: Optional[str] = None,
+    excludes: Optional[List[str]] = None,
 ) -> DataFrame:
     """Aggregator front-end: glob patterns (optionally mapped to a
     format hint, which the format-fallback parser makes advisory) →
     corpus rows (url=file URI, html=bytes). Parsing then runs through
-    the same distributed extraction stage as web pages."""
+    the same distributed extraction stage as web pages.
+
+    With ``root`` set, patterns resolve through the reference's
+    include/exclude glob rules (functions/globbery.py — commons/glob
+    parity) instead of plain ``glob.glob``."""
     if isinstance(patterns, dict):
         pats = list(patterns.keys())
     else:
         pats = list(patterns)
     paths: List[str] = []
-    for p in pats:
-        paths.extend(sorted(_glob.glob(p, recursive=True)))
+    if root is not None:
+        from .functions.globbery import matching_glob_paths
+
+        paths = [
+            str(p)
+            for p in sorted(
+                matching_glob_paths(
+                    root, pats, excludes, only_files=True,
+                    make_relative=False,
+                )
+            )
+        ]
+    else:
+        for p in pats:
+            paths.extend(sorted(_glob.glob(p, recursive=True)))
     if not paths:
         raise FileNotFoundError(f"no files matched {pats}")
     df = spark.read.format("binaryFile").load(paths)
