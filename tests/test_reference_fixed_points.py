@@ -299,3 +299,28 @@ GRAPH ex:g { ex:a ex:p ex:b . ex:b ex:p ex:c . }"""
         srcs = {r["src_url"] for r in trips.select("src_url").distinct().collect()}
         assert BASE + "ro-crate-metadata.json" in srcs
         assert trips.count() > 0
+
+
+class TestOgmFixedPoint:
+    def test_object_graph_mapping_blueprint(self, spark):
+        """The reference's executed OGM golden
+        (tests/commons/ogm/test_object_graph_mapper.py:9-32): the
+        blueprint YAML builds a graph isomorphic to the committed
+        expected Turtle. No bnodes → isomorphism == set equality."""
+        from py_sema_spark.ogm import build_triples_yaml
+
+        ogm_dir = REF / "commons" / "ogm" / "data"
+        yml = (ogm_dir / "object_graph_mapping.yml").read_text()
+        df = build_triples_yaml(
+            spark, yml, namespaces={"@base": "http://example.org/"}
+        )
+        got = {
+            (r["s"], r["p"], r["o"], r["o_kind"])
+            for r in df.collect()
+        }
+        want_ts, fmt = parse_rdf_auto(
+            (ogm_dir / "object_graph_mapping_expected.ttl").read_text()
+        )
+        assert fmt == "turtle"
+        want = {(t.s.value, t.p.value, t.o.value, t.o.kind) for t in want_ts}
+        assert got == want
