@@ -65,3 +65,47 @@ def first_per_key(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+import re as _re  # noqa: E402
+
+_UPAT_RE = _re.compile(r"\{([^{}]+)\}")
+
+
+def unique_pattern_key_col(pattern: str) -> F.Column:
+    """The reference's ``unique_pattern`` source filter key
+    (FilteringSource, subyt/sources.py: URITemplate over the record
+    with prefix modifiers — ``{orcid:9}`` keys on the first 9 chars)
+    as a pure column expression: literals → lit, ``{var}`` → the
+    column, ``{var:n}`` → substring(col, 1, n). Key *equality* is what
+    matters for dedup, so pct-encoding is skipped (equal inputs expand
+    equal either way)."""
+    parts = []
+    pos = 0
+    for m in _UPAT_RE.finditer(pattern):
+        if m.start() > pos:
+            parts.append(F.lit(pattern[pos : m.start()]))
+        spec = m.group(1)
+        name, _, trunc = spec.rpartition(":")
+        if not name or not trunc.isdigit():
+            name, trunc = spec, ""
+        col = F.col(name).cast("string")
+        parts.append(F.substring(col, 1, int(trunc)) if trunc else col)
+        pos = m.end()
+    if pos < len(pattern):
+        parts.append(F.lit(pattern[pos:]))
+    if not parts:
+        raise ValueError("empty unique_pattern")
+    return F.concat_ws("\x1f", *parts)
+
+
+def unique_by_pattern(
+    df: DataFrame, pattern: str, order_col: str = "_ord"
+) -> DataFrame:
+    """First record per expanded unique-pattern key, in source order —
+    the distributed FilteringSource."""
+    return first_per_key(
+        df.withColumn("_ukey", unique_pattern_key_col(pattern)),
+        ["_ukey"],
+        [order_col],
+    ).drop("_ukey")

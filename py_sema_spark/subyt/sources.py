@@ -159,10 +159,20 @@ def make_source_df(
     spark: SparkSession,
     identifier: str,
     fmt: Optional[str] = None,
+    unique_pattern: Optional[str] = None,
     **options,
 ) -> DataFrame:
     """SourceFactory.make_source equivalent: dispatch path / glob /
-    folder to a reader by extension (or explicit ``fmt``)."""
+    folder to a reader by extension (or explicit ``fmt``).
+
+    ``unique_pattern`` wraps the source in the reference's
+    FilteringSource semantics (first record per expanded URI-template
+    key, source order — subyt/sources.py FilteringSource)."""
+    if unique_pattern is not None:
+        from ..operators.windows import unique_by_pattern
+
+        base = make_source_df(spark, identifier, fmt, **options)
+        return unique_by_pattern(base, unique_pattern)
     if os.path.isdir(identifier):
         paths = sorted(
             os.path.join(identifier, p)

@@ -117,3 +117,40 @@ def test_reference_golden(spark, inputs, sets_dict, tpl_name):
             f"{tpl_name} part {i} mismatch:\n--- got ---\n{got.strip()}\n"
             f"--- want ---\n{want.strip()}"
         )
+
+
+class TestUniqueFilterFixedPoints:
+    """The reference's executed FilteringSource assertions
+    (tests/subyt/test_unique_filter_source.py:55-103) on its own data
+    files: 246 countries; 27 first-per-leading-char countries in
+    source order; 3 first-per-orcid-prefix team members by name."""
+
+    def test_countries_count_and_leadchar_uniques(self, spark):
+        path = str(REF / "in" / "data_countries.csv")
+        full = make_source_df(spark, path)
+        assert full.count() == 246
+        uniq = make_source_df(
+            spark, path,
+            unique_pattern="{English short name lower case:1}",
+        )
+        rows = collect_set(uniq)
+        expected_leadchars = "AÅBCDEFGHIJKLMNOPQRSTUVWYZ"
+        assert len(rows) == len(expected_leadchars)
+        for i, ch in enumerate(expected_leadchars):
+            assert rows[i]["English short name lower case"].startswith(ch)
+
+    def test_team_orcid_prefix_uniques(self, spark):
+        path = str(REF / "in" / "data_team.json")
+        full = make_source_df(spark, path)
+        assert full.count() == 5
+        uniq = make_source_df(spark, path, unique_pattern="{orcid:9}")
+        rows = collect_set(uniq)
+        assert len(rows) == 3
+        expected_names = [
+            "Cedric Decruw",
+            "Katrina Exter",
+            "Laurian Van Maldeghem",
+        ]
+        for i in range(3):
+            assert rows[i]["orcid"].startswith(f"0000-000{i + 1}")
+            assert rows[i]["name"] == expected_names[i]
