@@ -43,8 +43,20 @@ def resolve_term(
     if isinstance(value, float):
         return str(value), "literal", XSD + "double", None
     s = str(value)
-    if s.startswith("\\"):
-        return s[1:], "literal", None, None
+    # backslash-escaped specials force a plain literal with the
+    # escapes removed ("\\<bar\\>" → "<bar>", "foo\\:bar" →
+    # "foo:bar") — TermBuilder._parse nop semantics
+    # (term_builder.py, asserted by the reference's own vectors in
+    # tests/commons/ogm/test_term_builder.py)
+    import re as _re
+
+    if _re.search(r"\\[<>:]", s) or s.startswith("\\"):
+        return _re.sub(r"\\(.)", r"\1", s), "literal", None, None
+    # a quoted typed literal stays a literal even when its lexical
+    # form is an IRI ('"http://…"^^xsd:string' → Literal, reference
+    # vector test_term_builder.py:101-103) — check before IRI ladders
+    if s.endswith("^^xsd:string") and s.startswith('"'):
+        return s[1:-len('"^^xsd:string')], "literal", XSD + "string", None
     if s.startswith("<") and s.endswith(">"):
         inner = s[1:-1]
         if "://" in inner or inner.startswith("urn:"):
@@ -55,8 +67,6 @@ def resolve_term(
     pfx, sep, local = s.partition(":")
     if sep and pfx in prefixes:
         return prefixes[pfx] + local, "iri", None, None
-    if s.endswith("^^xsd:string") and s.startswith('"'):
-        return s[1:-len('"^^xsd:string')], "literal", XSD + "string", None
     return s, "literal", None, None
 
 

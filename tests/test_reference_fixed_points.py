@@ -324,3 +324,31 @@ class TestOgmFixedPoint:
         assert fmt == "turtle"
         want = {(t.s.value, t.p.value, t.o.value, t.o.kind) for t in want_ts}
         assert got == want
+
+
+class TestTermBuilderVectors:
+    """The reference's executed TermBuilder vectors
+    (tests/commons/ogm/test_term_builder.py:63-103) through our
+    resolve_term ladder: same inputs, same term kind + value."""
+
+    def test_vectors(self):
+        from py_sema_spark.ogm import resolve_term
+
+        prefixes = {"": "urn:void:", "foo": "urn:foo:"}
+        base = "urn:base:"
+
+        def rt(v):
+            val, kind, _dt, _lang = resolve_term(v, prefixes, base)
+            return val, kind
+
+        assert rt("<bar>") == ("urn:base:bar", "iri")
+        assert rt(":bar") == ("urn:void:bar", "iri")
+        assert rt("foo:bar") == ("urn:foo:bar", "iri")
+        assert rt("bar") == ("bar", "literal")
+        assert rt("\\<bar\\>") == ("<bar>", "literal")
+        assert rt("\\:bar") == (":bar", "literal")
+        assert rt("foo\\:bar") == ("foo:bar", "literal")
+        assert rt("http://foo.net/bar") == ("http://foo.net/bar", "iri")
+        assert rt('"http://foo.net/bar"^^xsd:string') == (
+            "http://foo.net/bar", "literal",
+        )
