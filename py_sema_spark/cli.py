@@ -159,6 +159,28 @@ def cmd_shacl(args) -> int:
     return 0 if not rows else 1
 
 
+def cmd_rocreate(args) -> int:
+    """RO-Crate creator (the reference's `sema ro creator` CLI,
+    ro/creator/__main__.py): blueprint + crate dir → metadata file."""
+    spark = _spark(args)
+    import os
+
+    from .ogm import ro_creator_triples, rocrate_metadata_json
+
+    env = dict(kv.split("=", 1) for kv in (args.env or []))
+    with open(args.blueprint) as f:
+        text = f.read()
+    df = ro_creator_triples(spark, text, env=env, crate_root=args.crate)
+    out = args.out or os.path.join(args.crate, "ro-crate-metadata.json")
+    if os.path.exists(out) and not args.force:
+        print(json.dumps({"error": "exists", "path": out}))
+        return 1
+    with open(out, "w") as f:
+        f.write(rocrate_metadata_json(df))
+    print(json.dumps({"path": out, "triples": df.count()}))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     spark = _spark(args)
     from .pipeline import Pipeline
@@ -232,6 +254,14 @@ def main(argv=None) -> int:
     p.add_argument("--shapes", required=True)
     p.add_argument("--data", required=True)
     p.set_defaults(fn=cmd_shacl)
+
+    p = sub.add_parser("rocreate", help="blueprint + crate dir → RO-Crate metadata")
+    p.add_argument("--blueprint", required=True)
+    p.add_argument("--crate", required=True)
+    p.add_argument("--env", action="append", metavar="K=V")
+    p.add_argument("--out", default=None)
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_rocreate)
 
     p = sub.add_parser("pipeline", help="full KG pipeline with resume")
     p.add_argument("--corpus", required=True)

@@ -352,3 +352,103 @@ class TestTermBuilderVectors:
         assert rt('"http://foo.net/bar"^^xsd:string') == (
             "http://foo.net/bar", "literal",
         )
+
+
+class TestROCreatorFixedPoint:
+    """The reference's executed RO-Crate creator golden
+    (tests/ro/creator/test_rocreator.py): blueprint + crate directory
+    walk + DOI env substitution → the committed expected metadata.
+    Graph isomorphism there needs the remote crate @context; here the
+    same content is asserted semantically, hand-derived from
+    ro-crate-metadata-expected.json."""
+
+    def test_katoomba_rainfall_crate(self, spark):
+        from py_sema_spark.ogm import SCHEMA_NS, ro_creator_triples
+
+        data = REF / "ro" / "creator" / "data"
+        df = ro_creator_triples(
+            spark,
+            (data / "sema_roc.yml").read_text(),
+            env={"DOI": "https://doi.org/10.3233/DS-210053"},
+            crate_root=str(data / "katoomba-rainfall"),
+        )
+        rows = [
+            (r["s"], r["p"], r["o"], r["o_kind"]) for r in df.collect()
+        ]
+        by_sp = {}
+        for s, p, o, k in rows:
+            by_sp.setdefault((s, p), []).append((o, k))
+
+        # root dataset: hasPart = the explicit data.csv + the three
+        # walked data*.csv files (implicit_file is NOT matched)
+        parts = {o for o, _ in by_sp[("./", SCHEMA_NS + "hasPart")]}
+        assert parts == {"data.csv", "data0.csv", "data1.csv", "datan.csv"}
+        # DOI resolved from the env into a literal
+        assert by_sp[("./", SCHEMA_NS + "doi")] == [
+            ("https://doi.org/10.3233/DS-210053", "literal")
+        ]
+        # pattern-applied encodingFormat, explicit override for datan
+        fmt = SCHEMA_NS + "encodingFormat"
+        assert by_sp[("data0.csv", fmt)] == [("application/parquet", "literal")]
+        assert by_sp[("data1.csv", fmt)] == [("application/parquet", "literal")]
+        assert by_sp[("datan.csv", fmt)] == [("application/hdf", "literal")]
+        assert by_sp[("data.csv", fmt)] == [("text/csv", "literal")]
+        # structural metadata node
+        assert by_sp[("ro-crate-metadata.json", SCHEMA_NS + "about")] == [
+            ("./", "iri")
+        ]
+        assert by_sp[("ro-crate-metadata.json", SCHEMA_NS + "conformsTo")] == [
+            ("https://w3id.org/ro/crate/1.2", "iri")
+        ]
+        # organization node with IRI identifier
+        org = "https://ror.org/04dkp1p98"
+        assert by_sp[(org, SCHEMA_NS + "name")] == [
+            ("Bureau of Meteorology", "literal")
+        ]
+        # quoted ^^xsd:string keeps the url a literal
+        assert by_sp[(org, SCHEMA_NS + "url")][0] == (
+            "http://www.bom.gov.au/", "literal",
+        )
+        # spreadsheets stays an (empty) Dataset; implicit_file absent
+        types = {o for o, _ in by_sp[("spreadsheets",
+                                      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")]}
+        assert types == {SCHEMA_NS + "Dataset"}
+        assert not any(s == "implicit_file" for s, _, _, _ in rows)
+        # license values resolve as IRIs (the :// ladder)
+        assert by_sp[("data.csv", SCHEMA_NS + "license")] == [
+            ("https://creativecommons.org/licenses/by-nc-sa/3.0/au/", "iri")
+        ]
+
+
+class TestROCrateMetadataWriter:
+    def test_metadata_document_roundtrips(self, spark, tmp_path):
+        """The written metadata is valid JSON-LD our own parser reads
+        back to the same triples (modulo the compacted @context, which
+        the parser ignores by design — remote contexts don't resolve
+        in batch)."""
+        import json
+
+        from py_sema_spark.ogm import (
+            ro_creator_triples,
+            rocrate_metadata_json,
+        )
+
+        data = REF / "ro" / "creator" / "data"
+        df = ro_creator_triples(
+            spark,
+            (data / "sema_roc.yml").read_text(),
+            env={"DOI": "https://doi.org/10.3233/DS-210053"},
+            crate_root=str(data / "katoomba-rainfall"),
+        )
+        doc = rocrate_metadata_json(df)
+        parsed = json.loads(doc)
+        assert parsed["@context"].startswith("https://w3id.org/ro/crate")
+        ids = [n["@id"] for n in parsed["@graph"]]
+        assert ids == sorted(ids)  # deterministic
+        root = [n for n in parsed["@graph"] if n["@id"] == "./"][0]
+        assert root["@type"] == "Dataset"
+        assert {p["@id"] for p in root["hasPart"]} == {
+            "data.csv", "data0.csv", "data1.csv", "datan.csv",
+        }
+        # regenerating is byte-stable
+        assert rocrate_metadata_json(df) == doc
