@@ -452,3 +452,41 @@ class TestROCrateMetadataWriter:
         }
         # regenerating is byte-stable
         assert rocrate_metadata_json(df) == doc
+
+
+class TestSparqlTemplateIntrospection:
+    """The reference's executed variable-introspection table
+    (tests/commons/j2/const.py:13-25) against its *actual* template
+    files, through our SparqlBuilder."""
+
+    EXPECTED = {
+        "all.sparql": {"N"},
+        "bodc-find.sparql": {"regex", "collections", "language"},
+        "bodc-listing.sparql": {"cc", "lang", "N"},
+        "broader-terms.sparql": {"term", "language"},
+        "rdf-predicates-count.sparql": set(),
+        "rdf-predicates.sparql": {"regex"},
+        "rdf-types.sparql": {"regex"},
+        "skos-broader-depth.sparql": set(),
+        "skos-collection-member-count.sparql": set(),
+        "skos-collection.sparql": {"language"},
+        "term-match-in-collection.sparql": {"term", "col_uri", "N"},
+    }
+
+    def test_variables_match_reference_table(self):
+        from py_sema_spark.queries.templated import SparqlBuilder
+
+        folder = Path("/root/reference/sema/query/sparql_templates")
+        b = SparqlBuilder(str(folder))
+        for name, want in self.EXPECTED.items():
+            assert b.variables_in_template(name) == want, name
+
+    def test_render_all_with_723(self):
+        """const.py:29-31: all.sparql with N=723 renders the exact
+        LIMIT-723 query string."""
+        from py_sema_spark.queries.templated import SparqlBuilder
+
+        b = SparqlBuilder("/root/reference/sema/query/sparql_templates")
+        out = b.build_syntax("all.sparql", N=723)
+        assert "LIMIT 723" in out
+        assert "SELECT * WHERE { ?s ?p ?o. }" in out.replace("\n", " ")
