@@ -54,6 +54,24 @@ class JsonLdError(ValueError):
     pass
 
 
+# Bundled stand-ins for the most common remote contexts on the web —
+# "@context": "https://schema.org" is the dominant Common-Crawl shape
+# and would otherwise lose every vocab-mapped property. The RO-Crate
+# contexts are schema.org-term-for-term for the names that matter
+# here; @vocab is a documented approximation of their full term lists
+# (terms the real context omits map to schema.org IRIs instead of
+# being dropped — recall 1.0, naming differs only for non-schema.org
+# extension terms).
+_SCHEMA_VOCAB = {"@vocab": "http://schema.org/"}
+KNOWN_REMOTE_CONTEXTS: Dict[str, dict] = {
+    "https://schema.org": _SCHEMA_VOCAB,
+    "http://schema.org": _SCHEMA_VOCAB,
+    "https://schema.org/docs/jsonld/schema.jsonld": _SCHEMA_VOCAB,
+    "https://w3id.org/ro/crate/1.1/context": _SCHEMA_VOCAB,
+    "https://w3id.org/ro/crate/1.2/context": _SCHEMA_VOCAB,
+}
+
+
 class _Ctx:
     __slots__ = ("prefixes", "terms", "vocab", "base", "lang")
 
@@ -93,7 +111,14 @@ class _JsonLdToRdf:
                 ctx = self._apply_context(ctx, c)
             return ctx
         if isinstance(context, str):
-            return ctx  # remote context: ignored (no fetching at scale)
+            # remote contexts are never fetched at corpus scale;
+            # well-known ones are bundled instead (KNOWN_REMOTE_CONTEXTS
+            # — the standard offline-context practice). Unknown URLs
+            # stay ignored, as before.
+            bundled = KNOWN_REMOTE_CONTEXTS.get(context.rstrip("/"))
+            if bundled is not None:
+                return self._apply_context(ctx, bundled)
+            return ctx
         if not isinstance(context, dict):
             return ctx
         ctx = ctx.child()

@@ -133,6 +133,45 @@ class TestDocFixtureCounts:
             )
             assert ts, f"{name} yielded no triples"
 
+    def test_discovery_direct_case_counts(self):
+        """tests/discovery/test_discovery.py DIRECT_CASES — the
+        executed per-document triple counts (discover_subject over the
+        local httpd fixture): card.ttl 86, mrgid.jsonld 99,
+        homepage.html→metadata.ttl 83, s3_bucket 86. Exact parity.
+
+        rocrate.html→ro-crate-metadata.json is 532 for the reference
+        (rdflib fetches the remote RO-Crate @context, which *drops*
+        terms it doesn't map); our bundled-context registry maps the
+        same document through @vocab=schema.org instead — no term is
+        silently dropped, so the count is 676 (documented divergence:
+        recall 1.0 of the reference's 532, extension terms carry
+        schema.org IRIs)."""
+        expected = {
+            "card.ttl": 86,
+            "mrgid.jsonld": 99,
+            "metadata.ttl": 83,  # the homepage.html describedby target
+            "s3_bucket": 86,
+            "ro-crate-metadata.json": 676,
+        }
+        for name, count in expected.items():
+            ts, _fmt = parse_rdf_auto(
+                (DOCROOT / name).read_text(), base=BASE + name
+            )
+            assert len(ts) == count, (name, len(ts))
+
+    def test_schema_org_remote_context(self):
+        """'@context': 'https://schema.org' — the dominant
+        Common-Crawl JSON-LD shape — must resolve through the bundled
+        context registry, not be silently ignored."""
+        doc = (
+            '{"@context": "https://schema.org", "@id": "http://e/1",'
+            ' "@type": "Person", "name": "Ada"}'
+        )
+        ts, fmt = parse_rdf_auto(doc)
+        assert fmt == "json-ld"
+        spo = {(t.p.value, t.o.value) for t in ts}
+        assert ("http://schema.org/name", "Ada") in spo
+
     def test_homepage_links_to_metadata(self):
         """homepage.html carries <link rel=describedby
         href=./metadata.ttl> — the signposting hop the reference's
