@@ -79,3 +79,67 @@ def windowed_page_counts(
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("lang"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def stream_unique_filter(
+    stream: DataFrame,
+    key_cols,
+    state_timeout_s: Optional[int] = None,
+) -> DataFrame:
+    """Streaming first-per-key dedup with *explicit* state —
+    ``applyInPandasWithState`` (the unique-pattern filter F1 /
+    ``dropDuplicates`` in stream form, but with inspectable,
+    checkpoint-restored state and an optional per-key TTL).
+
+    Semantics: the first row ever seen for a key (across micro-batches
+    AND across restarts — state lives in the checkpoint) is emitted;
+    later rows only bump the key's count. With ``state_timeout_s`` a
+    key whose state idles past the TTL is forgotten, so the same key
+    re-emits — the bounded-memory trade every 10^12-row streaming
+    dedup must make (exact forever-state does not fit; TTL windows
+    bound it).
+
+    Rows within one batch keep their first occurrence by the order
+    Spark delivers the group's batch iterator (file order under the
+    file source).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_cols = list(key_cols)
+    out_schema = stream.schema
+    state_schema = "seen bigint"
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry callback: forget the key entirely
+            state.remove()
+            yield pd.DataFrame(
+                columns=[f.name for f in out_schema.fields]
+            )
+            return
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if seen == 0 and n_new == 0:
+                first = pdf.iloc[[0]]
+            n_new += len(pdf)
+        state.update((seen + n_new,))
+        if state_timeout_s is not None:
+            state.setTimeoutDuration(state_timeout_s * 1000)
+        if first is not None:
+            yield first
+        else:
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_s is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", timeout
+    )

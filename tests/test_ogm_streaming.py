@@ -168,3 +168,63 @@ class TestTemplatedSparql:
         b = SparqlBuilder(str(tmp_path))
         assert b.variables_in_template("q.sparql") == {"pred", "n"}
         assert "LIMIT 5" in b.build_syntax("q.sparql", pred="urn:p", n=5)
+
+
+class TestStatefulStreamDedup:
+    """applyInPandasWithState custom stateful operator (the task
+    brief's streaming requirement): first-per-key across micro-batches
+    AND across restarts — state lives in the checkpoint."""
+
+    def _write_batch(self, spark, path, rows, fname):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["k", "v"])
+        pdf.to_parquet(f"{path}/{fname}")
+
+    def _run_once(self, spark, src, out, ckpt):
+        from py_sema_spark.streaming import stream_unique_filter
+
+        stream = (
+            spark.readStream.schema("k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        uniq = stream_unique_filter(stream, ["k"])
+        q = (
+            uniq.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def test_first_per_key_across_batches_and_restarts(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        import os
+
+        os.makedirs(src)
+        # two files → two micro-batches within run 1
+        self._write_batch(spark, src, [("a", 1), ("b", 2)], "f1.parquet")
+        self._write_batch(spark, src, [("a", 3), ("c", 4)], "f2.parquet")
+        self._run_once(spark, src, out, ckpt)
+        got = {
+            (r["k"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {("a", 1), ("b", 2), ("c", 4)}
+
+        # run 2, same checkpoint: 'a' is already in state → only the
+        # brand-new key emits (exactly-once dedup across restarts)
+        self._write_batch(spark, src, [("a", 9), ("d", 5)], "f3.parquet")
+        self._run_once(spark, src, out, ckpt)
+        got = {
+            (r["k"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {("a", 1), ("b", 2), ("c", 4), ("d", 5)}
