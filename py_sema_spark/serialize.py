@@ -339,15 +339,35 @@ def files_as_corpus(
     )
 
 
+def parse_globs_spec(spec: str) -> Dict[str, str]:
+    """The reference Aggregator's globs spec string —
+    ``"**/*.ttl: ttl, **/*.json: json-ld"`` — as a pattern→format
+    dict (the format hint is advisory; the fallback parser decides)."""
+    out: Dict[str, str] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        pattern, _, fmt = part.partition(":")
+        out[pattern.strip()] = fmt.strip()
+    return out
+
+
 def aggregate_files(
-    spark: SparkSession, patterns: Dict[str, str] | List[str]
+    spark: SparkSession,
+    patterns: Dict[str, str] | List[str] | str,
+    root: Optional[str] = None,
 ) -> DataFrame:
     """The reference Aggregator (aggregator.py:9-40): parse every
-    matched file into one triples set."""
+    matched file into one deduplicated triples set. ``patterns`` may
+    be the reference's spec string form; with ``root`` the patterns
+    resolve root-relative (include/exclude glob rules)."""
     from .model import dedup_triples
     from .operators.extract import extract_structured, triples_of
 
-    corpus = files_as_corpus(spark, patterns)
+    if isinstance(patterns, str):
+        patterns = parse_globs_spec(patterns)
+    corpus = files_as_corpus(spark, patterns, root=root)
     return dedup_triples(
         triples_of(extract_structured(corpus)), keys=["s", "p", "o"]
     )

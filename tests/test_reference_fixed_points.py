@@ -529,3 +529,32 @@ class TestSparqlTemplateIntrospection:
         out = b.build_syntax("all.sparql", N=723)
         assert "LIMIT 723" in out
         assert "SELECT * WHERE { ?s ?p ?o. }" in out.replace("\n", " ")
+
+
+class TestAggregatorFixedPoint:
+    def test_aggregator_golden(self, spark):
+        """The reference's executed Aggregator golden
+        (tests/commons/aggregator/test_aggregator.py): aggregate
+        input-data with its verbatim globs spec string → graph
+        isomorphic to graph_expected.ttl (no bnodes → set equality;
+        the venom duplicate across .ttl/.json inputs dedups away)."""
+        from py_sema_spark.serialize import aggregate_files
+
+        agg_dir = REF / "commons" / "aggregator"
+        got_df = aggregate_files(
+            spark,
+            "**/*.ttl: ttl, **/*.json: json-ld",
+            root=str(agg_dir / "input-data"),
+        )
+        got = {
+            (r["s"], r["p"], r["o"], r["o_kind"], r["o_lang"])
+            for r in got_df.collect()
+        }
+        want_ts, _ = parse_rdf_auto(
+            (agg_dir / "output-data" / "graph_expected.ttl").read_text()
+        )
+        want = {
+            (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.lang)
+            for t in want_ts
+        }
+        assert got == want
