@@ -558,3 +558,23 @@ class TestAggregatorFixedPoint:
             for t in want_ts
         }
         assert got == want
+
+
+class TestGraphNameMapperVectors:
+    def test_key_ng_roundtrip_vectors(self):
+        """The reference's executed GraphNameMapper vectors
+        (tests/syncfs/test_fname_ng_conversion.py:18-56) verbatim."""
+        from py_sema_spark.model import GraphNameMapper
+
+        m = GraphNameMapper(base="urn:sync:")
+        assert m.key_to_ng("example.txt") == "urn:sync:example.txt"
+        assert (
+            m.key_to_ng("file name with spaces.txt")
+            == "urn:sync:file%20name%20with%20spaces.txt"
+        )
+        assert m.key_to_ng("") == "urn:sync:"
+        assert m.ng_to_key("urn:sync:example.txt") == "example.txt"
+        assert (
+            m.ng_to_key("urn:sync:file%20name%20with%20spaces.txt")
+            == "file name with spaces.txt"
+        )
