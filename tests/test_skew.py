@@ -103,3 +103,36 @@ class TestLshBucketCap:
         # cap above the bucket size keeps exact semantics
         loose = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=100)
         assert loose.count() == uncapped.count()
+
+
+class TestPyFilesSubmission:
+    def test_spark_submit_pyfiles_smoke(self, tmp_path):
+        """North rule: the job ships via spark-submit --py-files. Runs
+        the extraction pipeline in a fresh spark-submit process with
+        only the dist zip on the path."""
+        import shutil
+        import subprocess
+
+        submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+        if not shutil.which(submit) and not __import__("os").path.exists(submit):
+            pytest.skip("spark-submit not available")
+        zip_path = "/root/repo/dist/py_sema_spark.zip"
+        job = tmp_path / "job.py"
+        job.write_text(
+            "from pyspark.sql import SparkSession\n"
+            "spark = SparkSession.builder.getOrCreate()\n"
+            "from py_sema_spark.sources.corpus import synth_corpus\n"
+            "from py_sema_spark.operators.extract import"
+            " extract_structured, triples_of\n"
+            "n = triples_of(extract_structured("
+            "synth_corpus(spark, 200, seed=7))).count()\n"
+            "print('PYFILES_SMOKE_TRIPLES', n)\n"
+            "spark.stop()\n"
+        )
+        out = subprocess.run(
+            [submit, "--master", "local[4]", "--py-files", zip_path,
+             str(job)],
+            capture_output=True, text=True, timeout=240,
+            cwd=str(tmp_path),
+        )
+        assert "PYFILES_SMOKE_TRIPLES 1218" in out.stdout, out.stderr[-2000:]
