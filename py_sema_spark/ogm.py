@@ -304,10 +304,7 @@ def rocrate_metadata_json(
         if p == RDF + "type":
             key, val = "@type", o.split("/")[-1].split("#")[-1]
         else:
-            key = o_key = (
-                p[len(SCHEMA_NS):] if p.startswith(SCHEMA_NS) else p
-            )
-            key = o_key
+            key = p[len(SCHEMA_NS):] if p.startswith(SCHEMA_NS) else p
             val = {"@id": o} if kind == "iri" else o
         if key in node:
             if not isinstance(node[key], list):

@@ -136,3 +136,28 @@ class TestPyFilesSubmission:
             cwd=str(tmp_path),
         )
         assert "PYFILES_SMOKE_TRIPLES 1218" in out.stdout, out.stderr[-2000:]
+
+    def test_artifact_matches_source_tree(self):
+        """The dist zip must track the package byte-for-byte — a stale
+        artifact ships stale code to the cluster. Rebuild with
+        `python tools/make_pyfiles.py` after source changes."""
+        import zipfile
+        from pathlib import Path
+
+        root = Path("/root/repo")
+        with zipfile.ZipFile(root / "dist" / "py_sema_spark.zip") as z:
+            names = {n for n in z.namelist() if n.endswith(".py")}
+            on_disk = {
+                str(p.relative_to(root))
+                for p in (root / "py_sema_spark").rglob("*.py")
+                if "__pycache__" not in str(p)
+            }
+            assert names == on_disk, (
+                "zip/package file lists differ — rebuild dist "
+                f"(only-in-zip={sorted(names - on_disk)[:5]}, "
+                f"missing={sorted(on_disk - names)[:5]})"
+            )
+            for n in sorted(names):
+                assert z.read(n) == (root / n).read_bytes(), (
+                    f"{n} is stale in dist/py_sema_spark.zip — rebuild"
+                )
