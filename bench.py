@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "ivf_cosine_topk",
     "embedding_neardup_lsh",
     "detect_mentions",
+    "sparql_path",
+    "sparql_groupby",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -1284,6 +1284,100 @@ WHERE b.p = '{SKOS}broader'
 """,
 )
 
+# ---- SPARQL v2 compiler surface: property paths, aggregates,
+# VALUES/BIND, NOT EXISTS (reference runs full SPARQL via rdflib —
+# /root/reference/sema/query/__init__.py — so the widened subset is
+# user-visible parity, each shape pinned to a DuckDB oracle) ----
+
+
+def _bgp(spark, sf, sparql):
+    from .bgp import bgp_select
+
+    return bgp_select(kg_triples(spark, sf), sparql, {"skos": SKOS, "dc": DC})
+
+
+_register(
+    "sparql_path",
+    lambda spark, sf: _bgp(
+        spark, sf, "SELECT ?c ?a WHERE { ?c skos:broader+ ?a . }"
+    ),
+    CLOSURE_SQL + "SELECT src AS c, dst AS a FROM closure",
+)
+
+_register(
+    "sparql_path_seq_inv",
+    # sequence path: each customer's region label via two broader hops
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        "SELECT DISTINCT ?c ?rl WHERE { "
+        "?c skos:broader/skos:broader/skos:prefLabel ?rl . }",
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT a.s AS c, l.o AS rl
+FROM triples a
+JOIN triples b ON b.s = a.o AND b.p = '{SKOS}broader'
+JOIN triples l ON l.s = b.o AND l.p = '{SKOS}prefLabel'
+WHERE a.p = '{SKOS}broader'
+""",
+)
+
+_register(
+    "sparql_groupby",
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        "SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?ns) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p HAVING(COUNT(*) > 100)",
+    ),
+    KG_SQL
+    + """
+SELECT p, count(*) AS n, count(DISTINCT s) AS ns
+FROM triples GROUP BY p HAVING count(*) > 100
+""",
+)
+
+_register(
+    "sparql_values_bind",
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        "SELECT ?n ?tag WHERE { "
+        "VALUES ?r { <urn:region:0> <urn:region:2> } "
+        "?r skos:member ?n . ?n skos:prefLabel ?l . "
+        'BIND(CONCAT(STRAFTER(?r, "region:"), "-", LCASE(?l)) AS ?tag) }',
+    ),
+    KG_SQL
+    + f"""
+SELECT m.o AS n,
+       substr(m.s, strpos(m.s, 'region:') + 7) || '-' || lower(l.o) AS tag
+FROM triples m
+JOIN triples l ON l.s = m.o AND l.p = '{SKOS}prefLabel'
+WHERE m.p = '{SKOS}member'
+  AND m.s IN ('urn:region:0', 'urn:region:2')
+""",
+)
+
+_register(
+    "sparql_not_exists",
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        "SELECT ?s WHERE { ?s a skos:Concept . "
+        "FILTER NOT EXISTS { ?s skos:altLabel ?al . } }",
+    ),
+    KG_SQL
+    + f"""
+SELECT t.s AS s FROM triples t
+WHERE t.p = '{RDF}type' AND t.o = '{SKOS}Concept'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples al
+    WHERE al.s = t.s AND al.p = '{SKOS}altLabel')
+""",
+)
+
+
 # ---- harvest frontier traversal (M5) — corpus-shaped, rows-only ----
 
 

@@ -1,5 +1,4 @@
-"""Minimal SPARQL SELECT compiler: basic graph patterns → DataFrame
-plans.
+"""SPARQL SELECT compiler: graph patterns → DataFrame plans.
 
 The reference evaluates SPARQL through rdflib's interpreter (nested
 loops over in-memory triple indexes — SURVEY.md §4); here every triple
@@ -7,29 +6,47 @@ pattern becomes a filtered slice of the triples table and shared
 variables become equi-joins, which Catalyst then reorders/broadcasts
 (§2.3 J1: "all joins are implicit in SPARQL basic graph patterns").
 
-Supported subset — what the reference's own configs/templates actually
-use for *programmatic* queries (harvest subject selection,
-config_build.py:80-116): ``SELECT [DISTINCT] ?v… | * WHERE { tp . tp …
-}`` with terms ``?var``, ``<iri>``, ``curie:ref``, ``"literal"``
-[``@lang`` | ``^^dt``], plus ``OPTIONAL { … }`` groups (left joins,
-J3), ``FILTER`` with regex / langMatches / lang-eq / (in)equality
-(F7/F8), ORDER BY and LIMIT. UNION and property paths stay with the
-``{…} UNION {…}`` blocks (branches must bind the same variables).
-Property paths stay with :mod:`..operators.closure`.
+Supported subset::
+
+    SELECT [DISTINCT] ?v… | * | (AGG(…) AS ?a)…
+    WHERE {
+      tp .  tp …                        # triple patterns; predicate
+                                        # may be a property path:
+                                        #   iri  ^p  p1/p2  p1|p2
+                                        #   p+  p*  p?  !(p1|p2)  (…)
+      OPTIONAL { … }                    # left join (J3)
+      { … } UNION { … }                 # one union block
+      FILTER(expr)                      # sparql_expr subset, JVM-side
+      FILTER [NOT] EXISTS { … }         # semi / anti join
+      BIND(expr AS ?v)
+      VALUES ?v { … } | VALUES (?a ?b) { (…) … }
+    }
+    GROUP BY ?v…  HAVING(expr-over-aggregates)
+    ORDER BY [ASC|DESC(?v)] ?v …  LIMIT n  OFFSET n
+
+Aggregates: COUNT(*) / COUNT([DISTINCT] ?v) / SUM / AVG / MIN / MAX /
+SAMPLE / GROUP_CONCAT(?v; SEPARATOR="…"). Determinism choices (the
+spec leaves them open, the DuckDB oracles mirror them): SAMPLE = MIN;
+GROUP_CONCAT concatenates in sorted order.
 
 Scale: each pattern with a bound predicate prunes to its predicate
 slice before any join (pushdown on ``p``); bound subjects/objects
-prune further. Join order is left to Catalyst/AQE — with statistics,
-selective slices broadcast automatically.
+prune further; VALUES compiles to a broadcast join; EXISTS/NOT EXISTS
+to LeftSemi/LeftAnti; transitive path modifiers (`+`/`*`) reuse
+:mod:`..operators.closure` (one shuffle per doubling round). Join
+order is left to Catalyst/AQE — with statistics, selective slices
+broadcast automatically.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .sparql_expr import Resolver, parse_expr
 
 _TERM_RE = re.compile(
     r"""\?(?P<var>[A-Za-z_][A-Za-z0-9_]*)
@@ -49,6 +66,173 @@ class Term:
 
     def __init__(self, kind, value, lang=None, dt=None):
         self.kind, self.value, self.lang, self.dt = kind, value, lang, dt
+
+
+# ---------------------------------------------------------------------
+# property paths
+# ---------------------------------------------------------------------
+
+
+class Path:
+    """AST for SPARQL 1.1 §18.2 property paths (subset, see module
+    docstring). ``op`` ∈ iri|seq|alt|inv|plus|star|opt|neg."""
+
+    __slots__ = ("op", "args")
+
+    def __init__(self, op: str, args):
+        self.op, self.args = op, args
+
+    @property
+    def is_simple_iri(self) -> bool:
+        return self.op == "iri"
+
+
+class _PathParser:
+    """Recursive descent over a statement's (Term | op-char) items."""
+
+    def __init__(self, items: list):
+        self.items, self.i = items, 0
+
+    def peek(self):
+        return self.items[self.i] if self.i < len(self.items) else None
+
+    def next(self):
+        it = self.peek()
+        self.i += 1
+        return it
+
+    def accept(self, ch: str) -> bool:
+        if isinstance(self.peek(), str) and self.peek() == ch:
+            self.i += 1
+            return True
+        return False
+
+    def parse(self) -> Path:
+        p = self.alt()
+        if self.peek() is not None:
+            raise ValueError(f"trailing path tokens: {self.items[self.i:]!r}")
+        return p
+
+    def alt(self) -> Path:
+        branches = [self.seq()]
+        while self.accept("|"):
+            branches.append(self.seq())
+        return branches[0] if len(branches) == 1 else Path("alt", branches)
+
+    def seq(self) -> Path:
+        steps = [self.elt_or_inv()]
+        while self.accept("/"):
+            steps.append(self.elt_or_inv())
+        out = steps[0]
+        for s in steps[1:]:
+            out = Path("seq", [out, s])
+        return out
+
+    def elt_or_inv(self) -> Path:
+        if self.accept("^"):
+            return Path("inv", [self.elt()])
+        return self.elt()
+
+    def elt(self) -> Path:
+        p = self.primary()
+        if self.accept("+"):
+            return Path("plus", [p])
+        if self.accept("*"):
+            return Path("star", [p])
+        if self.accept("?"):
+            return Path("opt", [p])
+        return p
+
+    def primary(self) -> Path:
+        it = self.peek()
+        if self.accept("!"):
+            if self.accept("("):
+                iris = []
+                while True:
+                    t = self.next()
+                    if not isinstance(t, Term) or t.kind != "iri":
+                        raise ValueError("negated property set must list IRIs")
+                    iris.append(t.value)
+                    if self.accept(")"):
+                        break
+                    if not self.accept("|"):
+                        raise ValueError("expected | or ) in negated set")
+                return Path("neg", iris)
+            t = self.next()
+            if not isinstance(t, Term) or t.kind != "iri":
+                raise ValueError("negated property must be an IRI")
+            return Path("neg", [t.value])
+        if self.accept("("):
+            p = self.alt()
+            if not self.accept(")"):
+                raise ValueError("unbalanced ( in property path")
+            return p
+        it = self.next()
+        if not isinstance(it, Term) or it.kind != "iri":
+            raise ValueError(f"expected IRI in property path, got {it!r}")
+        return Path("iri", it.value)
+
+
+def _compile_path(triples: DataFrame, path: Path) -> DataFrame:
+    """Path → (src, dst) pair relation. Closure modifiers (+ * ?) are
+    duplicate-free per the spec's ALP; other combinators keep join
+    multiplicity."""
+    from ..operators.closure import transitive_closure
+
+    if path.op == "iri":
+        return triples.where(F.col("p") == path.args).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+    if path.op == "neg":
+        return triples.where(~F.col("p").isin(*path.args)).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+    if path.op == "inv":
+        inner = _compile_path(triples, path.args[0])
+        return inner.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    if path.op == "seq":
+        a = _compile_path(triples, path.args[0]).alias("pa")
+        b = _compile_path(triples, path.args[1]).alias("pb")
+        return a.join(b, F.col("pa.dst") == F.col("pb.src")).select(
+            F.col("pa.src").alias("src"), F.col("pb.dst").alias("dst")
+        )
+    if path.op == "alt":
+        out = None
+        for branch in path.args:
+            part = _compile_path(triples, branch)
+            out = part if out is None else out.unionByName(part)
+        return out
+    if path.op == "plus":
+        pairs = _compile_path(triples, path.args[0])
+        return transitive_closure(
+            pairs, "src", "dst", with_distance=False
+        ).select("src", "dst")
+    if path.op in ("star", "opt"):
+        pairs = _compile_path(triples, path.args[0])
+        reach = (
+            transitive_closure(pairs, "src", "dst", with_distance=False).select(
+                "src", "dst"
+            )
+            if path.op == "star"
+            else pairs.distinct()
+        )
+        # zero-length component: every term of the graph paired with
+        # itself (SPARQL §18.4 ALP zero-length evaluation)
+        nodes = (
+            triples.select(F.col("s").alias("n"))
+            .unionByName(triples.select(F.col("o").alias("n")))
+            .distinct()
+        )
+        zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        return reach.unionByName(zero).distinct()
+    raise ValueError(path.op)
+
+
+# ---------------------------------------------------------------------
+# term / filter parsing
+# ---------------------------------------------------------------------
 
 
 def _expand(curie: str, prefixes: Dict[str, str]) -> str:
@@ -76,89 +260,228 @@ def _parse_term(tok: re.Match, prefixes: Dict[str, str]) -> Term:
     return Term("iri", _expand(tok.group("curie"), prefixes))
 
 
-class Filter:
-    """One supported FILTER shape: regex / langMatches / lang-eq /
-    var-eq (exactly the predicates the reference templates use —
-    SURVEY.md §2.2 F7/F8)."""
-
-    __slots__ = ("kind", "var", "arg", "flags")
-
-    def __init__(self, kind: str, var: str, arg: str, flags: str = ""):
-        self.kind, self.var, self.arg, self.flags = kind, var, arg, flags
+_PATH_OPS = set("/|^+*?()!")
 
 
-def _parse_filter(expr: str) -> Filter:
-    expr = expr.strip()
-    m = re.match(
-        r'(?is)^regex\s*\(\s*(?:str\s*\(\s*)?\?(\w+)\s*\)?\s*,\s*"([^"]*)"'
-        r'\s*(?:,\s*"([^"]*)")?\s*\)$',
-        expr,
-    )
-    if m:
-        return Filter("regex", m.group(1), m.group(2), m.group(3) or "")
-    m = re.match(
-        r'(?is)^langMatches\s*\(\s*lang\s*\(\s*\?(\w+)\s*\)\s*,\s*"([^"]*)"\s*\)$',
-        expr,
-    )
-    if m:
-        return Filter("langmatches", m.group(1), m.group(2))
-    m = re.match(
-        r'(?is)^lang\s*\(\s*\?(\w+)\s*\)\s*=\s*"([^"]*)"$', expr
-    )
-    if m:
-        return Filter("langeq", m.group(1), m.group(2))
-    m = re.match(r'(?is)^\?(\w+)\s*(!?=)\s*"([^"]*)"$', expr)
-    if m:
-        return Filter("eq" if m.group(2) == "=" else "neq", m.group(1), m.group(3))
-    m = re.match(r"(?is)^\?(\w+)\s*(!?=)\s*<([^>]*)>$", expr)
-    if m:
-        return Filter("eq" if m.group(2) == "=" else "neq", m.group(1), m.group(3))
-    raise ValueError(f"unsupported FILTER expression: {expr!r}")
-
-
-def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Term, Term]]:
+def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Path | Term, Term]]:
     """Tokenize first, then treat '.' as a statement separator only
     *between* term tokens — dots inside <IRI>s, quoted literals, and
     dotted CURIE locals (ex:v1.0) are part of the term, never a split
     point. A CURIE token that swallowed a trailing '.' (PN_LOCAL
-    cannot end with one) is stripped and counts as a terminator."""
-    patterns: List[Tuple[Term, Term, Term]] = []
-    cur: List[Term] = []
+    cannot end with one) is stripped and counts as a terminator.
+
+    Each statement is ``subject path object``: the first and last
+    items must be terms, everything between is handed to the property
+    path parser (a single IRI term is the plain-triple case)."""
+    statements: List[list] = []
+    cur: List = []
 
     def flush(ctx: str) -> None:
         if not cur:
             return
-        if len(cur) != 3:
-            raise ValueError(f"unsupported triple pattern: {ctx!r}")
-        patterns.append(tuple(cur))
+        statements.append(list(cur))
         cur.clear()
+
+    def push_ops(sep: str, ctx: str) -> None:
+        for ch in sep:
+            if ch in _PATH_OPS:
+                cur.append(ch)
+            elif ch == ".":
+                flush(ctx)
+            elif ch in ";,":
+                cur.append(("sep", ch))
+            elif ch not in " \t\r\n":
+                raise ValueError(f"unexpected {ch!r} in pattern near {ctx!r}")
 
     last_end = 0
     for tok in _TERM_RE.finditer(text):
         sep = text[last_end : tok.start()]
-        if "." in sep:
-            flush(text[max(0, tok.start() - 60) : tok.start()])
+        push_ops(sep, text[max(0, tok.start() - 60) : tok.start()])
         term = _parse_term(tok, prefixes)
-        dot_after = False
         if tok.group("curie") and term.value.endswith("."):
             term.value = term.value.rstrip(".")
-            dot_after = True
-        cur.append(term)
-        if dot_after:
+            cur.append(term)
             flush(text[tok.start() : tok.end()])
+        else:
+            cur.append(term)
         last_end = tok.end()
+    push_ops(
+        "".join(c for c in text[last_end:] if c in _PATH_OPS or c == "."),
+        text[last_end:][:60] or text[-60:],
+    )
     flush(text[last_end:][:60] or text[-60:])
+
+    def split_on(items: list, sep_ch: str) -> List[list]:
+        parts, cur_part = [], []
+        for it in items:
+            if isinstance(it, tuple) and it == ("sep", sep_ch):
+                parts.append(cur_part)
+                cur_part = []
+            else:
+                cur_part.append(it)
+        parts.append(cur_part)
+        return parts
+
+    def parse_po(subject: Term, seg: list, out: list) -> None:
+        """One ``path obj (, obj)*`` segment for a known subject."""
+        obj_lists = split_on(seg, ",")
+        head = obj_lists[0]
+        if len(head) < 2 or not isinstance(head[-1], Term):
+            raise ValueError(f"unsupported predicate-object segment: {seg!r}")
+        obj, mid = head[-1], head[:-1]
+        if len(mid) == 1 and isinstance(mid[0], Term):
+            pred: Path | Term = mid[0]  # plain triple (incl. var predicates)
+        else:
+            pred = _PathParser(mid).parse()
+        out.append((subject, pred, obj))
+        for extra in obj_lists[1:]:  # ?s p o1 , o2 , o3
+            if len(extra) != 1 or not isinstance(extra[0], Term):
+                raise ValueError(f"unsupported object list entry: {extra!r}")
+            out.append((subject, pred, extra[0]))
+
+    patterns: List[Tuple[Term, Path | Term, Term]] = []
+    for st in statements:
+        segments = split_on(st, ";")
+        first = segments[0]
+        if len(first) < 3 or not isinstance(first[0], Term):
+            raise ValueError(f"unsupported triple pattern: {st!r}")
+        subject = first[0]
+        parse_po(subject, first[1:], patterns)
+        for seg in segments[1:]:  # ?s p1 o1 ; p2 o2
+            if seg:  # trailing ';' before '.' is legal turtle-style
+                parse_po(subject, seg, patterns)
     return patterns
 
 
-def parse_select(
-    sparql: str, prefixes: Optional[Dict[str, str]] = None
-):
-    """→ (proj vars, distinct, patterns, optional groups, filters,
-    order_by, limit)."""
+# ---------------------------------------------------------------------
+# SELECT clause / aggregates
+# ---------------------------------------------------------------------
+
+_AGG_RE = re.compile(
+    r"""(?isx)^
+    (?P<fn>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*
+    (?P<distinct>DISTINCT\s+)?
+    (?P<arg>\*|\?[A-Za-z_][A-Za-z0-9_]*)
+    (?:\s*;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)")?
+    \s*\)$"""
+)
+
+
+class AggItem:
+    __slots__ = ("fn", "distinct", "var", "sep", "alias")
+
+    def __init__(self, fn, distinct, var, sep, alias):
+        self.fn, self.distinct, self.var, self.sep, self.alias = (
+            fn, distinct, var, sep, alias,
+        )
+
+    def column(self):
+        c = F.col(self.var) if self.var else None
+        if self.fn == "COUNT":
+            if self.var is None:
+                return F.count(F.lit(1)).alias(self.alias)
+            if self.distinct:
+                return F.countDistinct(c).alias(self.alias)
+            return F.count(c).alias(self.alias)
+        if self.distinct:
+            c = None  # only COUNT supports DISTINCT here
+            raise ValueError(f"DISTINCT not supported inside {self.fn}")
+        if self.fn == "SUM":
+            return F.sum(c.cast("double")).alias(self.alias)
+        if self.fn == "AVG":
+            return F.avg(c.cast("double")).alias(self.alias)
+        if self.fn == "MIN" or self.fn == "SAMPLE":
+            return F.min(c).alias(self.alias)
+        if self.fn == "MAX":
+            return F.max(c).alias(self.alias)
+        if self.fn == "GROUP_CONCAT":
+            return F.concat_ws(
+                self.sep if self.sep is not None else " ",
+                F.array_sort(F.collect_list(c)),
+            ).alias(self.alias)
+        raise ValueError(self.fn)
+
+
+def _split_select_items(proj_raw: str) -> List[str]:
+    """Split the SELECT clause into ?var and (…AS ?alias) items."""
+    items, depth, start = [], 0, 0
+    i = 0
+    while i < len(proj_raw):
+        ch = proj_raw[i]
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                items.append(proj_raw[start : i + 1])
+        elif ch == "?" and depth == 0:
+            m = re.match(r"\?[A-Za-z_][A-Za-z0-9_]*", proj_raw[i:])
+            if m:
+                items.append(m.group(0))
+                i += len(m.group(0)) - 1
+        i += 1
+    return items
+
+
+def _parse_select_items(
+    proj_raw: str,
+) -> Tuple[List[str], List[AggItem], List[Tuple[str, str]]]:
+    """→ (plain vars, aggregate items, (expr_text, alias) items)."""
+    plain: List[str] = []
+    aggs: List[AggItem] = []
+    exprs: List[Tuple[str, str]] = []
+    for item in _split_select_items(proj_raw):
+        if item.startswith("?"):
+            plain.append(item[1:])
+            continue
+        m = re.match(
+            r"(?is)^\(\s*(?P<body>.*?)\s+AS\s+\?(?P<alias>\w+)\s*\)$", item
+        )
+        if not m:
+            raise ValueError(f"unsupported SELECT item: {item!r}")
+        body, alias = m.group("body").strip(), m.group("alias")
+        am = _AGG_RE.match(body)
+        if am:
+            var = None if am.group("arg") == "*" else am.group("arg")[1:]
+            aggs.append(
+                AggItem(
+                    am.group("fn").upper(),
+                    bool(am.group("distinct")),
+                    var,
+                    am.group("sep"),
+                    alias,
+                )
+            )
+        else:
+            exprs.append((body, alias))
+    return plain, aggs, exprs
+
+
+# ---------------------------------------------------------------------
+# full query parse
+# ---------------------------------------------------------------------
+
+
+class _Filter:
+    """expr-based filter, or EXISTS/NOT EXISTS group."""
+
+    __slots__ = ("kind", "expr", "needs", "vars", "group")
+
+    def __init__(self, kind, expr=None, needs=None, vars=None, group=None):
+        self.kind, self.expr, self.needs, self.vars, self.group = (
+            kind, expr, needs, vars, group,
+        )
+
+
+_DEPTH2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+
+
+def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
+    """→ dict with the parsed query (see keys below); raises ValueError
+    on anything outside the subset."""
     prefixes = dict(prefixes or {})
-    # inline PREFIX declarations (resolve_sparql-style injection,
-    # /root/reference/sema/harvest/helper.py:39-43)
     for m in re.finditer(
         r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", sparql
     ):
@@ -167,140 +490,269 @@ def parse_select(
 
     m = re.search(
         r"(?is)\bSELECT\s+(DISTINCT\s+)?(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
-        r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s]+?))?"
-        r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
+        r"\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
+        r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
+        r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s()]+?))?"
+        r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
+        r"\s*(?:OFFSET\s+(?P<offset>\d+))?\s*$",
         body,
     )
     if not m:
-        raise ValueError(f"unsupported SPARQL (BGP subset): {sparql!r}")
+        raise ValueError(f"unsupported SPARQL (SELECT subset): {sparql!r}")
     distinct = bool(m.group(1))
     proj_raw = m.group("proj").strip()
     limit = int(m.group("limit")) if m.group("limit") else None
-    order_by = (
-        [v[1:] for v in m.group("order").split() if v.startswith("?")]
-        if m.group("order")
+    offset = int(m.group("offset")) if m.group("offset") else None
+    group_by = (
+        [v[1:] for v in m.group("group").split() if v.startswith("?")]
+        if m.group("group")
         else []
     )
+    order_by: List[Tuple[str, bool]] = []
+    if m.group("order"):
+        for om in re.finditer(
+            r"(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", m.group("order")
+        ):
+            if om.group(3):
+                order_by.append((om.group(3), False))
+            else:
+                order_by.append((om.group(2), om.group(1).upper() == "DESC"))
 
     where = m.group("w")
+
+    # FILTER [NOT] EXISTS { … } — before OPTIONAL (both use braces)
+    filters: List[_Filter] = []
+    for fm in re.finditer(
+        r"(?is)FILTER\s*\(?\s*(NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\)?", where
+    ):
+        filters.append(
+            _Filter(
+                "not_exists" if fm.group(1) else "exists",
+                group=_parse_patterns(fm.group(2), prefixes),
+            )
+        )
+    where = re.sub(
+        r"(?is)FILTER\s*\(?\s*(NOT\s+)?EXISTS\s*\{[^{}]*\}\s*\)?", " ", where
+    )
+
     optionals = []
     for om in re.finditer(r"(?is)OPTIONAL\s*\{([^{}]*)\}", where):
         optionals.append(_parse_patterns(om.group(1), prefixes))
     where = re.sub(r"(?is)OPTIONAL\s*\{[^{}]*\}", " ", where)
 
-    # { g1 } UNION { g2 } [UNION { g3 } …] — one union block supported
     unions = []
-    um = re.search(
-        r"(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+", where
-    )
+    um = re.search(r"(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+", where)
     if um:
         block = um.group(0)
         for bm in re.finditer(r"\{([^{}]*)\}", block):
             unions.append(_parse_patterns(bm.group(1), prefixes))
         where = where.replace(block, " ")
 
-    # FILTER bodies nest parens two deep (regex(str(?x), …))
-    _depth2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
-    filters = []
-    for fm in re.finditer(r"(?is)FILTER\s*\((" + _depth2 + r")\)", where):
-        filters.append(_parse_filter(fm.group(1)))
-    where = re.sub(r"(?is)FILTER\s*\(" + _depth2 + r"\)\s*\.?", " ", where)
+    # VALUES ?v { … } | VALUES (?a ?b) { (…) (…) }
+    values_vars: List[str] = []
+    values_rows: List[list] = []
+    vm = re.search(
+        r"(?is)VALUES\s+(\(\s*[?\w\s]+\)|\?\w+)\s*\{(?P<body>[^{}]*)\}", where
+    )
+    if vm:
+        head = vm.group(1)
+        values_vars = re.findall(r"\?(\w+)", head)
+        vbody = vm.group("body")
+        if head.startswith("("):
+            for rm in re.finditer(r"\(([^()]*)\)", vbody):
+                row = [
+                    _parse_term(t, prefixes)
+                    for t in _TERM_RE.finditer(rm.group(1))
+                ]
+                if len(row) != len(values_vars):
+                    raise ValueError(f"VALUES row arity mismatch: {rm.group(0)!r}")
+                values_rows.append([t.value for t in row])
+        else:
+            for t in _TERM_RE.finditer(vbody):
+                values_rows.append([_parse_term(t, prefixes).value])
+        where = where.replace(vm.group(0), " ")
+
+    # BIND(expr AS ?v)
+    binds: List[Tuple[object, Dict, set, str]] = []
+    for bm in re.finditer(
+        r"(?is)BIND\s*\((?P<body>" + _DEPTH2 + r")\)", where
+    ):
+        bbody = bm.group("body")
+        am = re.match(r"(?is)^(?P<expr>.*)\s+AS\s+\?(?P<alias>\w+)\s*$", bbody)
+        if not am:
+            raise ValueError(f"unsupported BIND: {bbody!r}")
+        e, needs, evars = parse_expr(am.group("expr"), prefixes)
+        binds.append((e, needs, evars, am.group("alias")))
+    where = re.sub(r"(?is)BIND\s*\(" + _DEPTH2 + r"\)\s*\.?", " ", where)
+
+    # FILTER(expr)
+    for fm in re.finditer(r"(?is)FILTER\s*\((" + _DEPTH2 + r")\)", where):
+        e, needs, evars = parse_expr(fm.group(1), prefixes)
+        filters.append(_Filter("expr", expr=e, needs=needs, vars=evars))
+    where = re.sub(r"(?is)FILTER\s*\(" + _DEPTH2 + r"\)\s*\.?", " ", where)
 
     patterns = _parse_patterns(where, prefixes)
 
     if proj_raw == "*":
-        seen = []
+        seen: List[str] = []
         for tp in patterns + [p for g in optionals for p in g] + [
             p for g in unions for p in g
         ]:
             for t in tp:
-                if t.kind == "var" and t.value not in seen:
+                if isinstance(t, Term) and t.kind == "var" and t.value not in seen:
                     seen.append(t.value)
-        proj = seen
+        proj, aggs, proj_exprs = seen, [], []
     else:
-        proj = [v[1:] for v in proj_raw.split() if v.startswith("?")]
-    return (
-        proj, distinct, patterns, optionals, unions, filters, order_by, limit
-    )
+        proj, aggs, proj_exprs = _parse_select_items(proj_raw)
+
+    having = None
+    if m.group("having"):
+        having = m.group("having")
+
+    return {
+        "proj": proj,
+        "aggs": aggs,
+        "proj_exprs": proj_exprs,
+        "distinct": distinct,
+        "patterns": patterns,
+        "optionals": optionals,
+        "unions": unions,
+        "filters": filters,
+        "binds": binds,
+        "values": (values_vars, values_rows),
+        "group_by": group_by,
+        "having": having,
+        "order_by": order_by,
+        "limit": limit,
+        "offset": offset,
+        "prefixes": prefixes,
+    }
+
+
+# ---------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------
 
 
 def _compile_patterns(
     triples: DataFrame,
-    patterns: List[Tuple[Term, Term, Term]],
-    lang_vars: set,
+    patterns: Sequence[Tuple[Term, Path | Term, Term]],
+    needs: Dict[str, set],
     tag: str = "",
 ) -> Optional[DataFrame]:
     plan = None
     for i, (s, p, o) in enumerate(patterns):
-        df = triples
-        cols = []
-        for pos, term, kind_col in (
-            ("s", s, None),
-            ("p", p, None),
-            ("o", o, "o_kind"),
-        ):
-            if term.kind == "var":
-                cols.append(F.col(pos).alias(term.value))
-                if pos == "o" and term.value in lang_vars:
-                    cols.append(F.col("o_lang").alias(term.value + "__lang"))
-            elif term.kind == "iri":
-                df = df.where(F.col(pos) == term.value)
-                if kind_col:
-                    df = df.where(F.col(kind_col) == "iri")
-            else:  # literal (object position)
-                df = df.where(
-                    (F.col(pos) == term.value) & (F.col("o_kind") == "literal")
-                )
-                if term.lang:
-                    df = df.where(F.col("o_lang") == term.lang)
-                if term.dt:
-                    df = df.where(F.col("o_datatype") == term.dt)
-        # repeated variable within one pattern → equality filter
-        names = [t.value for t in (s, p, o) if t.kind == "var"]
-        if len(set(names)) != len(names):
-            pos_of = {}
-            for pos, t in (("s", s), ("p", p), ("o", o)):
-                if t.kind == "var":
-                    if t.value in pos_of:
-                        df = df.where(F.col(pos) == F.col(pos_of[t.value]))
-                    else:
-                        pos_of[t.value] = pos
-            cols = [F.col(pos).alias(var) for var, pos in pos_of.items()]
-        # fully-bound pattern = existence gate: empty slice → empty
-        # result, non-empty → no row multiplication
-        part = (
-            df.select(*cols)
-            if cols
-            else df.limit(1).select(F.lit(1).alias(f"_m{tag}{i}"))
-        )
+        if isinstance(p, Path) and not p.is_simple_iri:
+            part = _compile_path_pattern(triples, s, p, o)
+        else:
+            pred = Term("iri", p.args) if isinstance(p, Path) else p
+            part = _compile_triple(triples, s, pred, o, needs, f"{tag}{i}")
         if plan is None:
             plan = part
-        else:
+        elif part is not None:
             shared = [c for c in plan.columns if c in part.columns]
             plan = plan.join(part, shared) if shared else plan.crossJoin(part)
     return plan
 
 
-def _apply_filter(plan: DataFrame, f: Filter) -> DataFrame:
-    if f.var not in plan.columns:
-        raise ValueError(f"FILTER references unbound var ?{f.var}")
-    col = F.col(f.var)
-    if f.kind == "regex":
-        pat = ("(?i)" if "i" in f.flags else "") + f.arg
-        return plan.where(col.rlike(pat))
-    if f.kind in ("langmatches", "langeq"):
-        lang_col = F.lower(F.coalesce(F.col(f.var + "__lang"), F.lit("")))
-        want = f.arg.lower()
-        if f.kind == "langmatches":
-            return plan.where(
-                (lang_col == want) | lang_col.startswith(want + "-")
+def _compile_path_pattern(
+    triples: DataFrame, s: Term, path: Path, o: Term
+) -> DataFrame:
+    pairs = _compile_path(triples, path)
+    cols = []
+    if s.kind == "var":
+        cols.append(F.col("src").alias(s.value))
+    else:
+        pairs = pairs.where(F.col("src") == s.value)
+    if o.kind == "var":
+        if s.kind == "var" and o.value == s.value:
+            pairs = pairs.where(F.col("src") == F.col("dst"))
+            cols = [F.col("src").alias(s.value)]
+        else:
+            cols.append(F.col("dst").alias(o.value))
+    else:
+        pairs = pairs.where(F.col("dst") == o.value)
+    if not cols:
+        return pairs.limit(1).select(F.lit(1).alias("_pmatch"))
+    return pairs.select(*cols)
+
+
+def _compile_triple(
+    triples: DataFrame,
+    s: Term,
+    p: Term,
+    o: Term,
+    needs: Dict[str, set],
+    tag: str,
+) -> DataFrame:
+    df = triples
+    cols = []
+
+    def companions(var: str, pos: str) -> None:
+        want = needs.get(var, ())
+        if "lang" in want:
+            cols.append(
+                (F.col("o_lang") if pos == "o" else F.lit(None).cast("string")).alias(
+                    var + "__lang"
+                )
             )
-        return plan.where(lang_col == want)
-    if f.kind == "eq":
-        return plan.where(col == f.arg)
-    if f.kind == "neq":
-        return plan.where(col != f.arg)
-    raise ValueError(f.kind)
+        if "dt" in want:
+            cols.append(
+                (
+                    F.col("o_datatype") if pos == "o" else F.lit(None).cast("string")
+                ).alias(var + "__dt")
+            )
+        if "kind" in want:
+            if pos == "o":
+                kind = F.col("o_kind")
+            elif pos == "p":
+                kind = F.lit("iri")
+            else:
+                kind = F.when(
+                    F.col("s").startswith("_:"), F.lit("bnode")
+                ).otherwise(F.lit("iri"))
+            cols.append(kind.alias(var + "__kind"))
+
+    for pos, term, kind_col in (("s", s, None), ("p", p, None), ("o", o, "o_kind")):
+        if term.kind == "var":
+            cols.append(F.col(pos).alias(term.value))
+            companions(term.value, pos)
+        elif term.kind == "iri":
+            df = df.where(F.col(pos) == term.value)
+            if kind_col:
+                df = df.where(F.col(kind_col) == "iri")
+        else:  # literal (object position)
+            df = df.where(
+                (F.col(pos) == term.value) & (F.col("o_kind") == "literal")
+            )
+            if term.lang:
+                df = df.where(F.col("o_lang") == term.lang)
+            if term.dt:
+                df = df.where(F.col("o_datatype") == term.dt)
+    # repeated variable within one pattern → equality filter
+    names = [t.value for t in (s, p, o) if t.kind == "var"]
+    if len(set(names)) != len(names):
+        pos_of = {}
+        for pos, t in (("s", s), ("p", p), ("o", o)):
+            if t.kind == "var":
+                if t.value in pos_of:
+                    df = df.where(F.col(pos) == F.col(pos_of[t.value]))
+                else:
+                    pos_of[t.value] = pos
+        cols = [F.col(pos).alias(var) for var, pos in pos_of.items()]
+    # fully-bound pattern = existence gate: empty slice → empty
+    # result, non-empty → no row multiplication
+    if not cols:
+        return df.limit(1).select(F.lit(1).alias(f"_m{tag}"))
+    return df.select(*cols)
+
+
+def _merge_needs(*needs_list: Dict[str, set]) -> Dict[str, set]:
+    out: Dict[str, set] = {}
+    for needs in needs_list:
+        for var, what in (needs or {}).items():
+            out.setdefault(var, set()).update(what)
+    return out
 
 
 def bgp_select(
@@ -308,26 +760,57 @@ def bgp_select(
     sparql: str,
     prefixes: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
-    """Compile + run a BGP SELECT (with OPTIONAL / FILTER / ORDER BY /
-    LIMIT) against a triples DataFrame; columns are the projected
+    """Compile + run a SPARQL SELECT (see module docstring for the
+    subset) against a triples DataFrame; columns are the projected
     variable names. OPTIONAL groups compile to left joins on their
-    shared variables (J3); FILTERs to post-join predicates, which
-    Catalyst pushes down into the pattern slices where legal."""
-    proj, distinct, patterns, optionals, unions, filters, order_by, limit = (
-        parse_select(sparql, prefixes)
-    )
-    lang_vars = {
-        f.var for f in filters if f.kind in ("langmatches", "langeq")
-    }
+    shared variables (J3); FILTERs to Column predicates, which
+    Catalyst pushes down into the pattern slices where legal;
+    EXISTS/NOT EXISTS to LeftSemi/LeftAnti joins; GROUP BY +
+    aggregates to a hash aggregate (map-side partials for free)."""
+    q = parse_select(sparql, prefixes)
 
-    plan = _compile_patterns(triples, patterns, lang_vars)
-    if unions:
+    needs = _merge_needs(
+        *[f.needs for f in q["filters"] if f.kind == "expr"],
+        *[b[1] for b in q["binds"]],
+    )
+    having_expr = None
+    having_aggs: List[AggItem] = []
+    if q["having"]:
+        # rewrite aggregate calls to synthetic vars, then expr-parse
+        text = q["having"]
+        counter = [0]
+
+        def _sub_agg(mm: re.Match) -> str:
+            am = _AGG_RE.match(mm.group(0))
+            if not am:
+                return mm.group(0)
+            alias = f"__h{counter[0]}"
+            counter[0] += 1
+            var = None if am.group("arg") == "*" else am.group("arg")[1:]
+            having_aggs.append(
+                AggItem(
+                    am.group("fn").upper(), bool(am.group("distinct")),
+                    var, am.group("sep"), alias,
+                )
+            )
+            return "?" + alias
+
+        text = re.sub(
+            r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\([^()]*\)",
+            _sub_agg,
+            text,
+        )
+        having_expr, h_needs, _ = parse_expr(text, q["prefixes"])
+        needs = _merge_needs(needs, h_needs)
+
+    plan = _compile_patterns(triples, q["patterns"], needs)
+
+    if q["unions"]:
         branches = [
-            _compile_patterns(triples, g, lang_vars, tag=f"u{k}")
-            for k, g in enumerate(unions)
+            _compile_patterns(triples, g, needs, tag=f"u{k}")
+            for k, g in enumerate(q["unions"])
         ]
-        # SPARQL union: vars unbound in a branch come through as null
-        all_cols = []
+        all_cols: List[str] = []
         for b in branches:
             for c in b.columns:
                 if c not in all_cols:
@@ -345,28 +828,96 @@ def bgp_select(
             plan = ublock
         else:
             shared = [c for c in plan.columns if c in ublock.columns]
+            plan = plan.join(ublock, shared) if shared else plan.crossJoin(ublock)
+
+    values_vars, values_rows = q["values"]
+    if values_vars:
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            [tuple(r) for r in values_rows], schema=values_vars
+        )
+        if plan is None:
+            plan = vdf
+        else:
+            shared = [c for c in plan.columns if c in vdf.columns]
             plan = (
-                plan.join(ublock, shared) if shared else plan.crossJoin(ublock)
+                plan.join(F.broadcast(vdf), shared)
+                if shared
+                else plan.crossJoin(F.broadcast(vdf))
             )
+
     if plan is None:
         raise ValueError("empty WHERE clause")
-    for group in optionals:
-        sub = _compile_patterns(triples, group, lang_vars, tag="o")
+
+    for group in q["optionals"]:
+        sub = _compile_patterns(triples, group, needs, tag="o")
         shared = [c for c in plan.columns if c in sub.columns]
         if not shared:
             raise ValueError("OPTIONAL group shares no variable with base")
         plan = plan.join(sub, shared, "left")
-    for f in filters:
-        plan = _apply_filter(plan, f)
 
-    missing = [v for v in proj if v not in plan.columns]
-    if missing:
-        raise ValueError(f"projected vars not bound: {missing}")
-    out = plan.select(*proj)
-    if distinct:
+    resolver = Resolver()
+    for e, _needs, _evars, alias in q["binds"]:
+        plan = plan.withColumn(alias, e.col(resolver))
+
+    for f in q["filters"]:
+        if f.kind == "expr":
+            missing = [v for v in f.vars if v not in plan.columns]
+            if missing:
+                raise ValueError(f"FILTER references unbound vars: {missing}")
+            plan = plan.where(f.expr.col(resolver))
+        else:
+            sub = _compile_patterns(triples, f.group, {}, tag="x")
+            shared = [c for c in plan.columns if c in sub.columns]
+            if not shared:
+                raise ValueError("EXISTS group shares no variable with base")
+            how = "left_semi" if f.kind == "exists" else "left_anti"
+            plan = plan.join(sub.select(*shared).distinct(), shared, how)
+
+    aggs: List[AggItem] = q["aggs"]
+    if aggs or q["group_by"] or having_aggs:
+        group_cols = q["group_by"]
+        agg_cols = [a.column() for a in aggs] + [a.column() for a in having_aggs]
+        if not agg_cols:
+            raise ValueError("GROUP BY without aggregates in SELECT")
+        grouped = plan.groupBy(*group_cols).agg(*agg_cols)
+        if having_expr is not None:
+            grouped = grouped.where(having_expr.col(resolver))
+        proj_cols = [v for v in q["proj"]] + [a.alias for a in aggs]
+        missing = [v for v in proj_cols if v not in grouped.columns]
+        if missing:
+            raise ValueError(
+                f"projected vars not in GROUP BY/aggregates: {missing}"
+            )
+        out = grouped.select(*proj_cols)
+    else:
+        for body, alias in q["proj_exprs"]:
+            e, e_needs, evars = parse_expr(body, q["prefixes"])
+            missing = [
+                v
+                for v in evars
+                if v not in plan.columns
+            ]
+            if missing:
+                raise ValueError(f"SELECT expression references unbound: {missing}")
+            plan = plan.withColumn(alias, e.col(resolver))
+        proj_cols = q["proj"] + [alias for _, alias in q["proj_exprs"]]
+        missing = [v for v in proj_cols if v not in plan.columns]
+        if missing:
+            raise ValueError(f"projected vars not bound: {missing}")
+        out = plan.select(*proj_cols)
+
+    if q["distinct"]:
         out = out.distinct()
-    if order_by:
-        out = out.orderBy(*order_by)
-    if limit is not None:
-        out = out.limit(limit)
+    if q["order_by"]:
+        out = out.orderBy(
+            *[
+                F.col(v).desc() if desc else F.col(v).asc()
+                for v, desc in q["order_by"]
+            ]
+        )
+    if q["offset"] is not None:
+        out = out.offset(q["offset"])
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
     return out

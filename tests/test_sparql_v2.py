@@ -1,0 +1,363 @@
+"""SPARQL subset v2: property paths, predicate-object lists,
+expression FILTER/BIND, VALUES, EXISTS, GROUP BY/aggregates/HAVING,
+ORDER/OFFSET — the widened compiler surface (reference runs full
+SPARQL through rdflib: /root/reference/sema/query/__init__.py; this
+suite pins our DataFrame compilation to the same answers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.queries.bgp import bgp_select, parse_select
+from py_sema_spark.queries.sparql_expr import parse_expr
+
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+DC = "http://purl.org/dc/terms/"
+PFX = {"skos": SKOS, "dc": DC}
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("urn:c:1", RDFT, SKOS + "Concept", "iri", None, None),
+        ("urn:c:1", SKOS + "prefLabel", "Alpha", "literal", None, "en"),
+        ("urn:c:1", SKOS + "altLabel", "A", "literal", None, None),
+        ("urn:c:1", SKOS + "broader", "urn:c:2", "iri", None, None),
+        ("urn:c:2", RDFT, SKOS + "Concept", "iri", None, None),
+        ("urn:c:2", SKOS + "prefLabel", "Beta", "literal", None, "en"),
+        ("urn:c:2", SKOS + "broader", "urn:c:3", "iri", None, None),
+        ("urn:c:3", SKOS + "prefLabel", "Gamma", "literal", None, "fr"),
+        ("urn:c:3", DC + "identifier", "G3", "literal", None, None),
+        ("urn:col:1", SKOS + "member", "urn:c:1", "iri", None, None),
+        ("urn:col:1", SKOS + "member", "urn:c:2", "iri", None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestPropertyPaths:
+    def test_plus_transitive(self, triples):
+        r = rows(bgp_select(triples, "SELECT ?c ?a WHERE { ?c skos:broader+ ?a . }", PFX))
+        assert r == [
+            ("urn:c:1", "urn:c:2"),
+            ("urn:c:1", "urn:c:3"),
+            ("urn:c:2", "urn:c:3"),
+        ]
+
+    def test_sequence(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?c ?l WHERE { ?c skos:broader/skos:prefLabel ?l . }",
+                PFX,
+            )
+        )
+        assert r == [("urn:c:1", "Beta"), ("urn:c:2", "Gamma")]
+
+    def test_inverse(self, triples):
+        r = rows(bgp_select(triples, "SELECT ?n ?c WHERE { ?n ^skos:member ?c . }", PFX))
+        assert r == [("urn:c:1", "urn:col:1"), ("urn:c:2", "urn:col:1")]
+
+    def test_alternation(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?o WHERE { <urn:c:1> skos:prefLabel|skos:altLabel ?o . }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["A", "Alpha"]
+
+    def test_star_includes_zero_length(self, triples):
+        r = rows(bgp_select(triples, "SELECT ?a WHERE { <urn:c:1> skos:broader* ?a . }", PFX))
+        assert [x[0] for x in r] == ["urn:c:1", "urn:c:2", "urn:c:3"]
+
+    def test_zero_or_one(self, triples):
+        r = rows(bgp_select(triples, "SELECT ?a WHERE { <urn:c:1> skos:broader? ?a . }", PFX))
+        assert [x[0] for x in r] == ["urn:c:1", "urn:c:2"]
+
+    def test_negated_property_set(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?o WHERE { <urn:c:1> !(skos:broader|skos:prefLabel|skos:altLabel) ?o . }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == [SKOS + "Concept"]
+
+    def test_inverse_of_sequence_parenthesized(self, triples):
+        # ^(member) / prefLabel: collection ← concept → its label
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?n ?l WHERE { ?n (^skos:member)/skos:prefLabel ?l . }",
+                PFX,
+            )
+        )
+        # ^member maps concept→collection; collection has no prefLabel
+        assert r == []
+
+    def test_seq_then_plus(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?m ?a WHERE { ?c skos:member ?m . ?m skos:broader+ ?a . }",
+                PFX,
+            )
+        )
+        assert ("urn:c:1", "urn:c:3") in r and ("urn:c:2", "urn:c:3") in r
+
+
+class TestListsAndSugar:
+    def test_predicate_object_list(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s a skos:Concept ; skos:prefLabel ?l . FILTER(STRLEN(?l) >= 5) }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:c:1"]
+
+    def test_object_list(self, triples):
+        # ?o1, ?o2 both range over the subject's prefLabels
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s WHERE { ?s skos:prefLabel "Alpha" , ?any . }',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:c:1"]
+
+
+class TestExpressions:
+    def test_numeric_and_bool_combinators(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?l WHERE { ?s skos:prefLabel ?l . '
+                'FILTER(STRLEN(?l) > 4 && (STRSTARTS(?l, "Al") || STRENDS(?l, "mma"))) }',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["Alpha", "Gamma"]
+
+    def test_in_not_in(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?l WHERE { ?s skos:prefLabel ?l . FILTER(?s NOT IN (<urn:c:1>, <urn:c:3>)) }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["Beta"]
+
+    def test_lang_and_datatype(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?l WHERE { ?s skos:prefLabel ?l . FILTER(lang(?l) = "fr") }',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["Gamma"]
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?i WHERE { ?s dc:identifier ?i . "
+                "FILTER(DATATYPE(?i) = <http://www.w3.org/2001/XMLSchema#string>) }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["G3"]
+
+    def test_iskind_family(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?o WHERE { <urn:c:1> ?p ?o . FILTER(isLiteral(?o)) }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["A", "Alpha"]
+
+    def test_bind_and_select_expr(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s ?u WHERE { ?s dc:identifier ?i . '
+                'BIND(CONCAT("urn:id:", LCASE(?i)) AS ?u) }',
+                PFX,
+            )
+        )
+        assert r == [("urn:c:3", "urn:id:g3")]
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT (REPLACE(UCASE(?l), "A", "_") AS ?x) WHERE '
+                '{ <urn:c:1> skos:prefLabel ?l . }',
+                PFX,
+            )
+        )
+        assert r == [("_LPH_",)]
+
+    def test_str_before_after_substr(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT (STRAFTER(?s, "c:") AS ?n) WHERE { ?s skos:broader ?o . } ORDER BY ?n',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["1", "2"]
+
+    def test_if_coalesce_bound(self, triples):
+        q = (
+            "SELECT ?s (IF(BOUND(?alt), ?alt, \"none\") AS ?a) WHERE "
+            "{ ?s skos:prefLabel ?l . OPTIONAL { ?s skos:altLabel ?alt . } }"
+        )
+        r = rows(bgp_select(triples, q, PFX))
+        assert ("urn:c:1", "A") in r and ("urn:c:2", "none") in r
+
+    def test_parse_expr_errors(self):
+        with pytest.raises(ValueError):
+            parse_expr("NOSUCHFN(?x)")
+        with pytest.raises(ValueError):
+            parse_expr("?x >")
+        with pytest.raises(ValueError):
+            parse_expr("LANG(CONCAT(?x))")
+
+
+class TestValuesExistsAggregates:
+    def test_values_single(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s ?v WHERE { VALUES ?v { "Alpha" "Gamma" } ?s skos:prefLabel ?v . }',
+                PFX,
+            )
+        )
+        assert r == [("urn:c:1", "Alpha"), ("urn:c:3", "Gamma")]
+
+    def test_values_multi(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s ?v ?k WHERE { VALUES (?v ?k) { ("Alpha" "x") ("Gamma" "y") } '
+                "?s skos:prefLabel ?v . }",
+                PFX,
+            )
+        )
+        assert r == [("urn:c:1", "Alpha", "x"), ("urn:c:3", "Gamma", "y")]
+
+    def test_not_exists(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s skos:prefLabel ?l . "
+                "FILTER NOT EXISTS { ?s skos:altLabel ?al . } }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:c:2", "urn:c:3"]
+
+    def test_exists(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s skos:prefLabel ?l . "
+                "FILTER EXISTS { ?s skos:altLabel ?al . } }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:c:1"]
+
+    def test_group_by_having_order(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p "
+                "HAVING(COUNT(*) >= 2) ORDER BY DESC(?n) ?p",
+                PFX,
+            )
+        )
+        d = dict(r)
+        assert d[SKOS + "prefLabel"] == 3 and d[SKOS + "member"] == 2
+        assert len(r) == 4
+
+    def test_count_distinct_and_group_concat(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT (COUNT(DISTINCT ?s) AS ?ns) "
+                '(GROUP_CONCAT(?l; SEPARATOR="|") AS ?labels) '
+                "WHERE { ?s skos:prefLabel ?l . }",
+                PFX,
+            )
+        )
+        assert r == [(3, "Alpha|Beta|Gamma")]
+
+    def test_min_max_sum_avg(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT (MIN(?l) AS ?lo) (MAX(?l) AS ?hi) "
+                "(SUM(?n) AS ?tot) (AVG(?n) AS ?mean) WHERE { "
+                "?s skos:prefLabel ?l . BIND(STRLEN(?l) AS ?n) }",
+                PFX,
+            )
+        )
+        assert r == [("Alpha", "Gamma", 14.0, 14.0 / 3)]
+
+    def test_sample_deterministic(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT (SAMPLE(?l) AS ?one) WHERE { ?s skos:prefLabel ?l . }",
+                PFX,
+            )
+        )
+        assert r == [("Alpha",)]
+
+    def test_offset(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?l WHERE { ?s skos:prefLabel ?l . } ORDER BY ?l LIMIT 1 OFFSET 1",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["Beta"]
+
+
+class TestParseErrors:
+    def test_group_by_without_aggregate(self, triples):
+        with pytest.raises(ValueError):
+            bgp_select(
+                triples, "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p", PFX
+            )
+
+    def test_unbound_projection(self, triples):
+        with pytest.raises(ValueError):
+            bgp_select(triples, "SELECT ?zzz WHERE { ?s ?p ?o }", PFX)
+
+    def test_values_arity_mismatch(self):
+        with pytest.raises(ValueError):
+            parse_select(
+                'SELECT ?a WHERE { VALUES (?a ?b) { ("x") } ?s ?p ?a }', PFX
+            )
+
+    def test_dotted_iri_still_parses(self):
+        q = parse_select(
+            "SELECT ?x WHERE { <http://vocab.example.org/v1.0/x> a ?x . }", PFX
+        )
+        assert len(q["patterns"]) == 1
