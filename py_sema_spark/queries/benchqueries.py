@@ -72,6 +72,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def _tp(
+    spark: SparkSession, sf_dir: str, name: str, n: int = 0
+) -> DataFrame:
+    """``_t`` + repartition to ``n`` (default: session parallelism).
+
+    The local fixtures are single-file / single-row-group parquet, so
+    a scan yields ONE usable split and every narrow map stage downstream
+    (shingle explode, LSH probe fan-out, n-gram explode) runs as one
+    task regardless of cores — serial wall-clock and maximal straggler
+    exposure. One bounded shuffle (≤ fixture size) buys full map
+    parallelism. Production inputs arrive multi-partition from the
+    scan (maxPartitionBytes × many files), where this becomes a
+    deliberate no-op knob — the 100-TB plan shape is unchanged."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(n or spark.sparkContext.defaultParallelism)
+
+
 # =====================================================================
 # the deterministic triples view (nation/region/customer → SKOS graph)
 # =====================================================================
@@ -443,7 +460,7 @@ FROM documents
 _register(
     "minhash_neardup",
     lambda spark, sf: minhash_dedup(
-        _t(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4
+        _tp(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4
     ),
     f"""
 WITH toks AS (
@@ -483,7 +500,7 @@ WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
 _register(
     "minhash_neardup_shingle",
     lambda spark, sf: minhash_dedup(
-        _t(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
+        _tp(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
         tokenizer="shingle", shingle_n=8,
     ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")),
     """
@@ -525,7 +542,7 @@ WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
 _register(
     "ngram_jaccard",
     lambda spark, sf: ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=0.05
+        _tp(spark, sf, "documents"), n=3, threshold=0.05
     ),
     f"""
 WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
@@ -563,7 +580,7 @@ WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.05
 
 _register(
     "simhash",
-    lambda spark, sf: simhash(_t(spark, sf, "documents"), bits=32),
+    lambda spark, sf: simhash(_tp(spark, sf, "documents"), bits=32),
     f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
@@ -800,7 +817,7 @@ SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= {k}
 _register(
     "lsh_cosine_topk",
     lambda spark, sf: lsh_cosine_topk(
-        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5, dim=64,
+        _tp(spark, sf, "embeddings", 8), _queries_df(spark, sf), k=5, dim=64,
         probe_radius=2,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
     _lsh_topk_oracle(k=5, dim=64, planes=6, tables=4, radius=2),
@@ -859,7 +876,7 @@ _register(
     lambda spark, sf: __import__(
         "py_sema_spark.operators.similarity", fromlist=["ivf_cosine_topk"]
     ).ivf_cosine_topk(
-        _t(spark, sf, "embeddings"), _queries_df(spark, sf),
+        _tp(spark, sf, "embeddings", 8), _queries_df(spark, sf),
         k=5, n_lists=16, n_probe=8,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
     _ivf_topk_oracle(k=5, n_lists=16, n_probe=8),
@@ -903,7 +920,7 @@ SELECT a, b, round(c, 6) AS cos FROM scored WHERE c >= {threshold}
 _register(
     "embedding_neardup_lsh",
     lambda spark, sf: embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, dim=64,
+        _tp(spark, sf, "embeddings", 8), threshold=0.35, dim=64,
         planes=4, tables=4, probe_radius=1,
     ).select("a", "b", F.round(F.col("cos"), 6).alias("cos")),
     _neardup_lsh_oracle(0.35, 64, 4, 4, 1),
@@ -922,7 +939,7 @@ _MENTION_DICT = [
 
 
 def _mentions(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     d = spark.createDataFrame(_MENTION_DICT, "entity string, label string")
     return detect_mentions(docs, d, max_gram=2)
 
