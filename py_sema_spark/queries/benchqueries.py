@@ -1377,6 +1377,34 @@ WHERE m.p = '{SKOS}member'
 )
 
 _register(
+    "sparql_graph",
+    # named-graph blocks over a quads view (g = per-entity-kind graph,
+    # the GraphNameMapper partitioning, F10): graph var binding +
+    # same-graph join + aggregate
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
+    ).bgp_select(
+        kg_triples(spark, sf).withColumn(
+            "g",
+            F.concat(
+                F.lit("urn:graph:"),
+                F.regexp_extract(F.col("s"), r"^urn:([a-z]+):", 1),
+            ),
+        ),
+        "SELECT ?g (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?ns) "
+        "WHERE { GRAPH ?g { ?s skos:prefLabel ?l . } } GROUP BY ?g",
+        {"skos": SKOS, "dc": DC},
+    ),
+    KG_SQL
+    + f"""
+SELECT 'urn:graph:' || regexp_extract(s, '^urn:([a-z]+):', 1) AS g,
+       count(*) AS n, count(DISTINCT s) AS ns
+FROM triples WHERE p = '{SKOS}prefLabel'
+GROUP BY 1
+""",
+)
+
+_register(
     "sparql_not_exists",
     lambda spark, sf: _bgp(
         spark,

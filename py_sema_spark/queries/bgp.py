@@ -16,6 +16,10 @@ Supported subset::
                                         #   p+  p*  p?  !(p1|p2)  (…)
       OPTIONAL { … }                    # left join (J3)
       { … } UNION { … }                 # one union block
+      GRAPH ?g { … } | GRAPH <iri> { … }  # named-graph blocks over a
+                                        # quads table (g column); the
+                                        # reference's store is named-
+                                        # graph partitioned (F10)
       FILTER(expr)                      # sparql_expr subset, JVM-side
       FILTER [NOT] EXISTS { … }         # semi / anti join
       BIND(expr AS ?v)
@@ -520,6 +524,29 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 
     where = m.group("w")
 
+    # GRAPH ?g { … } | GRAPH <iri> { … } — named-graph blocks over a
+    # quads table (g column). Extracted first (brace-delimited).
+    graphs: List[Tuple[Term, list]] = []
+    for gm in re.finditer(
+        r"(?is)GRAPH\s+(\?[A-Za-z_]\w*|<[^>]*>|[A-Za-z_][\w.-]*:[\w.%-]*)"
+        r"\s*\{([^{}]*)\}",
+        where,
+    ):
+        head = gm.group(1)
+        if head.startswith("?"):
+            gterm = Term("var", head[1:])
+        elif head.startswith("<"):
+            gterm = Term("iri", head[1:-1])
+        else:
+            gterm = Term("iri", _expand(head, prefixes))
+        graphs.append((gterm, _parse_patterns(gm.group(2), prefixes)))
+    where = re.sub(
+        r"(?is)GRAPH\s+(\?[A-Za-z_]\w*|<[^>]*>|[A-Za-z_][\w.-]*:[\w.%-]*)"
+        r"\s*\{[^{}]*\}",
+        " ",
+        where,
+    )
+
     # FILTER [NOT] EXISTS { … } — before OPTIONAL (both use braces)
     filters: List[_Filter] = []
     for fm in re.finditer(
@@ -597,10 +624,13 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         seen: List[str] = []
         for tp in patterns + [p for g in optionals for p in g] + [
             p for g in unions for p in g
-        ]:
+        ] + [p for _, g in graphs for p in g]:
             for t in tp:
                 if isinstance(t, Term) and t.kind == "var" and t.value not in seen:
                     seen.append(t.value)
+        for gterm, _ in graphs:
+            if gterm.kind == "var" and gterm.value not in seen:
+                seen.append(gterm.value)
         proj, aggs, proj_exprs = seen, [], []
     else:
         proj, aggs, proj_exprs = _parse_select_items(proj_raw)
@@ -614,6 +644,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         "aggs": aggs,
         "proj_exprs": proj_exprs,
         "distinct": distinct,
+        "graphs": graphs,
         "patterns": patterns,
         "optionals": optionals,
         "unions": unions,
@@ -639,14 +670,20 @@ def _compile_patterns(
     patterns: Sequence[Tuple[Term, Path | Term, Term]],
     needs: Dict[str, set],
     tag: str = "",
+    extra: Optional[List] = None,
 ) -> Optional[DataFrame]:
+    """``extra``: Columns appended to every pattern's projection (the
+    GRAPH ?g binding) — shared across patterns, so in-block joins also
+    key on it (same-graph semantics for free)."""
     plan = None
     for i, (s, p, o) in enumerate(patterns):
         if isinstance(p, Path) and not p.is_simple_iri:
             part = _compile_path_pattern(triples, s, p, o)
         else:
             pred = Term("iri", p.args) if isinstance(p, Path) else p
-            part = _compile_triple(triples, s, pred, o, needs, f"{tag}{i}")
+            part = _compile_triple(
+                triples, s, pred, o, needs, f"{tag}{i}", extra
+            )
         if plan is None:
             plan = part
         elif part is not None:
@@ -684,9 +721,10 @@ def _compile_triple(
     o: Term,
     needs: Dict[str, set],
     tag: str,
+    extra: Optional[List] = None,
 ) -> DataFrame:
     df = triples
-    cols = []
+    cols = list(extra or [])
 
     def companions(var: str, pos: str) -> None:
         want = needs.get(var, ())
@@ -739,7 +777,9 @@ def _compile_triple(
                     df = df.where(F.col(pos) == F.col(pos_of[t.value]))
                 else:
                     pos_of[t.value] = pos
-        cols = [F.col(pos).alias(var) for var, pos in pos_of.items()]
+        cols = list(extra or []) + [
+            F.col(pos).alias(var) for var, pos in pos_of.items()
+        ]
     # fully-bound pattern = existence gate: empty slice → empty
     # result, non-empty → no row multiplication
     if not cols:
@@ -804,6 +844,24 @@ def bgp_select(
         needs = _merge_needs(needs, h_needs)
 
     plan = _compile_patterns(triples, q["patterns"], needs)
+
+    for k, (gterm, gpatterns) in enumerate(q["graphs"]):
+        if "g" not in triples.columns:
+            raise ValueError(
+                "GRAPH pattern requires a quads table with a 'g' column"
+            )
+        if gterm.kind == "iri":
+            gbase = triples.where(F.col("g") == gterm.value)
+            gextra: List = []
+        else:
+            gbase = triples
+            gextra = [F.col("g").alias(gterm.value)]
+        sub = _compile_patterns(gbase, gpatterns, needs, tag=f"g{k}", extra=gextra)
+        if plan is None:
+            plan = sub
+        elif sub is not None:
+            shared = [c for c in plan.columns if c in sub.columns]
+            plan = plan.join(sub, shared) if shared else plan.crossJoin(sub)
 
     if q["unions"]:
         branches = [

@@ -1,0 +1,125 @@
+"""GraphSource / QueryResult facade — the reference's query-module
+contract (`/root/reference/sema/query/query.py:24-345`) over Spark.
+
+A reference user writes::
+
+    source = GraphSource.build("a.ttl", "b.jsonld")
+    result = source.query(sparql)
+    result.to_dataframe() / to_list() / to_dict() / as_csv(path)
+
+Here the same surface compiles to DataFrame plans: files are parsed by
+the distributed extraction stage (one corpus row per file →
+Arrow-batched multi-format parse, :func:`..serialize.aggregate_files`)
+and ``query`` runs the :mod:`.bgp` SPARQL compiler. ``QueryResult``
+stays lazy until a conversion is called — ``to_*`` collect to the
+driver (the reference's results are driver-side pandas by contract;
+for cluster-scale outputs use ``.df`` and write distributed).
+
+The reference's third source kind — a live SPARQL endpoint
+(`SPARQLGraphSource`) — is out of scope by the survey's corpus-scan
+design (SURVEY.md §1.7: no live HTTP in the engine); ``build`` raises
+a clear error for ``http(s)://`` sources.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Dict, Iterable, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+class QueryResult:
+    """Spark-backed result with the reference's conversion contract
+    (DFBasedQueryResult, query.py:124-161)."""
+
+    def __init__(self, df: DataFrame, query: str = ""):
+        self.df = df
+        self.query = query
+        self._pdf: Optional[pd.DataFrame] = None
+
+    def _collect(self) -> pd.DataFrame:
+        if self._pdf is None:
+            self._pdf = self.df.toPandas()
+        return self._pdf
+
+    def as_csv(self, file_output_path: str, sep: str = ",") -> None:
+        self._collect().to_csv(file_output_path, sep=sep, index=False)
+
+    def to_list(self) -> List:
+        return self._collect().to_dict(orient="records")
+
+    def to_dict(self) -> dict:
+        return self._collect().to_dict(orient="list")
+
+    def to_dataframe(self) -> pd.DataFrame:
+        return self._collect().copy()
+
+    def __len__(self) -> int:
+        return len(self._collect())
+
+    @property
+    def columns(self) -> Iterable:
+        return list(self.df.columns)
+
+
+class GraphSource(ABC):
+    """Abstract queryable graph; ``build`` dispatches like the
+    reference's ``GraphSource.build`` (query.py:231-269)."""
+
+    @abstractmethod
+    def query(self, sparql: str) -> QueryResult: ...
+
+    @staticmethod
+    def build(
+        *sources: str,
+        spark: Optional[SparkSession] = None,
+        prefixes: Optional[Dict[str, str]] = None,
+    ) -> "GraphSource":
+        for src in sources:
+            if isinstance(src, str) and src.startswith(("http://", "https://")):
+                raise NotImplementedError(
+                    "live SPARQL endpoints are out of scope by the "
+                    "corpus-scan design (SURVEY.md §1.7); load a dump "
+                    "file instead"
+                )
+        if not sources:
+            raise ValueError("GraphSource.build needs at least one source")
+        return FileGraphSource(*sources, spark=spark, prefixes=prefixes)
+
+
+class DataFrameGraphSource(GraphSource):
+    """A triples/quads DataFrame (columns s,p,o,o_kind,o_datatype,
+    o_lang[,g]) as a queryable graph — the MemoryGraphSource analog."""
+
+    def __init__(
+        self, triples: DataFrame, prefixes: Optional[Dict[str, str]] = None
+    ):
+        self.triples = triples
+        self.prefixes = dict(prefixes or {})
+
+    def query(self, sparql: str) -> QueryResult:
+        from .bgp import bgp_select
+
+        return QueryResult(
+            bgp_select(self.triples, sparql, self.prefixes), query=sparql
+        )
+
+
+class FileGraphSource(DataFrameGraphSource):
+    """RDF dump files (any of the 7-format fallback chain) parsed into
+    one deduplicated triples set by the distributed extraction stage."""
+
+    def __init__(
+        self,
+        *paths: str,
+        spark: Optional[SparkSession] = None,
+        prefixes: Optional[Dict[str, str]] = None,
+    ):
+        from ..serialize import aggregate_files
+
+        spark = spark or SparkSession.active()
+        super().__init__(
+            aggregate_files(spark, list(paths)), prefixes=prefixes
+        )

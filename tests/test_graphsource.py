@@ -1,0 +1,95 @@
+"""GraphSource / QueryResult facade parity
+(/root/reference/sema/query/query.py:24-345 — build from dump files,
+query with SPARQL, convert driver-side)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.queries.source import (
+    DataFrameGraphSource,
+    FileGraphSource,
+    GraphSource,
+    QueryResult,
+)
+
+EX = "http://example.org/"
+TTL_A = f"""@prefix ex: <{EX}> .
+ex:a ex:label "Alpha" ; ex:next ex:b .
+"""
+TTL_B = f"""@prefix ex: <{EX}> .
+ex:b ex:label "Beta" .
+ex:a ex:label "Alpha" .
+"""
+
+
+@pytest.fixture(scope="module")
+def dumps(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dumps")
+    (d / "a.ttl").write_text(TTL_A)
+    (d / "b.ttl").write_text(TTL_B)
+    return str(d)
+
+
+class TestGraphSource:
+    def test_build_and_query(self, spark, dumps):
+        src = GraphSource.build(
+            os.path.join(dumps, "a.ttl"),
+            os.path.join(dumps, "b.ttl"),
+            spark=spark,
+            prefixes={"ex": EX},
+        )
+        assert isinstance(src, FileGraphSource)
+        res = src.query("SELECT ?s ?p ?o WHERE { ?s ?p ?o . }")
+        # duplicate ex:a label across files dedups to 3 triples
+        assert len(res) == 3
+        assert sorted(res.columns) == ["o", "p", "s"]
+
+    def test_conversions(self, spark, dumps):
+        src = GraphSource.build(
+            os.path.join(dumps, "a.ttl"), spark=spark, prefixes={"ex": EX}
+        )
+        res = src.query(
+            "SELECT ?s ?l WHERE { ?s ex:label ?l . } ORDER BY ?s"
+        )
+        assert isinstance(res, QueryResult)
+        recs = res.to_list()
+        assert recs == [{"s": EX + "a", "l": "Alpha"}]
+        assert res.to_dict() == {"s": [EX + "a"], "l": ["Alpha"]}
+        df = res.to_dataframe()
+        assert isinstance(df, pd.DataFrame) and df.shape == (1, 2)
+
+    def test_as_csv(self, spark, dumps, tmp_path):
+        src = GraphSource.build(
+            os.path.join(dumps, "b.ttl"), spark=spark, prefixes={"ex": EX}
+        )
+        out = tmp_path / "res.csv"
+        src.query(
+            "SELECT ?s ?l WHERE { ?s ex:label ?l . } ORDER BY ?s"
+        ).as_csv(str(out))
+        lines = out.read_text().strip().splitlines()
+        assert lines[0] == "s,l" and len(lines) == 3
+
+    def test_endpoint_refused(self):
+        with pytest.raises(NotImplementedError):
+            GraphSource.build("https://sparql.example.org/sparql")
+
+    def test_dataframe_source_with_graph_block(self, spark):
+        rows = [
+            ("urn:x", EX + "p", "1", "literal", None, None, "urn:g:1"),
+            ("urn:y", EX + "p", "2", "literal", None, None, "urn:g:2"),
+        ]
+        quads = spark.createDataFrame(
+            rows,
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string, g string",
+        )
+        res = DataFrameGraphSource(quads, {"ex": EX}).query(
+            "SELECT ?g ?o WHERE { GRAPH ?g { ?s ex:p ?o . } } ORDER BY ?g"
+        )
+        assert res.to_list() == [
+            {"g": "urn:g:1", "o": "1"},
+            {"g": "urn:g:2", "o": "2"},
+        ]

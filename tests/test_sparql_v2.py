@@ -339,6 +339,67 @@ class TestValuesExistsAggregates:
         assert [x[0] for x in r] == ["Beta"]
 
 
+class TestGraphBlocks:
+    @pytest.fixture(scope="class")
+    def quads(self, spark, triples):
+        return triples.withColumn(
+            "g",
+            F.when(
+                F.col("s").startswith("urn:col:"), "urn:graph:collections"
+            ).otherwise("urn:graph:concepts"),
+        )
+
+    def test_graph_iri(self, quads):
+        r = rows(
+            bgp_select(
+                quads,
+                "SELECT ?s ?o WHERE { GRAPH <urn:graph:collections> { ?s skos:member ?o . } }",
+                PFX,
+            )
+        )
+        assert r == [("urn:col:1", "urn:c:1"), ("urn:col:1", "urn:c:2")]
+
+    def test_graph_var_binds_and_joins(self, quads):
+        r = rows(
+            bgp_select(
+                quads,
+                "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s skos:prefLabel ?l . } }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:graph:concepts"]
+        # same-graph join inside the block
+        r = rows(
+            bgp_select(
+                quads,
+                "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o . } } "
+                "GROUP BY ?g ORDER BY ?g",
+                PFX,
+            )
+        )
+        assert r == [("urn:graph:collections", 2), ("urn:graph:concepts", 9)]
+
+    def test_graph_joined_with_default(self, quads):
+        # default-graph pattern restricts the subject; graph var binds
+        r = rows(
+            bgp_select(
+                quads,
+                "SELECT ?s ?g WHERE { ?s skos:altLabel ?al . "
+                "GRAPH ?g { ?s skos:prefLabel ?l . } }",
+                PFX,
+            )
+        )
+        assert r == [("urn:c:1", "urn:graph:concepts")]
+
+    def test_graph_requires_g_column(self, triples):
+        with pytest.raises(ValueError):
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o . } }",
+                PFX,
+            ).collect()
+
+
 class TestParseErrors:
     def test_group_by_without_aggregate(self, triples):
         with pytest.raises(ValueError):
