@@ -97,6 +97,27 @@ class ParquetTripleStore:
             )
         return out
 
+    def forget_graph_for_key(self, key: str) -> None:
+        """Remove the graph from the admin registry WITHOUT deleting
+        its triples (reference store.py:182-194 ``forget`` vs ``drop``
+        distinction): the data stays on disk but the store no longer
+        tracks or ages it."""
+        self.registry.drop(self.mapper.key_to_ng(key))
+
+    def select(self, sparql: str, named_graph: Optional[str] = None):
+        """SPARQL SELECT over the store (reference store.py:196-222):
+        scoped to one named graph when given, else the union view —
+        which carries ``g``, so queries may also use ``GRAPH ?g { … }``
+        blocks. Returns a :class:`..queries.source.QueryResult`
+        (Spark plan under the hood; conversions collect)."""
+        from .queries.bgp import bgp_select
+        from .queries.source import QueryResult
+
+        triples = self.all_triples()
+        if named_graph is not None:
+            triples = triples.where(F.col("g") == named_graph)
+        return QueryResult(bgp_select(triples, sparql), query=sparql)
+
     def verify_max_age_of_key(self, key: str, reference_time) -> bool:
         """True iff the graph is NOT older than the reference time
         (mirrors store.py:224-255 driving the syncfs update decision)."""

@@ -76,6 +76,38 @@ class TestGraphSource:
         with pytest.raises(NotImplementedError):
             GraphSource.build("https://sparql.example.org/sparql")
 
+    def test_store_select_and_forget(self, spark, tmp_path):
+        from py_sema_spark.store import ParquetTripleStore
+
+        store = ParquetTripleStore(spark, str(tmp_path / "store"))
+        t1 = spark.createDataFrame(
+            [("urn:a", EX + "p", "1", "literal", None, None)],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        t2 = spark.createDataFrame(
+            [("urn:b", EX + "p", "2", "literal", None, None)],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        store.insert_for_key(t1, "k1")
+        store.insert_for_key(t2, "k2")
+        # union-scoped select with a GRAPH var
+        res = store.select(
+            "SELECT ?g ?o WHERE { GRAPH ?g { ?s <"
+            + EX
+            + "p> ?o . } } ORDER BY ?o"
+        )
+        assert [r["o"] for r in res.to_list()] == ["1", "2"]
+        # named-graph-scoped select
+        ng = store.mapper.key_to_ng("k1")
+        res = store.select("SELECT ?o WHERE { ?s ?p ?o . }", named_graph=ng)
+        assert res.to_list() == [{"o": "1"}]
+        # forget: registry drops the key, triples stay on disk
+        store.forget_graph_for_key("k1")
+        assert store.keys == ["k2"]
+        assert store.graph_for_key("k1").count() == 1
+
     def test_dataframe_source_with_graph_block(self, spark):
         rows = [
             ("urn:x", EX + "p", "1", "literal", None, None, "urn:g:1"),
