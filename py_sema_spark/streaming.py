@@ -65,6 +65,47 @@ def run_extraction_stream(
     return writer.start()
 
 
+def run_kg_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timeout_s: Optional[float] = 300,
+    dedup_ttl_s: Optional[int] = None,
+):
+    """End-to-end streaming KG construction: corpus file stream →
+    Arrow-batched extraction → skolemize → **stateful global triple
+    dedup** (:func:`stream_unique_filter` on the full triple key, so a
+    triple re-extracted in a later micro-batch — or after a restart —
+    is emitted exactly once; state lives in the checkpoint) → append
+    triples sink.
+
+    This is the streaming twin of ``Pipeline.run``'s batch
+    extract→dedup spine: same extraction code (stateless mapInPandas
+    serves both), with the batch dedup exchange replaced by keyed
+    state. ``dedup_ttl_s`` bounds state for unbounded feeds (the
+    10^12-row trade documented on :func:`stream_unique_filter`).
+    """
+    triples = stream_extract_triples(stream_corpus(spark, corpus_dir))
+    deduped = stream_unique_filter(
+        triples,
+        ["s", "p", "o", "o_kind", "o_datatype", "o_lang"],
+        state_timeout_s=dedup_ttl_s,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_s)
+        return query
+    return writer.start()
+
+
 def windowed_page_counts(
     corpus_stream: DataFrame,
     window: str = "1 hour",

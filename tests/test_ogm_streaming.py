@@ -119,6 +119,56 @@ class TestStreaming:
         q2 = run_extraction_stream(spark, corpus_dir, out_dir, ckpt)
         assert spark.read.parquet(out_dir).count() == batch.count()
 
+    def test_kg_stream_dedups_across_batches_and_restarts(
+        self, spark, tmp_path
+    ):
+        """run_kg_stream: a triple re-extracted in a later micro-batch
+        (same pages land again as new files, after a restart) must not
+        re-emit — keyed dedup state lives in the checkpoint."""
+        from py_sema_spark.model import dedup_triples, skolemize
+        from py_sema_spark.operators.extract import (
+            extract_structured,
+            triples_of,
+        )
+        from py_sema_spark.streaming import run_kg_stream
+
+        corpus_dir = str(tmp_path / "corpus")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(corpus_dir)
+
+        batch1 = synth_corpus(spark, 60, seed=42)
+        batch1.coalesce(1).write.mode("append").parquet(corpus_dir)
+        run_kg_stream(spark, corpus_dir, out_dir, ckpt)
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 > 0
+
+        # batch 2 = the SAME 60 pages again (new files) + 20 new ones
+        batch1.coalesce(1).write.mode("append").parquet(corpus_dir)
+        synth_corpus(spark, 80, seed=42).where(
+            F.col("url").isin(
+                [r["url"] for r in synth_corpus(spark, 80, seed=42)
+                 .select("url").subtract(batch1.select("url")).collect()]
+            )
+        ).coalesce(1).write.mode("append").parquet(corpus_dir)
+
+        run_kg_stream(spark, corpus_dir, out_dir, ckpt)
+        got = spark.read.parquet(out_dir)
+        # no duplicate triples despite the duplicated input files
+        key = ["s", "p", "o", "o_kind", "o_datatype", "o_lang"]
+        assert got.count() == got.dropDuplicates(key).count()
+        # and the final set equals the batch pipeline's dedup over the
+        # union of all pages
+        batch_all = dedup_triples(
+            skolemize(
+                triples_of(
+                    extract_structured(spark.read.parquet(corpus_dir))
+                )
+            ),
+            keys=key,
+        )
+        assert got.count() == batch_all.count()
+
     def test_windowed_counts(self, spark, tmp_path):
         corpus_dir = str(tmp_path / "wcorpus")
         synth_corpus(spark, 200, seed=42).write.parquet(corpus_dir)
