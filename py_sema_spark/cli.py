@@ -116,7 +116,14 @@ def cmd_query(args) -> int:
     from .queries.bgp import bgp_select
     from .serialize import write_csv
 
-    triples = spark.read.parquet(args.triples)
+    if args.source:
+        # reference CLI parity (sema/query __main__ -s): RDF dump
+        # file(s) parsed by the distributed extraction stage
+        from .queries.source import GraphSource
+
+        triples = GraphSource.build(*args.source, spark=spark).triples
+    else:
+        triples = spark.read.parquet(args.triples)
     sparql = args.sparql
     if args.template:
         from .queries.templated import SparqlBuilder
@@ -236,7 +243,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_subyt)
 
     p = sub.add_parser("query", help="SPARQL subset over a triples table")
-    p.add_argument("--triples", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--triples", default=None, help="triples parquet dir")
+    src.add_argument(
+        "--source", nargs="+", default=None, metavar="FILE",
+        help="RDF dump file(s) to parse into the data graph",
+    )
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("--sparql", default=None)
     g.add_argument("--template", default=None)

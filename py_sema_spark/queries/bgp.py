@@ -15,6 +15,7 @@ Supported subset::
                                         #   iri  ^p  p1/p2  p1|p2
                                         #   p+  p*  p?  !(p1|p2)  (…)
       OPTIONAL { … }                    # left join (J3)
+      MINUS { … }                       # anti join on shared vars
       { … } UNION { … }                 # one union block
       GRAPH ?g { … } | GRAPH <iri> { … }  # named-graph blocks over a
                                         # quads table (g column); the
@@ -567,6 +568,11 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         optionals.append(_parse_patterns(om.group(1), prefixes))
     where = re.sub(r"(?is)OPTIONAL\s*\{[^{}]*\}", " ", where)
 
+    minuses = []
+    for mm in re.finditer(r"(?is)MINUS\s*\{([^{}]*)\}", where):
+        minuses.append(_parse_patterns(mm.group(1), prefixes))
+    where = re.sub(r"(?is)MINUS\s*\{[^{}]*\}", " ", where)
+
     unions = []
     um = re.search(r"(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+", where)
     if um:
@@ -647,6 +653,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         "graphs": graphs,
         "patterns": patterns,
         "optionals": optionals,
+        "minuses": minuses,
         "unions": unions,
         "filters": filters,
         "binds": binds,
@@ -913,6 +920,13 @@ def bgp_select(
         if not shared:
             raise ValueError("OPTIONAL group shares no variable with base")
         plan = plan.join(sub, shared, "left")
+
+    for group in q["minuses"]:
+        sub = _compile_patterns(triples, group, needs, tag="m")
+        shared = [c for c in plan.columns if c in sub.columns]
+        # SPARQL §8.3: MINUS with disjoint domains removes nothing
+        if shared:
+            plan = plan.join(sub.select(*shared).distinct(), shared, "left_anti")
 
     resolver = Resolver()
     for e, _needs, _evars, alias in q["binds"]:

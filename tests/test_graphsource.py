@@ -72,6 +72,30 @@ class TestGraphSource:
         lines = out.read_text().strip().splitlines()
         assert lines[0] == "s,l" and len(lines) == 3
 
+    def test_cli_query_from_source_files(self, spark, dumps, tmp_path, capsys):
+        from py_sema_spark.cli import main
+
+        out = tmp_path / "res.csv"
+        rc = main(
+            [
+                "query",
+                "--source",
+                os.path.join(dumps, "a.ttl"),
+                os.path.join(dumps, "b.ttl"),
+                "--sparql",
+                "SELECT ?s ?l WHERE { ?s <" + EX + "label> ?l . } ORDER BY ?s",
+                "--out",
+                str(out),
+            ]
+        )
+        assert rc == 0
+        import glob as _glob
+
+        text = "".join(
+            open(p).read() for p in _glob.glob(str(out) + "/part-*")
+        )
+        assert "Alpha" in text and "Beta" in text
+
     def test_endpoint_refused(self):
         with pytest.raises(NotImplementedError):
             GraphSource.build("https://sparql.example.org/sparql")

@@ -259,6 +259,29 @@ class TestValuesExistsAggregates:
         )
         assert r == [("urn:c:1", "Alpha", "x"), ("urn:c:3", "Gamma", "y")]
 
+    def test_minus(self, triples):
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s skos:prefLabel ?l . "
+                "MINUS { ?s skos:altLabel ?al . } }",
+                PFX,
+            )
+        )
+        assert [x[0] for x in r] == ["urn:c:2", "urn:c:3"]
+
+    def test_minus_disjoint_removes_nothing(self, triples):
+        # SPARQL §8.3: MINUS group sharing no variable is a no-op
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s skos:prefLabel ?l . "
+                "MINUS { ?x skos:altLabel ?al . } }",
+                PFX,
+            )
+        )
+        assert len(r) == 3
+
     def test_not_exists(self, triples):
         r = rows(
             bgp_select(
