@@ -16,6 +16,9 @@ Supported subset::
                                         #   p+  p*  p?  !(p1|p2)  (…)
       OPTIONAL { … }                    # left join (J3)
       MINUS { … }                       # anti join on shared vars
+      { SELECT … }                      # sub-query (compiled
+                                        # recursively, joined on
+                                        # shared vars)
       { … } UNION { … }                 # one union block
       GRAPH ?g { … } | GRAPH <iri> { … }  # named-graph blocks over a
                                         # quads table (g column); the
@@ -525,6 +528,20 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 
     where = m.group("w")
 
+    # { SELECT … } sub-queries (depth-2 braces: the inner WHERE has its
+    # own block) — extracted first, compiled recursively, joined on
+    # shared variables
+    subselects: List[str] = []
+    _SUBSEL = re.compile(
+        r"(?is)\{\s*(SELECT\s+(?:[^{}]|\{[^{}]*\})*)\}"
+    )
+    while True:
+        sm = _SUBSEL.search(where)
+        if not sm:
+            break
+        subselects.append(sm.group(1).strip())
+        where = where[: sm.start()] + " " + where[sm.end() :]
+
     # GRAPH ?g { … } | GRAPH <iri> { … } — named-graph blocks over a
     # quads table (g column). Extracted first (brace-delimited).
     graphs: List[Tuple[Term, list]] = []
@@ -654,6 +671,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         "patterns": patterns,
         "optionals": optionals,
         "minuses": minuses,
+        "subselects": subselects,
         "unions": unions,
         "filters": filters,
         "binds": binds,
@@ -851,6 +869,14 @@ def bgp_select(
         needs = _merge_needs(needs, h_needs)
 
     plan = _compile_patterns(triples, q["patterns"], needs)
+
+    for sub_sparql in q["subselects"]:
+        sub = bgp_select(triples, sub_sparql, q["prefixes"])
+        if plan is None:
+            plan = sub
+        else:
+            shared = [c for c in plan.columns if c in sub.columns]
+            plan = plan.join(sub, shared) if shared else plan.crossJoin(sub)
 
     for k, (gterm, gpatterns) in enumerate(q["graphs"]):
         if "g" not in triples.columns:

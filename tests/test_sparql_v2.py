@@ -351,6 +351,18 @@ class TestValuesExistsAggregates:
         )
         assert r == [("Alpha",)]
 
+    def test_subselect(self, triples):
+        # label count per subject via sub-query, joined to type pattern
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s ?n WHERE { ?s a skos:Concept . "
+                "{ SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s } }",
+                PFX,
+            )
+        )
+        assert r == [("urn:c:1", 4), ("urn:c:2", 3)]
+
     def test_offset(self, triples):
         r = rows(
             bgp_select(
