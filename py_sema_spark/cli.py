@@ -113,7 +113,7 @@ def cmd_subyt(args) -> int:
 
 def cmd_query(args) -> int:
     spark = _spark(args)
-    from .queries.bgp import bgp_select
+    from .queries.bgp import sparql_query
     from .serialize import write_csv
 
     if args.source:
@@ -131,7 +131,7 @@ def cmd_query(args) -> int:
         variables = dict(kv.split("=", 1) for kv in (args.var or []))
         with open(args.template) as f:
             sparql = SparqlBuilder().build_from_string(f.read(), **variables)
-    out = bgp_select(triples, sparql)
+    out = sparql_query(triples, sparql)
     if args.out:
         write_csv(out, args.out, sep="\t" if args.tsv else ",")
     else:

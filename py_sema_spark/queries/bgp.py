@@ -820,6 +820,62 @@ def _merge_needs(*needs_list: Dict[str, set]) -> Dict[str, set]:
     return out
 
 
+_BNODE_ANON = re.compile(r"\[\s*\]")
+
+
+def bgp_ask(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """``ASK WHERE { … }`` → one-row DataFrame ``(ask: boolean)``.
+
+    Compiled as the equivalent SELECT limited to one solution — the
+    existence check the reference itself issues against stores
+    (store.py `ask where {?s ?p [].}`). Anonymous blank nodes ``[]``
+    are rewritten to fresh variables (each occurrence is an
+    independent wildcard in an ASK)."""
+    m = re.search(r"(?is)\bASK\s*(?:WHERE\s*)?\{(?P<w>.*)\}\s*$", sparql)
+    if not m:
+        raise ValueError(f"unsupported ASK form: {sparql!r}")
+    body = m.group("w")
+    counter = [0]
+
+    def _fresh(_m: re.Match) -> str:
+        counter[0] += 1
+        return f"?__anon{counter[0]}"
+
+    body = _BNODE_ANON.sub(_fresh, body)
+    head = sparql[: m.start()]  # PREFIX declarations before ASK, if any
+    sel = bgp_select(
+        triples, f"{head} SELECT * WHERE {{ {body} }} LIMIT 1", prefixes
+    )
+    spark = triples.sparkSession
+    return spark.createDataFrame(
+        [(bool(sel.take(1)),)], "ask boolean"
+    )
+
+
+_ASK_HEAD = re.compile(
+    r"(?is)^\s*(?:(?:PREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*ASK\b"
+)
+
+
+def sparql_query(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Dispatch a SPARQL string to the matching compiler — ``ASK`` →
+    :func:`bgp_ask`, anything else → :func:`bgp_select` — mirroring the
+    reference where one ``store.select`` entry point accepts both forms
+    (query.py:363-366 probes endpoints with ``ask where {?s ?p [].}``
+    through the same ``select`` call)."""
+    if _ASK_HEAD.match(sparql):
+        return bgp_ask(triples, sparql, prefixes)
+    return bgp_select(triples, sparql, prefixes)
+
+
 def bgp_select(
     triples: DataFrame,
     sparql: str,

@@ -100,10 +100,10 @@ class DataFrameGraphSource(GraphSource):
         self.prefixes = dict(prefixes or {})
 
     def query(self, sparql: str) -> QueryResult:
-        from .bgp import bgp_select
+        from .bgp import sparql_query
 
         return QueryResult(
-            bgp_select(self.triples, sparql, self.prefixes), query=sparql
+            sparql_query(self.triples, sparql, self.prefixes), query=sparql
         )
 
 

@@ -108,15 +108,17 @@ class ParquetTripleStore:
         """SPARQL SELECT over the store (reference store.py:196-222):
         scoped to one named graph when given, else the union view —
         which carries ``g``, so queries may also use ``GRAPH ?g { … }``
-        blocks. Returns a :class:`..queries.source.QueryResult`
+        blocks. ``ASK`` strings are accepted too (the reference probes
+        stores with ``ask where {?s ?p [].}``, query.py:363-366).
+        Returns a :class:`..queries.source.QueryResult`
         (Spark plan under the hood; conversions collect)."""
-        from .queries.bgp import bgp_select
+        from .queries.bgp import sparql_query
         from .queries.source import QueryResult
 
         triples = self.all_triples()
         if named_graph is not None:
             triples = triples.where(F.col("g") == named_graph)
-        return QueryResult(bgp_select(triples, sparql), query=sparql)
+        return QueryResult(sparql_query(triples, sparql), query=sparql)
 
     def verify_max_age_of_key(self, key: str, reference_time) -> bool:
         """True iff the graph is NOT older than the reference time

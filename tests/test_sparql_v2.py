@@ -457,3 +457,60 @@ class TestParseErrors:
             "SELECT ?x WHERE { <http://vocab.example.org/v1.0/x> a ?x . }", PFX
         )
         assert len(q["patterns"]) == 1
+
+
+class TestAsk:
+    """ASK form (reference probes stores with `ask where {?s ?p [].}`,
+    query.py:363-366; routed through the same select entry point)."""
+
+    def _ask(self, triples, q, pfx=None):
+        from py_sema_spark.queries.bgp import sparql_query
+
+        df = sparql_query(triples, q, pfx)
+        assert df.columns == ["ask"]
+        out = df.collect()
+        assert len(out) == 1
+        return out[0]["ask"]
+
+    def test_ask_anonymous_bnode_true(self, triples):
+        assert self._ask(triples, "ask where {?s ?p [].}") is True
+
+    def test_ask_false(self, triples):
+        assert (
+            self._ask(
+                triples,
+                "ASK { ?s <urn:no-such-predicate> ?o . }",
+            )
+            is False
+        )
+
+    def test_ask_with_prefixes_and_filter(self, triples):
+        q = (
+            f"PREFIX skos: <{SKOS}> "
+            'ASK WHERE { ?c skos:prefLabel ?l . FILTER(lang(?l) = "fr") }'
+        )
+        assert self._ask(triples, q) is True
+
+    def test_ask_dispatch_select_unaffected(self, triples):
+        from py_sema_spark.queries.bgp import sparql_query
+
+        df = sparql_query(
+            triples, "SELECT ?s WHERE { ?s ?p ?o . }", None
+        )
+        assert df.columns == ["s"]
+
+    def test_store_select_accepts_ask(self, spark, tmp_path):
+        from py_sema_spark.model import GraphNameMapper
+        from py_sema_spark.store import ParquetTripleStore
+
+        store = ParquetTripleStore(
+            spark, str(tmp_path / "store"), mapper=GraphNameMapper("urn:g:")
+        )
+        triples = spark.createDataFrame(
+            [("urn:s", "urn:p", "urn:o", "iri", None, None)],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        store.insert_for_key(triples, "k1")
+        res = store.select("ask where {?s ?p [].}")
+        assert res.to_list() == [{"ask": True}]
