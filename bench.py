@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "detect_mentions",
     "sparql_path",
     "sparql_groupby",
+    "sparql_construct",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -1422,6 +1422,81 @@ WHERE t.p = '{RDF}type' AND t.o = '{SKOS}Concept'
 """,
 )
 
+# ---- SPARQL graph-building forms: CONSTRUCT / DESCRIBE / ASK (the
+# reference accepts every rdflib query form through one select entry
+# point; each compiles to columnar projections of the solution plan) --
+
+_register(
+    "sparql_construct",
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_construct"]
+    ).bgp_construct(
+        kg_triples(spark, sf),
+        "CONSTRUCT { ?c <urn:ex:code> ?i . ?c a <urn:ex:Identified> } "
+        "WHERE { ?c dc:identifier ?i . ?c skos:broader ?n . }",
+        {"skos": SKOS, "dc": DC},
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT * FROM (
+  SELECT t.s AS s, 'urn:ex:code' AS p, t.o AS o,
+         'literal' AS o_kind, CAST(NULL AS VARCHAR) AS o_datatype,
+         t.o_lang AS o_lang
+  FROM triples t
+  WHERE t.p = '{DC}identifier'
+    AND EXISTS (SELECT 1 FROM triples b
+                WHERE b.s = t.s AND b.p = '{SKOS}broader')
+  UNION ALL
+  SELECT t.s, '{RDF}type', 'urn:ex:Identified', 'iri', NULL, NULL
+  FROM triples t
+  WHERE t.p = '{DC}identifier'
+    AND EXISTS (SELECT 1 FROM triples b
+                WHERE b.s = t.s AND b.p = '{SKOS}broader')
+)
+""",
+)
+
+_register(
+    "sparql_describe",
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_describe"]
+    ).bgp_describe(
+        kg_triples(spark, sf),
+        "DESCRIBE ?r WHERE { ?r skos:member ?m . ?m a skos:Concept . }",
+        {"skos": SKOS},
+    ),
+    KG_SQL
+    + f"""
+SELECT DISTINCT t.s AS s, t.p AS p, t.o AS o, t.o_kind AS o_kind,
+       CAST(t.o_datatype AS VARCHAR) AS o_datatype,
+       CAST(t.o_lang AS VARCHAR) AS o_lang
+FROM triples t
+WHERE t.s IN (
+  SELECT mem.s FROM triples mem
+  JOIN triples ty ON ty.s = mem.o
+    AND ty.p = '{RDF}type' AND ty.o = '{SKOS}Concept'
+  WHERE mem.p = '{SKOS}member')
+""",
+)
+
+_register(
+    "sparql_ask",
+    lambda spark, sf: __import__(
+        "py_sema_spark.queries.bgp", fromlist=["bgp_ask"]
+    ).bgp_ask(
+        kg_triples(spark, sf),
+        'ASK WHERE { ?c skos:prefLabel ?l . FILTER(lang(?l) = "en") }',
+        {"skos": SKOS},
+    ),
+    KG_SQL
+    + f"""
+SELECT EXISTS (
+  SELECT 1 FROM triples
+  WHERE p = '{SKOS}prefLabel' AND lower(coalesce(o_lang, '')) = 'en'
+) AS ask
+""",
+)
+
 
 # ---- harvest frontier traversal (M5) — corpus-shaped, rows-only ----
 

@@ -856,6 +856,262 @@ def bgp_ask(
     )
 
 
+def _balanced_block(text: str, start: int) -> Tuple[str, int]:
+    """Return (inner, end_index_after_close) for the ``{…}`` block whose
+    opening brace is at ``start`` — brace-counting, so nested groups
+    (OPTIONAL/UNION/sub-SELECT) inside a WHERE survive extraction."""
+    assert text[start] == "{"
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i], i + 1
+    raise ValueError(f"unbalanced braces in {text[start:start+80]!r}")
+
+
+_IRI_SHAPE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def bgp_construct(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { … }`` → a triples DataFrame in
+    :data:`..model.TRIPLE_SCHEMA` column order — the graph-building
+    query form (the reference gets it from rdflib's full SPARQL,
+    `/root/reference/sema/query/__init__.py`; here each template
+    triple compiles to one columnar projection of the solution set,
+    unioned and set-deduplicated).
+
+    Supported: the ``CONSTRUCT WHERE { … }`` shorthand; blank nodes in
+    the template (``_:label`` / ``[]``), instantiated per solution via
+    deterministic skolemization (xxhash64 over the solution bindings —
+    the same "deterministic IRI skolemization" rule the pipeline uses
+    for corpus blank nodes); ORDER/LIMIT/OFFSET solution modifiers.
+    Unbound-variable instantiations are dropped per SPARQL §16.2.
+
+    Scale shape: the WHERE compiles exactly as a SELECT (broadcast
+    slices, pushed filters); each template triple is a narrow
+    projection of that one solution plan (Spark reuses it under AQE),
+    and the only added exchange is the final set-dedup."""
+    m = re.search(r"(?is)\bCONSTRUCT\b", sparql)
+    if not m:
+        raise ValueError(f"not a CONSTRUCT query: {sparql!r}")
+    head = sparql[: m.start()]  # PREFIX/BASE declarations
+    rest = sparql[m.end() :]
+    brace = rest.index("{")
+    pre = rest[:brace]
+    first, after = _balanced_block(rest, brace)
+    if re.fullmatch(r"(?is)\s*WHERE\s*", pre):
+        # CONSTRUCT WHERE { … } shorthand: template = pattern
+        tpl_text = where_body = first
+        tail = rest[after:]
+    elif pre.strip() == "":
+        # CONSTRUCT { tpl } WHERE { … }
+        tpl_text = first
+        wm = re.match(r"(?is)\s*WHERE\s*(?=\{)", rest[after:])
+        if not wm:
+            raise ValueError(f"CONSTRUCT template without WHERE: {sparql!r}")
+        where_body, wend = _balanced_block(rest, after + wm.end())
+        tail = rest[wend:]
+    else:
+        raise ValueError(f"unsupported CONSTRUCT form: {sparql!r}")
+
+    # template blank nodes → synthetic vars, skolemized per solution
+    anon = [0]
+
+    def _anon(_m: re.Match) -> str:
+        anon[0] += 1
+        return f"?__bn_anon{anon[0]}"
+
+    tpl_text = _BNODE_ANON.sub(_anon, tpl_text)
+    tpl_text = re.sub(r"_:([A-Za-z0-9_]+)", r"?__bn_\1", tpl_text)
+
+    # merge prefixes: declared in the query head + caller-supplied
+    pfx = dict(prefixes or {})
+    for pm in re.finditer(
+        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
+    ):
+        pfx[pm.group(1)] = pm.group(2)
+    template = _parse_patterns(tpl_text, pfx)
+    for s, p, o in template:
+        if isinstance(p, Path) and not p.is_simple_iri:
+            raise ValueError("property paths are not allowed in a "
+                             "CONSTRUCT template")
+
+    extra_needs = {
+        o.value: {"kind", "lang", "dt"}
+        for (_s, _p, o) in template
+        if o.kind == "var" and not o.value.startswith("__bn_")
+    }
+    sol = bgp_select(
+        triples,
+        f"{head} SELECT * WHERE {{ {where_body} }} {tail}",
+        prefixes,
+        _extra_needs=extra_needs,
+        _keep_meta=True,
+    )
+
+    bind_cols = sorted(
+        c for c in sol.columns if not c.endswith(("__lang", "__dt", "__kind"))
+    )
+
+    def _skolem(bnode_var: str):
+        return F.concat(
+            F.lit("_:c"),
+            F.lower(
+                F.hex(
+                    F.xxhash64(
+                        F.lit(bnode_var),
+                        *[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                          for c in bind_cols],
+                    )
+                )
+            ),
+        )
+
+    def _node(term: Term, pos: str):
+        """(value, kind, lang, dt) Column 4-tuple for one template slot."""
+        if term.kind == "var":
+            v = term.value
+            if v.startswith("__bn_"):
+                return _skolem(v), F.lit("bnode"), F.lit(None), F.lit(None)
+            if v not in sol.columns:
+                raise ValueError(
+                    f"template variable ?{v} is not bound by the WHERE"
+                )
+            val = F.col(v).cast("string")
+            if pos == "o":
+                if f"{v}__kind" in sol.columns:
+                    kind = F.coalesce(
+                        F.col(f"{v}__kind"),
+                        F.when(val.startswith("_:"), "bnode")
+                        .when(val.rlike(_IRI_SHAPE.pattern), "iri")
+                        .otherwise("literal"),
+                    )
+                    lang = F.col(f"{v}__lang")
+                    dt = F.col(f"{v}__dt")
+                else:  # BIND/VALUES-produced: literal unless IRI-shaped
+                    kind = (
+                        F.when(val.startswith("_:"), "bnode")
+                        .when(val.rlike(_IRI_SHAPE.pattern), "iri")
+                        .otherwise("literal")
+                    )
+                    lang, dt = F.lit(None), F.lit(None)
+                return val, kind, lang, dt
+            return val, None, None, None
+        if term.kind == "iri":
+            return F.lit(term.value), F.lit("iri"), F.lit(None), F.lit(None)
+        return (  # literal (object position only)
+            F.lit(term.value),
+            F.lit("literal"),
+            F.lit(term.lang),
+            F.lit(term.dt),
+        )
+
+    from ..model import dedup_triples
+
+    parts = []
+    for s, p, o in template:
+        pterm = p if isinstance(p, Term) else Term("iri", p.args)
+        s_val, _, _, _ = _node(s, "s")
+        p_val, _, _, _ = _node(pterm, "p")
+        o_val, o_kind, o_lang, o_dt = _node(o, "o")
+        parts.append(
+            sol.select(
+                s_val.alias("s"),
+                p_val.alias("p"),
+                o_val.alias("o"),
+                o_kind.cast("string").alias("o_kind"),
+                o_dt.cast("string").alias("o_datatype"),
+                o_lang.cast("string").alias("o_lang"),
+            ).where(
+                F.col("s").isNotNull()
+                & F.col("p").isNotNull()
+                & F.col("o").isNotNull()
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return dedup_triples(out)
+
+
+def bgp_describe(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """``DESCRIBE <iri>… | ?var… [WHERE { … }]`` → every triple whose
+    *subject* is one of the described resources (simple subject-CBD,
+    the common store behaviour), in TRIPLE_SCHEMA column order.
+
+    Var form compiles the WHERE as a SELECT DISTINCT of the described
+    variables, stacks them into one resource set, and LeftSemi-joins
+    the triples table against its broadcast — one scan of the corpus,
+    no shuffle of the big side."""
+    m = re.search(r"(?is)\bDESCRIBE\b", sparql)
+    if not m:
+        raise ValueError(f"not a DESCRIBE query: {sparql!r}")
+    head = sparql[: m.start()]
+    rest = sparql[m.end() :]
+    wm = re.search(r"(?is)\bWHERE\s*\{", rest)
+    target_text = rest[: wm.start()] if wm else rest
+    pfx = dict(prefixes or {})
+    for pm in re.finditer(
+        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
+    ):
+        pfx[pm.group(1)] = pm.group(2)
+
+    iris: List[str] = []
+    dvars: List[str] = []
+    for tok in _TERM_RE.finditer(target_text):
+        term = _parse_term(tok, pfx)
+        if term.kind == "var":
+            dvars.append(term.value)
+        elif term.kind == "iri":
+            iris.append(term.value)
+        else:
+            raise ValueError("DESCRIBE targets must be IRIs or variables")
+    if not iris and not dvars:
+        raise ValueError(f"DESCRIBE names no resource: {sparql!r}")
+
+    from ..model import TRIPLE_SCHEMA, dedup_triples
+
+    cols = [f.name for f in TRIPLE_SCHEMA.fields]
+    base = triples.select(*cols)
+    if dvars:
+        if not wm:
+            raise ValueError("DESCRIBE ?var needs a WHERE clause")
+        where_body, _ = _balanced_block(rest, rest.index("{", wm.start()))
+        sel = bgp_select(
+            triples,
+            f"{head} SELECT DISTINCT {' '.join('?' + v for v in dvars)} "
+            f"WHERE {{ {where_body} }}",
+            prefixes,
+        )
+        res = sel.select(F.col(dvars[0]).alias("__r"))
+        for v in dvars[1:]:
+            res = res.unionByName(sel.select(F.col(v).alias("__r")))
+        if iris:
+            spark = triples.sparkSession
+            res = res.unionByName(
+                spark.createDataFrame([(i,) for i in iris], "__r string")
+            )
+        out = base.join(
+            F.broadcast(res.distinct()),
+            base["s"] == F.col("__r"),
+            "left_semi",
+        )
+    else:
+        out = base.where(F.col("s").isin(iris))
+    return dedup_triples(out)
+
+
 _ASK_HEAD = re.compile(
     r"(?is)^\s*(?:(?:PREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*ASK\b"
 )
@@ -867,12 +1123,22 @@ def sparql_query(
     prefixes: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Dispatch a SPARQL string to the matching compiler — ``ASK`` →
-    :func:`bgp_ask`, anything else → :func:`bgp_select` — mirroring the
-    reference where one ``store.select`` entry point accepts both forms
-    (query.py:363-366 probes endpoints with ``ask where {?s ?p [].}``
-    through the same ``select`` call)."""
+    :func:`bgp_ask`, ``CONSTRUCT`` → :func:`bgp_construct`,
+    ``DESCRIBE`` → :func:`bgp_describe`, anything else →
+    :func:`bgp_select` — mirroring the reference where one
+    ``store.select`` entry point accepts every query form (rdflib
+    full-SPARQL; query.py:363-366 probes endpoints with
+    ``ask where {?s ?p [].}`` through the same ``select`` call)."""
     if _ASK_HEAD.match(sparql):
         return bgp_ask(triples, sparql, prefixes)
+    verb = re.match(
+        r"(?is)^\s*(?:(?:PREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*"
+        r"(?P<verb>CONSTRUCT|DESCRIBE)\b",
+        sparql,
+    )
+    if verb:
+        fn = bgp_construct if verb.group("verb").upper() == "CONSTRUCT" else bgp_describe
+        return fn(triples, sparql, prefixes)
     return bgp_select(triples, sparql, prefixes)
 
 
@@ -880,6 +1146,9 @@ def bgp_select(
     triples: DataFrame,
     sparql: str,
     prefixes: Optional[Dict[str, str]] = None,
+    *,
+    _extra_needs: Optional[Dict[str, set]] = None,
+    _keep_meta: bool = False,
 ) -> DataFrame:
     """Compile + run a SPARQL SELECT (see module docstring for the
     subset) against a triples DataFrame; columns are the projected
@@ -887,12 +1156,17 @@ def bgp_select(
     shared variables (J3); FILTERs to Column predicates, which
     Catalyst pushes down into the pattern slices where legal;
     EXISTS/NOT EXISTS to LeftSemi/LeftAnti joins; GROUP BY +
-    aggregates to a hash aggregate (map-side partials for free)."""
+    aggregates to a hash aggregate (map-side partials for free).
+
+    ``_extra_needs``/``_keep_meta`` are the internal CONSTRUCT hooks:
+    request term metadata (``v__kind``/``__lang``/``__dt``) for extra
+    variables and keep those companion columns in the projection."""
     q = parse_select(sparql, prefixes)
 
     needs = _merge_needs(
         *[f.needs for f in q["filters"] if f.kind == "expr"],
         *[b[1] for b in q["binds"]],
+        _extra_needs or {},
     )
     having_expr = None
     having_aggs: List[AggItem] = []
@@ -1059,6 +1333,13 @@ def bgp_select(
         missing = [v for v in proj_cols if v not in plan.columns]
         if missing:
             raise ValueError(f"projected vars not bound: {missing}")
+        if _keep_meta:
+            proj_cols = proj_cols + [
+                c
+                for c in plan.columns
+                if c.endswith(("__lang", "__dt", "__kind"))
+                and c not in proj_cols
+            ]
         out = plan.select(*proj_cols)
 
     if q["distinct"]:

@@ -514,3 +514,117 @@ class TestAsk:
         store.insert_for_key(triples, "k1")
         res = store.select("ask where {?s ?p [].}")
         assert res.to_list() == [{"ask": True}]
+
+
+class TestConstructDescribe:
+    """CONSTRUCT / DESCRIBE (the reference gets both from rdflib's
+    full SPARQL; here each template triple is one columnar projection
+    of the solution plan, unioned + set-deduplicated)."""
+
+    def test_construct_carries_term_metadata(self, triples):
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        out = bgp_construct(
+            triples,
+            "CONSTRUCT { ?c <urn:label> ?l . ?c a <urn:Thing> } "
+            "WHERE { ?c skos:prefLabel ?l . }",
+            PFX,
+        )
+        assert out.columns == [
+            "s", "p", "o", "o_kind", "o_datatype", "o_lang",
+        ]
+        got = rows(out)
+        assert ("urn:c:1", "urn:label", "Alpha", "literal", None, "en") in got
+        assert (
+            "urn:c:1",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "urn:Thing", "iri", None, None,
+        ) in got
+        assert len(got) == 6  # 3 labels + 3 typed subjects
+
+    def test_construct_iri_object_kind(self, triples):
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        out = bgp_construct(
+            triples,
+            "CONSTRUCT { ?a <urn:narrower> ?c } "
+            "WHERE { ?c skos:broader ?a . }",
+            PFX,
+        )
+        for r in out.collect():
+            assert r["o_kind"] == "iri"
+
+    def test_construct_template_bnode_skolem(self, triples):
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        out = bgp_construct(
+            triples,
+            "CONSTRUCT { ?c <urn:hasLabel> _:b . _:b <urn:value> ?l } "
+            'WHERE { ?c skos:prefLabel ?l . FILTER(lang(?l) = "en") }',
+            PFX,
+        ).collect()
+        # per solution, the SAME fresh bnode links the two template
+        # triples; across solutions the bnodes differ (deterministic
+        # xxhash64 skolemization over the solution bindings)
+        by_subj = {
+            r["o"]: r["s"] for r in out if r["p"] == "urn:hasLabel"
+        }
+        values = {r["s"]: r["o"] for r in out if r["p"] == "urn:value"}
+        assert len(by_subj) == 2 and len(values) == 2
+        for bnode, subj in by_subj.items():
+            assert bnode.startswith("_:c")
+            assert values[bnode] in ("Alpha", "Beta")
+
+    def test_construct_shorthand_and_dedup(self, triples):
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        out = bgp_construct(
+            triples,
+            "CONSTRUCT WHERE { ?s skos:prefLabel ?l . }",
+            PFX,
+        )
+        assert out.count() == 3
+
+    def test_construct_unbound_optional_dropped(self, triples):
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        out = bgp_construct(
+            triples,
+            "CONSTRUCT { ?c <urn:alt> ?a } "
+            "WHERE { ?c skos:prefLabel ?l . "
+            "OPTIONAL { ?c skos:altLabel ?a } }",
+            PFX,
+        )
+        # only urn:c:1 has an altLabel; unbound ?a instantiations drop
+        assert rows(out) == [
+            ("urn:c:1", "urn:alt", "A", "literal", None, None)
+        ]
+
+    def test_describe_iri(self, triples):
+        from py_sema_spark.queries.bgp import bgp_describe
+
+        out = bgp_describe(triples, "DESCRIBE <urn:c:1>")
+        assert out.count() == 4
+        assert {r["s"] for r in out.collect()} == {"urn:c:1"}
+
+    def test_describe_var_where(self, triples):
+        from py_sema_spark.queries.bgp import bgp_describe
+
+        out = bgp_describe(
+            triples,
+            "DESCRIBE ?c WHERE { ?c skos:broader <urn:c:3> . }",
+            PFX,
+        )
+        assert {r["s"] for r in out.collect()} == {"urn:c:2"}
+
+    def test_dispatch_construct_describe(self, triples):
+        from py_sema_spark.queries.bgp import sparql_query
+
+        out = sparql_query(
+            triples,
+            f"PREFIX skos: <{SKOS}> "
+            "CONSTRUCT { ?s <urn:p> ?l } WHERE { ?s skos:prefLabel ?l }",
+        )
+        assert out.columns[:3] == ["s", "p", "o"]
+        out = sparql_query(triples, "DESCRIBE <urn:c:2>")
+        assert out.count() == 3
