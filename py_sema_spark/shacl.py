@@ -7,8 +7,9 @@ it actually exercises is the fixture shape graph
 (/root/reference/tests/bench/resources/sembench_data/example_shape.ttl):
 ``sh:datatype, sh:maxCount, sh:in, sh:lessThan, sh:node, sh:closed,
 sh:minInclusive, sh:maxInclusive`` on ``sh:targetClass``-targeted node
-shapes (plus ``sh:minCount``, for completeness). Exactly that subset is
-compiled here — each constraint becomes a filter/aggregation over the
+shapes. That subset is compiled here, plus the most common remaining
+SHACL-core property constraints (``sh:minCount, sh:pattern/sh:flags,
+sh:minLength, sh:maxLength, sh:hasValue, sh:nodeKind, sh:class``) — each constraint becomes a filter/aggregation over the
 triples table, every check pushes its predicate-literal filter to the
 scan, and the result is a **violations DataFrame** instead of an
 assert (the assert form is :func:`assert_conforms`).
@@ -65,6 +66,13 @@ class PropertyShape:
     min_inclusive: Optional[float] = None
     max_inclusive: Optional[float] = None
     name: Optional[str] = None
+    pattern: Optional[str] = None
+    flags: Optional[str] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    has_value: Optional[str] = None
+    node_kind: Optional[str] = None
+    class_: Optional[str] = None
 
 
 @dataclass
@@ -121,6 +129,13 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 ("min_inclusive", "minInclusive", lambda o: float(o.value)),
                 ("max_inclusive", "maxInclusive", lambda o: float(o.value)),
                 ("name", "name", lambda o: o.value),
+                ("pattern", "pattern", lambda o: o.value),
+                ("flags", "flags", lambda o: o.value),
+                ("min_length", "minLength", lambda o: int(o.value)),
+                ("max_length", "maxLength", lambda o: int(o.value)),
+                ("has_value", "hasValue", lambda o: o.value),
+                ("node_kind", "nodeKind", lambda o: o.value),
+                ("class_", "class", lambda o: o.value),
             ):
                 o = one(p, SH + pred)
                 if o is not None:
@@ -273,6 +288,76 @@ def validate(
                 out = out.unionByName(_viol(
                     vals.where(cond), shape.iri, ps.path, "range",
                     f"value outside [{ps.min_inclusive}, {ps.max_inclusive}]",
+                ))
+
+            if ps.pattern is not None:
+                rx = ps.pattern
+                if ps.flags:
+                    rx = f"(?{ps.flags}){rx}"
+                bad = vals.where(
+                    (F.col("o_kind") == "bnode") | ~F.col("o").rlike(rx)
+                )
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "pattern",
+                    f"value does not match pattern /{ps.pattern}/",
+                ))
+
+            if ps.min_length is not None or ps.max_length is not None:
+                ln = F.length(F.col("o"))
+                cond = F.col("o_kind") == "bnode"
+                if ps.min_length is not None:
+                    cond = cond | (ln < ps.min_length)
+                if ps.max_length is not None:
+                    cond = cond | (ln > ps.max_length)
+                out = out.unionByName(_viol(
+                    vals.where(cond), shape.iri, ps.path, "length",
+                    f"length outside [{ps.min_length}, {ps.max_length}]",
+                ))
+
+            if ps.has_value is not None:
+                # existence per focus node: anti-join focus against the
+                # slice holding the required value (broadcast focus set)
+                have = vals.where(F.col("o") == ps.has_value).select("s")
+                missing = focus_s.join(have, "s", "left_anti")
+                out = out.unionByName(_viol(
+                    missing, shape.iri, ps.path, "hasValue",
+                    f"required value {ps.has_value} absent",
+                    value=F.lit(None),
+                ))
+
+            if ps.node_kind is not None:
+                allowed = {
+                    SH + "IRI": ["iri"],
+                    SH + "Literal": ["literal"],
+                    SH + "BlankNode": ["bnode"],
+                    SH + "BlankNodeOrIRI": ["bnode", "iri"],
+                    SH + "BlankNodeOrLiteral": ["bnode", "literal"],
+                    SH + "IRIOrLiteral": ["iri", "literal"],
+                }.get(ps.node_kind)
+                if allowed is not None:
+                    bad = vals.where(~F.col("o_kind").isin(allowed))
+                    out = out.unionByName(_viol(
+                        bad, shape.iri, ps.path, "nodeKind",
+                        f"value is not a {ps.node_kind.rsplit('#', 1)[-1]}",
+                    ))
+
+            if ps.class_ is not None:
+                # every value must be an rdf:type instance of the class:
+                # one anti-join of the value slice against the (pushed-down)
+                # typed-instances slice, keyed on the value — no collect
+                typed = (
+                    triples.where(
+                        (F.col("p") == RDF_TYPE) & (F.col("o") == ps.class_)
+                    )
+                    .select(F.col("s").alias("o"))
+                    .distinct()
+                )
+                bad = vals.where(F.col("o_kind") != "literal").join(
+                    typed, "o", "left_anti"
+                ).unionByName(vals.where(F.col("o_kind") == "literal"))
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "class",
+                    f"value is not an instance of <{ps.class_}>",
                 ))
 
             if ps.node:

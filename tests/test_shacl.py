@@ -179,3 +179,102 @@ ex:b1 ex:toA ex:a1 .
 
     # terminates and reports no violations on the conforming cycle
     assert validate(data, cyc_shapes).isEmpty()
+
+
+# ---- common SHACL-core constraints beyond the reference's exercised
+# surface: pattern/flags, min/maxLength, hasValue, nodeKind, class ----
+
+CORE_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/> .
+
+ex:ShipShape
+    a sh:NodeShape ;
+    sh:targetClass ex:Ship ;
+    sh:property [
+        sh:path ex:registry ;
+        sh:pattern "^[A-Z]{2}-[0-9]{4}$" ;
+        sh:minLength 7 ;
+        sh:maxLength 7 ;
+    ] ;
+    sh:property [
+        sh:path ex:flag ;
+        sh:hasValue "open-registry" ;
+    ] ;
+    sh:property [
+        sh:path ex:captain ;
+        sh:nodeKind sh:IRI ;
+        sh:class ex:Crew ;
+    ] ;
+    sh:property [
+        sh:path ex:motto ;
+        sh:pattern "per aspera" ;
+        sh:flags "i" ;
+    ] .
+"""
+
+CORE_CONFORM_TTL = """
+@prefix ex: <http://example.org/> .
+
+ex:boat a ex:Ship ;
+    ex:registry "AB-1234" ;
+    ex:flag "open-registry" ;
+    ex:captain ex:ann ;
+    ex:motto "PER ASPERA ad astra" .
+
+ex:ann a ex:Crew .
+"""
+
+
+@pytest.fixture(scope="module")
+def core_shapes():
+    return parse_shapes_ttl(CORE_SHAPES_TTL)
+
+
+def test_core_shape_parsing(core_shapes):
+    ship = {s.iri: s for s in core_shapes}["http://example.org/ShipShape"]
+    by_path = {p.path.rsplit("/", 1)[-1]: p for p in ship.properties}
+    assert by_path["registry"].pattern == "^[A-Z]{2}-[0-9]{4}$"
+    assert by_path["registry"].min_length == 7
+    assert by_path["registry"].max_length == 7
+    assert by_path["flag"].has_value == "open-registry"
+    assert by_path["captain"].node_kind.endswith("#IRI")
+    assert by_path["captain"].class_ == "http://example.org/Crew"
+    assert by_path["motto"].flags == "i"
+
+
+def test_core_conform(spark, core_shapes):
+    assert conforms(triples_df(spark, CORE_CONFORM_TTL), core_shapes)
+
+
+@pytest.mark.parametrize(
+    "old,new,expected_constraint",
+    [
+        ('ex:registry "AB-1234"', 'ex:registry "ab-1234"', "pattern"),
+        ('ex:registry "AB-1234"', 'ex:registry "AB-12345"', "length"),
+        ('ex:flag "open-registry"', 'ex:flag "closed"', "hasValue"),
+        ("ex:captain ex:ann", 'ex:captain "ann"', "nodeKind"),
+        ("ex:captain ex:ann", "ex:captain ex:ghost", "class"),
+        (
+            'ex:motto "PER ASPERA ad astra"',
+            'ex:motto "carpe diem"',
+            "pattern",
+        ),
+    ],
+    ids=["pattern", "length", "hasValue", "nodeKind", "class", "flags-i"],
+)
+def test_core_nonconform(spark, core_shapes, old, new, expected_constraint):
+    assert old in CORE_CONFORM_TTL
+    df = triples_df(spark, CORE_CONFORM_TTL.replace(old, new))
+    viols = validate(df, core_shapes).collect()
+    assert expected_constraint in {v["constraint"] for v in viols}
+
+
+def test_class_accepts_literal_violation_and_iri_instance(spark, core_shapes):
+    # a literal value can never be a class instance
+    df = triples_df(
+        spark, CORE_CONFORM_TTL.replace("ex:captain ex:ann", 'ex:captain "ann"')
+    )
+    viols = validate(df, core_shapes).collect()
+    assert "class" in {v["constraint"] for v in viols}
