@@ -1498,6 +1498,43 @@ SELECT EXISTS (
 )
 
 
+def _sparql_update(spark, sf):
+    """SPARQL 1.1 Update over the KG view: retire every deprecated
+    entity (DELETE the flag triple, INSERT a lifecycle triple from the
+    same solution set), then summarize the updated graph per
+    predicate. Exercises the anti-join delete + union/dedup insert
+    machinery (queries/update.py) end-to-end against a plain-SQL
+    mirror of the set algebra."""
+    from .update import apply_update
+
+    out = apply_update(
+        kg_triples(spark, sf),
+        f'DELETE {{ ?s <{OWL}deprecated> "true" }} '
+        f'INSERT {{ ?s <urn:ex:lifecycle> "retired" }} '
+        f'WHERE {{ ?s <{OWL}deprecated> "true" }}',
+    )
+    return (
+        out.groupBy("p").agg(F.count(F.lit(1)).alias("n")).orderBy("p")
+    )
+
+
+_register(
+    "sparql_update",
+    _sparql_update,
+    KG_SQL
+    + f""",
+updated AS (
+  SELECT s, p, o FROM triples
+  WHERE NOT (p = '{OWL}deprecated' AND o = 'true')
+  UNION ALL
+  SELECT DISTINCT s, 'urn:ex:lifecycle', 'retired'
+  FROM triples WHERE p = '{OWL}deprecated' AND o = 'true'
+)
+SELECT p, count(*) AS n FROM updated GROUP BY p ORDER BY p
+""",
+)
+
+
 # ---- harvest frontier traversal (M5) — corpus-shaped, rows-only ----
 
 

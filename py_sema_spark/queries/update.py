@@ -1,0 +1,299 @@
+"""SPARQL 1.1 Update (subset) compiled to DataFrame set algebra.
+
+The reference mutates stores through rdflib graph ops — ``insert``
+adds a (skolemized) graph to a named graph and ``drop_graph`` removes
+one (/root/reference/sema/commons/store/store.py:384-395,507-510); it
+never interprets SPARQL Update strings itself because rdflib's
+endpoint does. A user coming from an endpoint workflow still writes
+the update verbs, so they are compiled here over the same triples
+table the SELECT/CONSTRUCT compilers use:
+
+======================  =============================================
+verb                    plan shape
+======================  =============================================
+``INSERT DATA``         union of a literal ground-triple frame +
+                        set-dedup (U2 semantics)
+``DELETE DATA``         broadcast anti-join on the ground triples
+``DELETE WHERE``        pattern → CONSTRUCT of the matched triples →
+                        broadcast anti-join
+``DELETE/INSERT …       both templates instantiated from the same
+WHERE``                 WHERE solution set (:func:`..bgp.bgp_construct`),
+                        anti-join for the delete side, union+dedup
+                        for the insert side
+``CLEAR/DROP GRAPH``    partition-pruned filter on ``g`` (Iceberg:
+                        a metadata-only ``DELETE WHERE g = …``)
+======================  =============================================
+
+Several operations separated by ``;`` apply left-to-right, each seeing
+the previous result (SPARQL 1.1 Update §3 sequence semantics).
+
+Scale shape: the WHERE solution compiles exactly as a SELECT
+(predicate-slice pushdown, broadcast dims — bgp.py module docstring);
+delete sets are bounded by their match and broadcast, so the corpus
+side is never shuffled by a delete; the insert union's set-dedup is
+the one added exchange and is fused with the bucketed materialize at
+write time (model.dedup_triples docstring).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import (
+    Path,
+    Term,
+    _balanced_block,
+    _parse_patterns,
+    bgp_construct,
+)
+
+__all__ = ["apply_update", "parse_update"]
+
+_PREFIX_RE = re.compile(r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>")
+_VERB_RE = re.compile(
+    r"(?is)^\s*(?P<verb>INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE"
+    r"|INSERT|DELETE|CLEAR|DROP)\b"
+)
+_GRAPH_TGT_RE = re.compile(
+    r"(?is)^\s*(?:SILENT\s+)?(?:GRAPH\s*<(?P<iri>[^>]*)>|(?P<all>ALL)"
+    r"|(?P<default>DEFAULT))\s*$"
+)
+
+
+def _split_ops(text: str) -> List[str]:
+    """Split an update request on ``;`` outside braces/quotes/IRIs."""
+    ops, depth, start, i, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == "<":
+            j = text.find(">", i + 1)
+            i = j if j != -1 else i
+        elif ch == '"':
+            j = i + 1
+            while j < n and (text[j] != '"' or text[j - 1] == "\\"):
+                j += 1
+            i = j
+        elif ch == ";" and depth == 0:
+            ops.append(text[start:i])
+            start = i + 1
+        i += 1
+    ops.append(text[start:])
+    return [op for op in ops if op.strip()]
+
+
+def parse_update(
+    text: str, prefixes: Optional[Dict[str, str]] = None
+) -> Tuple[Dict[str, str], List[dict]]:
+    """→ (prefix map, list of op dicts). Op kinds: ``insert_data``,
+    ``delete_data`` (ground ``triples`` lists), ``modify``
+    (``delete_tpl``/``insert_tpl``/``where`` strings), ``clear``
+    (``graph``: IRI or ``None`` for ALL)."""
+    pfx = dict(prefixes or {})
+    for m in _PREFIX_RE.finditer(text):
+        pfx[m.group(1)] = m.group(2)
+    body = _PREFIX_RE.sub("", text)
+    ops: List[dict] = []
+    for op_text in _split_ops(body):
+        m = _VERB_RE.match(op_text)
+        if not m:
+            raise ValueError(f"unsupported update operation: {op_text!r}")
+        verb = re.sub(r"\s+", " ", m.group("verb").upper())
+        rest = op_text[m.end():]
+        if verb in ("INSERT DATA", "DELETE DATA"):
+            inner, _ = _balanced_block(rest, rest.index("{"))
+            ops.append({
+                "kind": "insert_data" if verb == "INSERT DATA" else "delete_data",
+                "quads": _parse_ground(inner, pfx),
+            })
+        elif verb == "DELETE WHERE":
+            inner, _ = _balanced_block(rest, rest.index("{"))
+            ops.append({
+                "kind": "modify",
+                "delete_tpl": inner,
+                "insert_tpl": None,
+                "where": inner,
+            })
+        elif verb in ("INSERT", "DELETE"):
+            first, after = _balanced_block(rest, rest.index("{"))
+            delete_tpl = first if verb == "DELETE" else None
+            insert_tpl = first if verb == "INSERT" else None
+            tail = rest[after:]
+            im = re.match(r"(?is)\s*INSERT\s*(?=\{)", tail)
+            if verb == "DELETE" and im:
+                insert_tpl, after2 = _balanced_block(
+                    tail, tail.index("{", im.end() - 1)
+                )
+                tail = tail[after2:]
+            wm = re.match(r"(?is)\s*WHERE\s*(?=\{)", tail)
+            if not wm:
+                raise ValueError(
+                    f"{verb} template without WHERE: {op_text!r}"
+                )
+            where, _ = _balanced_block(tail, tail.index("{", wm.end() - 1))
+            ops.append({
+                "kind": "modify",
+                "delete_tpl": delete_tpl,
+                "insert_tpl": insert_tpl,
+                "where": where,
+            })
+        else:  # CLEAR / DROP — same effect on a table-backed store
+            g = _GRAPH_TGT_RE.match(rest)
+            if not g:
+                raise ValueError(f"unsupported {verb} target: {rest!r}")
+            ops.append({
+                "kind": "clear",
+                "graph": g.group("iri"),  # None → ALL / DEFAULT
+                "all": bool(g.group("all")),
+            })
+    return pfx, ops
+
+
+def _parse_ground(
+    inner: str, pfx: Dict[str, str]
+) -> List[Tuple[Optional[str], tuple]]:
+    """Ground-triple block (optionally with ``GRAPH <g> { … }``
+    sub-blocks) → list of (graph-or-None, (s,p,o,o_kind,o_datatype,
+    o_lang)). Variables are illegal in DATA blocks per the spec."""
+    quads: List[Tuple[Optional[str], tuple]] = []
+    i, n = 0, len(inner)
+    plain_parts: List[str] = []
+    while i < n:
+        gm = re.compile(r"(?is)\bGRAPH\s*<([^>]*)>\s*\{").search(inner, i)
+        if not gm:
+            plain_parts.append(inner[i:])
+            break
+        plain_parts.append(inner[i:gm.start()])
+        block, after = _balanced_block(inner, inner.index("{", gm.start()))
+        for t in _ground_triples(block, pfx):
+            quads.append((gm.group(1), t))
+        i = after
+    plain = " ".join(plain_parts)
+    if plain.strip():
+        for t in _ground_triples(plain, pfx):
+            quads.append((None, t))
+    return quads
+
+
+def _ground_triples(text: str, pfx: Dict[str, str]) -> List[tuple]:
+    out = []
+    for s, p, o in _parse_patterns(text, pfx):
+        if isinstance(p, Path):
+            if not p.is_simple_iri:
+                raise ValueError("property paths are illegal in DATA blocks")
+            p = Term("iri", p.args)
+        for term in (s, p, o):
+            if term.kind == "var":
+                raise ValueError(
+                    f"variable ?{term.value} is illegal in a DATA block"
+                )
+        out.append((
+            s.value, p.value, o.value,
+            o.kind if o.kind != "var" else "literal",
+            o.dt, o.lang,
+        ))
+    return out
+
+
+def _quads_frame(triples: DataFrame, quads, has_g: bool) -> DataFrame:
+    spark = triples.sparkSession
+    rows = [
+        ((g,) if has_g else ()) + t for g, t in quads
+    ]
+    schema = ("g string, " if has_g else "") + (
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+_TRIPLE_KEY = ["s", "p", "o", "o_kind", "o_datatype", "o_lang"]
+
+
+def _anti(triples: DataFrame, del_set: DataFrame) -> DataFrame:
+    """Remove ``del_set``'s triples — broadcast anti-join, null-safe on
+    the nullable literal metadata so ``"x"`` and ``"x"@en`` stay
+    distinct. Graph-scoped rows (non-null ``g`` in ``del_set``) only
+    match their graph; graph-less delete rows match in every graph
+    (triple-level DELETE over a quads table)."""
+    keys = list(_TRIPLE_KEY)
+    d = del_set
+    cond = None
+    for k in keys:
+        c = triples[k].eqNullSafe(d[k]) if k in d.columns else None
+        if c is not None:
+            cond = c if cond is None else (cond & c)
+    if "g" in triples.columns and "g" in d.columns:
+        cond = cond & (d["g"].isNull() | triples["g"].eqNullSafe(d["g"]))
+    return triples.join(F.broadcast(d), cond, "left_anti")
+
+
+def apply_update(
+    triples: DataFrame,
+    update: str,
+    prefixes: Optional[Dict[str, str]] = None,
+    default_graph: Optional[str] = None,
+) -> DataFrame:
+    """Apply a SPARQL Update request to a triples (or quads) DataFrame
+    and return the updated frame — same columns, set semantics
+    preserved. ``default_graph`` names the graph that graph-less
+    INSERT rows land in when the table carries a ``g`` column."""
+    pfx, ops = parse_update(update, prefixes)
+    has_g = "g" in triples.columns
+    out = triples
+    for op in ops:
+        if op["kind"] == "insert_data":
+            add = _quads_frame(out, [
+                ((g or default_graph) if has_g else g, t)
+                for g, t in op["quads"]
+            ], has_g)
+            out = out.unionByName(add, allowMissingColumns=True)
+            out = out.dropDuplicates(
+                _TRIPLE_KEY + (["g"] if has_g else [])
+            )
+        elif op["kind"] == "delete_data":
+            out = _anti(out, _quads_frame(out, op["quads"], has_g))
+        elif op["kind"] == "modify":
+            # SPARQL Update §3.1.3: WHERE is evaluated once against the
+            # state at the start of THIS operation; both templates
+            # instantiate from that same solution set
+            pre = out
+            head = " ".join(
+                f"PREFIX {k}: <{v}>" for k, v in pfx.items()
+            )
+            if op["delete_tpl"] is not None:
+                del_set = bgp_construct(
+                    pre,
+                    f"{head} CONSTRUCT {{ {op['delete_tpl']} }} "
+                    f"WHERE {{ {op['where']} }}",
+                )
+                out = _anti(pre, del_set)
+            if op["insert_tpl"] is not None:
+                ins_set = bgp_construct(
+                    pre,
+                    f"{head} CONSTRUCT {{ {op['insert_tpl']} }} "
+                    f"WHERE {{ {op['where']} }}",
+                )
+                if has_g and default_graph is not None:
+                    ins_set = ins_set.withColumn("g", F.lit(default_graph))
+                out = out.unionByName(ins_set, allowMissingColumns=True)
+                out = out.dropDuplicates(
+                    _TRIPLE_KEY + (["g"] if has_g else [])
+                )
+        elif op["kind"] == "clear":
+            if op["graph"] is not None and has_g:
+                out = out.where(
+                    ~F.col("g").eqNullSafe(F.lit(op["graph"]))
+                )
+            elif op["all"] or not has_g:
+                out = out.limit(0)
+            else:  # CLEAR DEFAULT on a quads table
+                out = out.where(F.col("g").isNotNull())
+    return out
