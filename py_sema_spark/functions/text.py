@@ -86,6 +86,112 @@ def quality_score(text_col: Column) -> Column:
     ).alias("quality")
 
 
+def _ws_words(text_col: Column) -> Column:
+    """Raw whitespace words (symbols kept — Gopher's metrics are about
+    the unnormalized surface, unlike :func:`_tokens`)."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+
+
+def gopher_metrics(text_col: Column) -> dict:
+    """Gopher-rules quality signals (Rae et al. 2021 §A1.1) as pure
+    column expressions, one scan, no Python:
+
+    - ``n_words`` — whitespace word count
+    - ``mean_word_len`` — characters per word
+    - ``frac_alpha_words`` — fraction of words containing a letter
+    - ``dup_line_frac`` — fraction of non-empty lines that are
+      duplicates of an earlier line (repetition signal)
+    - ``symbol_word_ratio`` — ``#``/ellipsis occurrences per word
+    - ``stop_hits`` — English stopword hits (the "has ≥2 stop words"
+      gate)
+
+    Every expression has a 1:1 DuckDB mirror (single-division ratios,
+    so the float arithmetic is IEEE-identical on both sides)."""
+    words = _ws_words(text_col)
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.length(F.concat_ws("", words)) / denom
+    frac_alpha = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / denom
+    )
+    lines = F.filter(
+        F.transform(F.split(text_col, "\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.regexp_count(text_col, F.lit(r"#|\.\.\.")) / denom
+    toks = _tokens(text_col)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(LANG_PROFILES["en"])))
+    return {
+        "n_words": n_words.alias("n_words"),
+        "mean_word_len": mean_word_len.alias("mean_word_len"),
+        "frac_alpha_words": frac_alpha.alias("frac_alpha_words"),
+        "dup_line_frac": dup_line_frac.alias("dup_line_frac"),
+        "symbol_word_ratio": symbol_ratio.alias("symbol_word_ratio"),
+        "stop_hits": stop_hits.alias("stop_hits"),
+    }
+
+
+def gopher_pass(
+    text_col: Column,
+    min_words: int = 8,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_frac_alpha: float = 0.7,
+    max_dup_line_frac: float = 0.5,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 1,
+) -> Column:
+    """Gopher-style keep/drop gate over :func:`gopher_metrics`
+    (thresholds default to the paper's shape, scaled for short
+    fixtures)."""
+    m = gopher_metrics(text_col)
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["frac_alpha_words"] >= min_frac_alpha)
+        & (m["dup_line_frac"] <= max_dup_line_frac)
+        & (m["symbol_word_ratio"] <= max_symbol_ratio)
+        & (m["stop_hits"] >= min_stop_hits)
+    ).alias("gopher_pass")
+
+
+# PII patterns shared byte-for-byte with the DuckDB oracle: RE2 ∩
+# java.util.regex syntax only (no lookaround, no possessives). Applied
+# in order — emails before phones so the local-part digits can't be
+# phone-matched; IPs before phones so dotted quads survive intact.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_counts(text_col: Column) -> dict:
+    """Per-kind PII match counts (email / dotted-quad IP / dashed
+    international phone)."""
+    return {
+        kind: F.regexp_count(text_col, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace every PII match with its placeholder token, in
+    :data:`PII_PATTERNS` order — the standard pre-training scrub
+    pass. Pure ``regexp_replace`` chain (vectorized, codegen'd)."""
+    out = text_col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out.alias("redacted")
+
+
 def doc_fingerprint(text_col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the canonical token
     stream (rolling content hash, whitespace/punct-insensitive) —

@@ -679,6 +679,123 @@ _register(
     f"SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fingerprint FROM documents",
 )
 
+def _gopher_quality(spark, sf):
+    """Gopher-rules quality signals + keep/drop gate per document —
+    one scan, pure column algebra (functions/text.py:gopher_metrics).
+    Ratios are single divisions of integer counts so the float
+    arithmetic is bit-identical to the DuckDB mirror."""
+    from ..functions.text import gopher_metrics, gopher_pass
+
+    m = gopher_metrics(F.col("text"))
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        m["n_words"],
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["frac_alpha_words"], 6).alias("frac_alpha_words"),
+        F.round(m["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(m["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        m["stop_hits"],
+        gopher_pass(F.col("text")),
+    )
+
+
+_register(
+    "gopher_quality",
+    _gopher_quality,
+    r"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines,
+    """
+    + TOKS
+    + r""" AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    length(array_to_string(words, '')) / greatest(len(words), 1) AS mean_word_len,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+      / greatest(len(words), 1) AS frac_alpha_words,
+    CASE WHEN len(lines) > 0
+         THEN 1.0 - len(list_distinct(lines)) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+    len(regexp_extract_all(text, '#|\.\.\.')) / greatest(len(words), 1)
+      AS symbol_word_ratio,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with')))
+      AS stop_hits
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(frac_alpha_words, 6) AS frac_alpha_words,
+  round(dup_line_frac, 6) AS dup_line_frac,
+  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+  CAST(stop_hits AS INT) AS stop_hits,
+  (n_words >= 8 AND n_words <= 100000
+   AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+   AND frac_alpha_words >= 0.7 AND dup_line_frac <= 0.5
+   AND symbol_word_ratio <= 0.1 AND stop_hits >= 1) AS gopher_pass
+FROM m
+""",
+)
+
+
+def _pii_scrub(spark, sf):
+    """PII scrub pass: deterministic e-mail/IP/phone injections per
+    doc (so the fixture genuinely contains PII), then the shared
+    regexp chain redacts and counts — md5 of the redacted text pins
+    byte-level agreement with the oracle."""
+    from ..functions.text import pii_counts, pii_redact
+
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call +1-202-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    c = pii_counts(injected)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        c["email"],
+        c["ip"],
+        c["phone"],
+        F.md5(pii_redact(injected)).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    red = "t"
+    for k, p, r in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '{r}', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com from 10.'
+         || (doc_id % 256) || '.0.1 call +1-202-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{pats["ip"]}')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS INT) AS n_phone,
+  md5({red}) AS redacted_md5
+FROM inj
+"""
+
+
+_register("pii_scrub", _pii_scrub, _pii_sql())
+
+
 # ---- similarity search ----
 
 
