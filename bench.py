@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "ctrl_windows",
     "unique_filter",
     "exact_dedup",
+    "line_dedup",
     "minhash_neardup",
     "minhash_neardup_shingle",
     "ngram_jaccard",
@@ -53,6 +54,9 @@ BENCH_QUERIES = [
     "sparql_path",
     "sparql_groupby",
     "sparql_construct",
+    "sparql_update",
+    "gopher_quality",
+    "pii_scrub",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

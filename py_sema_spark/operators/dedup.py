@@ -200,6 +200,14 @@ def minhash_dedup(
         ts = shingle_set(docs, shingle_n, text_col, id_col)
     else:
         ts = token_set(docs, text_col, id_col)
+    # the token set feeds the signature build once and the Jaccard
+    # verification three more times (set sizes + both join sides);
+    # materialize it once instead of re-running the explode+distinct
+    # per consumer (3.5× wall on the shingle config at sf0.1). Lazy
+    # local checkpoint: first action computes, ContextCleaner frees
+    # the blocks when the frame is unreferenced. At 100 TB the same
+    # role is a checkpointed (bucketed-by-token) table.
+    ts = ts.localCheckpoint(eager=False)
     sigs = minhash_signatures(ts, num_perm, id_col)
     cand = lsh_candidate_pairs(sigs, bands, id_col, max_bucket_size)
     return jaccard_pairs(ts, cand, id_col).where(F.col("jaccard") >= threshold)
@@ -238,6 +246,10 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).where(F.length("gram") > 0).distinct()
+    # same reuse shape as minhash_dedup: the gram set feeds the prefix
+    # index once and the verification three more times — compute the
+    # explode+distinct once
+    grams = grams.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("gram")
@@ -297,5 +309,69 @@ def simhash(
             F.sum(
                 F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
             ).alias("simhash")
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document line deduplication (C4-style boilerplate
+    removal): a line whose trimmed form appears anywhere else in the
+    corpus survives only at its first occurrence, ordered by
+    (doc_id, line_no); every later copy is dropped and each document
+    is reassembled from its surviving lines in original order.
+
+    Returns ``(doc_id, clean_text, n_lines, n_removed)`` — one row per
+    document that has at least one non-empty line.
+
+    Scale shape: explode → **groupBy(line_hash).agg(min(position))**
+    → join back → per-doc re-aggregation. The first-occurrence choice
+    is a partial-aggregatable ``min`` (map-side combine), NOT a window
+    over the exploded frame — hub lines ("home", copyright footers)
+    that occur 10^8 times reduce map-side to one row per partition
+    instead of shuffling every copy into one window partition. Two
+    shuffles total (hash agg + per-doc regroup); the join on the
+    deduped hash side is skew-safe because that side is distinct.
+    """
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .where(F.trim(F.col("line")) != "")
+        .withColumn("h", F.md5(F.trim(F.col("line"))))
+    )
+    firsts = exploded.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    joined = exploded.join(firsts, "h")
+    kept = (F.col("doc_id") == F.col("first.doc_id")) & (
+        F.col("line_no") == F.col("first.line_no")
+    )
+    return (
+        joined.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("int")
+            .alias("n_removed"),
         )
     )

@@ -796,6 +796,74 @@ FROM inj
 _register("pii_scrub", _pii_scrub, _pii_sql())
 
 
+def _line_dedup(spark, sf):
+    """Cross-document line dedup (C4-style boilerplate removal) over a
+    deterministically chunked view of `documents` (10-word chunks as
+    lines — the single-blob fixtures carry no newlines, and the
+    chunking is mirrored in the oracle). First occurrence survives;
+    docs are reassembled; md5 pins the reassembled bytes."""
+    from ..operators.dedup import line_dedup
+
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    nchunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    lines = F.when(
+        nchunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = _tp(spark, sf, "documents").select(
+        "doc_id", F.concat_ws("\n", lines).alias("text")
+    )
+    out = line_dedup(chunked)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+_register(
+    "line_dedup",
+    _line_dedup,
+    r"""
+WITH chunked AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks)/10.0) AS INT)),
+        i -> array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')),
+      chr(10)) AS text
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        FROM documents)
+),
+lines AS (
+  SELECT doc_id, u.line_no AS line_no, u.line AS line
+  FROM (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+          (x, i) -> struct_pack(line_no := i - 1, line := x))) AS u
+        FROM chunked)
+  WHERE trim(u.line) <> ''
+),
+ranked AS (
+  SELECT doc_id, line_no, line,
+    row_number() OVER (PARTITION BY md5(trim(line))
+                       ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id,
+  md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+               FILTER (WHERE rn = 1), '')) AS clean_md5,
+  CAST(count(*) AS INT) AS n_lines,
+  CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_removed
+FROM ranked GROUP BY doc_id
+""",
+)
+
+
 # ---- similarity search ----
 
 

@@ -96,3 +96,43 @@ def test_patterns_have_no_lookaround():
     # common syntax subset
     for _, pat, _ in PII_PATTERNS:
         assert "(?=" not in pat and "(?<" not in pat and "(?!" not in pat
+
+
+class TestLineDedup:
+    DOCS = [
+        (1, "alpha beta\ncommon footer\nunique one"),
+        (2, "common footer\nunique two"),
+        (3, "  common footer  \nalpha beta\nunique three"),
+        (4, "\n\n"),           # only empty lines → vanishes
+        (5, "unique five"),
+    ]
+
+    def _run(self, spark):
+        from py_sema_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict() for r in line_dedup(df).collect()
+        }
+
+    def test_first_occurrence_survives(self, spark):
+        out = self._run(spark)
+        assert out[1]["clean_text"] == "alpha beta\ncommon footer\nunique one"
+        assert out[1]["n_removed"] == 0
+
+    def test_later_copies_removed(self, spark):
+        out = self._run(spark)
+        assert out[2]["clean_text"] == "unique two"
+        assert out[2]["n_removed"] == 1
+        # trim-insensitive match, original spacing kept only at the
+        # surviving first occurrence
+        assert out[3]["clean_text"] == "unique three"
+        assert out[3]["n_removed"] == 2
+
+    def test_counts_and_empty_docs(self, spark):
+        out = self._run(spark)
+        assert 4 not in out  # all-empty doc has no rows
+        assert out[5] == {
+            "doc_id": 5, "clean_text": "unique five",
+            "n_lines": 1, "n_removed": 0,
+        }
