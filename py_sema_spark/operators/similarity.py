@@ -100,6 +100,36 @@ def _probe_masks(planes: int, radius: int) -> list:
     return [m for m in range(2 ** planes) if bin(m).count("1") <= radius]
 
 
+def _table_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: int,
+    planes: int,
+    dim: int,
+) -> DataFrame:
+    """(id, t, bucket) — all hash tables' bucket ids from one scan:
+    the per-table signatures are independent column projections of the
+    same vector, exploded from a struct array (tables·planes dot
+    products per row, zero extra scans/exchanges)."""
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_col(F.col(vec_col), t, planes, dim).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(tb).alias("_tb")).select(
+        id_col,
+        F.col("_tb.t").alias("t"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, _v: array<double>, _n: ‖v‖) — norm computed once per
     vector so candidate-pair scoring is a single dot product."""
@@ -129,32 +159,36 @@ def lsh_cosine_topk(
     standard way to buy recall without more tables; only the broadcast
     query side fans out, the corpus is hashed once per table)."""
     masks = _probe_masks(planes, probe_radius)
-    cand = None
-    for t in range(tables):
-        e = embeddings.withColumn(
-            "bucket", lsh_bucket_col(F.col(vec_col), t, planes, dim)
-        ).select(id_col, "bucket")
-        q = (
-            queries.withColumn(
-                "_b0", lsh_bucket_col(F.col(q_vec_col), t, planes, dim)
-            )
-            .select(
-                q_id_col,
-                F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
-                "_b0",
-            )
-            .select(
-                q_id_col,
-                F.col("_b0").bitwiseXOR(F.col("_m")).alias("bucket"),
-            )
+    # every hash table in ONE corpus scan: the per-table bucket ids are
+    # independent projections of the same vector, so they explode from
+    # one (table, bucket) struct array instead of re-scanning the
+    # corpus per table and unioning (tables× scans → 1 scan, one join
+    # on (t, bucket) instead of `tables` joins + union)
+    e_b = _table_buckets(
+        embeddings, id_col, vec_col, tables, planes, dim
+    )
+    q_b = (
+        _table_buckets(queries, q_id_col, q_vec_col, tables, planes, dim)
+        .select(
+            q_id_col,
+            "t",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
+            "bucket",
         )
-        c = e.join(F.broadcast(q), "bucket").select(q_id_col, id_col)
-        cand = c if cand is None else cand.unionByName(c)
-    # id pairs only through the union/dedup exchange (vectors are
-    # 64 doubles a row — 30× the payload); attach vectors + the
-    # per-row norms afterwards, so each norm is computed once per
-    # vector instead of once per candidate pair. Values are identical:
-    # same dot/(sqrt·sqrt) expression, same operand order.
+        .select(
+            q_id_col,
+            "t",
+            F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
+        )
+    )
+    cand = e_b.join(F.broadcast(q_b), ["t", "bucket"]).select(
+        q_id_col, id_col
+    )
+    # id pairs only through the dedup exchange (vectors are 64 doubles
+    # a row — 30× the payload); attach vectors + the per-row norms
+    # afterwards, so each norm is computed once per vector instead of
+    # once per candidate pair. Values are identical: same
+    # dot/(sqrt·sqrt) expression, same operand order.
     cand = cand.dropDuplicates([q_id_col, id_col])
     ev = _with_norm(embeddings, id_col, vec_col)
     qv = _with_norm(queries, q_id_col, q_vec_col)
@@ -351,29 +385,31 @@ def embedding_neardup_pairs(
     the cost of dropping ``planes`` (halving planes quadruples every
     bucket's pair output; probing adds a linear factor instead)."""
     masks = _probe_masks(planes, probe_radius)
-    pairs = None
-    for t in range(tables):
-        b = embeddings.withColumn(
-            "bucket", lsh_bucket_col(F.col(vec_col), t, planes, dim)
-        ).select(F.col(id_col), F.col("bucket"))
-        probed = b.select(
-            id_col,
-            F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
-            "bucket",
-        ).select(
-            id_col,
-            F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
+    # one corpus scan for all tables (see lsh_cosine_topk), then one
+    # self-join on (t, bucket) — materialized once since both join
+    # sides derive from it
+    b = _table_buckets(
+        embeddings, id_col, vec_col, tables, planes, dim
+    ).localCheckpoint(eager=False)
+    probed = b.select(
+        id_col,
+        "t",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
+        "bucket",
+    ).select(
+        id_col,
+        "t",
+        F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket"),
+    )
+    pairs = (
+        probed.alias("x")
+        .join(b.alias("y"), ["t", "bucket"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
         )
-        p = (
-            probed.alias("x")
-            .join(b.alias("y"), "bucket")
-            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(
-                F.col(f"x.{id_col}").alias("a"),
-                F.col(f"y.{id_col}").alias("b"),
-            )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    )
     # id pairs only through the candidate union/dedup exchange; attach
     # vectors + precomputed norms after (norm once per vector, not per
     # pair; same dot/(sqrt·sqrt) expression so values are unchanged)
