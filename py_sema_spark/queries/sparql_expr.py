@@ -23,7 +23,8 @@ Supported grammar (SPARQL 1.1 §17 subset)::
 Calls: REGEX LANGMATCHES LANG BOUND STR CONTAINS STRSTARTS STRENDS
 STRLEN UCASE LCASE SUBSTR REPLACE CONCAT COALESCE IF ABS CEIL FLOOR
 ROUND STRBEFORE STRAFTER IRI URI DATATYPE ISIRI ISURI ISLITERAL
-ISBLANK SAMETERM ENCODE_FOR_URI.
+ISBLANK SAMETERM ENCODE_FOR_URI MD5 SHA1 SHA256 SHA384 SHA512
+ISNUMERIC YEAR MONTH DAY HOURS MINUTES SECONDS.
 
 Value model: variables are the string-typed columns the BGP compiler
 projects; numeric comparison/arithmetic casts to double exactly when a
@@ -456,6 +457,40 @@ class _Parser:
                     F.url_encode(a[0].col(r)), F.lit("+"), F.lit("%20")
                 ),
                 "str",
+            )
+        if f in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            arity(1)
+            def _hash(r, a=a, f=f):
+                s = a[0].col(r).cast("string")
+                if f == "MD5":
+                    return F.md5(s)
+                if f == "SHA1":
+                    return F.sha1(s)
+                return F.sha2(s, int(f[3:]))
+            return Expr(_hash, "str")
+        if f == "ISNUMERIC":
+            arity(1)
+            # numeric per SPARQL §17.4.2.4: value castable to double
+            # (try_cast — ANSI mode makes a plain cast throw)
+            return Expr(
+                lambda r, a=a: a[0].col(r).try_cast("double").isNotNull(),
+                "bool",
+            )
+        if f in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            arity(1)
+            fn = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[f]
+            # literal values are stored lexically; accessor works on
+            # the ISO form (xsd:date/dateTime) via an implicit cast
+            # try_to_timestamp: non-temporal operands yield NULL
+            # instead of an ANSI runtime error mid-filter
+            return Expr(
+                lambda r, a=a, fn=fn: fn(
+                    F.try_to_timestamp(a[0].col(r).cast("string"))
+                ),
+                "num",
             )
         if f == "DATATYPE":
             arity(1)

@@ -628,3 +628,59 @@ class TestConstructDescribe:
         assert out.columns[:3] == ["s", "p", "o"]
         out = sparql_query(triples, "DESCRIBE <urn:c:2>")
         assert out.count() == 3
+
+
+class TestExprBuiltinsV3:
+    """SPARQL 1.1 §17.4.4-17.4.6: hash functions, ISNUMERIC, date
+    accessors — added after the v2 compiler round."""
+
+    def test_hash_functions(self, spark, triples):
+        import hashlib
+
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?l (MD5(?l) AS ?h5) (SHA1(?l) AS ?h1) "
+                "(SHA256(?l) AS ?h256) WHERE { "
+                "<urn:c:1> skos:prefLabel ?l . }",
+                PFX,
+            )
+        )
+        assert len(r) == 1
+        l, h5, h1, h256 = r[0]
+        assert l == "Alpha"
+        assert h5 == hashlib.md5(b"Alpha").hexdigest()
+        assert h1 == hashlib.sha1(b"Alpha").hexdigest()
+        assert h256 == hashlib.sha256(b"Alpha").hexdigest()
+
+    def test_isnumeric(self, spark, triples):
+        # identifiers "G3" are not numeric; "3" would be
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?i WHERE { ?s dc:identifier ?i . "
+                "FILTER(!ISNUMERIC(?i)) }",
+                PFX,
+            )
+        )
+        assert r == [("G3",)]
+
+    def test_date_accessors(self, spark):
+        t = spark.createDataFrame(
+            [
+                ("urn:e:1", "urn:p:when", "2024-03-05T07:08:09",
+                 "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        r = rows(
+            bgp_select(
+                t,
+                "SELECT (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) "
+                "(DAY(?d) AS ?dd) (HOURS(?d) AS ?hh) "
+                "(MINUTES(?d) AS ?mi) (SECONDS(?d) AS ?ss) "
+                "WHERE { ?s <urn:p:when> ?d . }",
+            )
+        )
+        assert r == [(2024, 3, 5, 7, 8, 9)]
