@@ -120,6 +120,61 @@ class ParquetTripleStore:
             triples = triples.where(F.col("g") == named_graph)
         return QueryResult(sparql_query(triples, sparql), query=sparql)
 
+    def update(
+        self, update_str: str, named_graph: Optional[str] = None
+    ) -> None:
+        """SPARQL Update over the store (queries/update.py verbs).
+
+        Scoped form applies to one named graph (GRAPH blocks inside
+        DATA collapse into that graph). Unscoped form runs over the
+        union quads view — GRAPH blocks address individual graphs —
+        and rewrites every registered graph from ONE materialized
+        result (the updated frame is checkpointed before the first
+        overwrite, so later graphs don't observe earlier writes:
+        spec §3 evaluates each op against the pre-op state)."""
+        from .queries.update import apply_update
+
+        cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        if named_graph is not None:
+            key = self.mapper.ng_to_key(named_graph)
+            new = apply_update(
+                self.graph_for_key(key), update_str
+            ).select(*cols)
+            self._overwrite_graph(key, new)
+            self.registry.touch([named_graph])
+            return
+        # unscoped: SPARQL's default graph is a real graph here (key
+        # "default"); GRAPH blocks inside DATA address other graphs
+        ng_default = self.mapper.key_to_ng("default")
+        new = apply_update(
+            self.all_triples(), update_str, default_graph=ng_default
+        ).localCheckpoint()
+        present = {
+            r["g"]
+            for r in new.select("g").distinct().collect()
+            if r["g"] is not None
+        }
+        registered = {self.mapper.key_to_ng(k) for k in self.keys}
+        touched = sorted(present | registered)
+        for ng in touched:
+            self._overwrite_graph(
+                self.mapper.ng_to_key(ng),
+                new.where(F.col("g") == ng).select(*cols),
+            )
+        if touched:
+            self.registry.touch(touched)
+
+    def _overwrite_graph(self, key: str, triples: DataFrame) -> None:
+        """Two-step overwrite via ``.tmp`` so a plan that reads the
+        graph's own parquet can safely replace it (Iceberg: an atomic
+        snapshot commit)."""
+        gdir = self._graph_dir(key)
+        triples.write.mode("overwrite").parquet(str(gdir) + ".tmp")
+        self.spark.read.parquet(str(gdir) + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(str(gdir))
+        shutil.rmtree(str(gdir) + ".tmp", ignore_errors=True)
+
     def verify_max_age_of_key(self, key: str, reference_time) -> bool:
         """True iff the graph is NOT older than the reference time
         (mirrors store.py:224-255 driving the syncfs update decision)."""

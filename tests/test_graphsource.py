@@ -149,3 +149,59 @@ class TestGraphSource:
             {"g": "urn:g:1", "o": "1"},
             {"g": "urn:g:2", "o": "2"},
         ]
+
+
+def test_store_update(spark, tmp_path):
+    from py_sema_spark.store import ParquetTripleStore
+
+    store = ParquetTripleStore(spark, str(tmp_path / "ustore"))
+    schema = (
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string"
+    )
+    store.insert_for_key(
+        spark.createDataFrame(
+            [("urn:a", EX + "status", "old", "literal", None, None)], schema
+        ),
+        "k1",
+    )
+    store.insert_for_key(
+        spark.createDataFrame(
+            [("urn:b", EX + "status", "old", "literal", None, None)], schema
+        ),
+        "k2",
+    )
+
+    # scoped update touches only its graph
+    ng1 = store.mapper.key_to_ng("k1")
+    store.update(
+        f'DELETE {{ ?s <{EX}status> "old" }} '
+        f'INSERT {{ ?s <{EX}status> "new" }} '
+        f'WHERE {{ ?s <{EX}status> "old" }}',
+        named_graph=ng1,
+    )
+    assert [r["o"] for r in store.select(
+        "SELECT ?o WHERE { ?s ?p ?o . }", named_graph=ng1
+    ).to_list()] == ["new"]
+    ng2 = store.mapper.key_to_ng("k2")
+    assert [r["o"] for r in store.select(
+        "SELECT ?o WHERE { ?s ?p ?o . }", named_graph=ng2
+    ).to_list()] == ["old"]
+
+    # unscoped update: WHERE sees every graph; graph-less inserts land
+    # in the store's default graph (SPARQL default-graph semantics)
+    store.update(
+        f'INSERT {{ ?s <{EX}seen> "y" }} WHERE {{ ?s <{EX}status> ?v }}'
+    )
+    res = store.select(
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{EX}seen> ?v . }} }}"
+    ).to_list()
+    ng_default = store.mapper.key_to_ng("default")
+    assert {(r["g"], r["s"]) for r in res} == {
+        (ng_default, "urn:a"), (ng_default, "urn:b"),
+    }
+    # unscoped DELETE WHERE reaches into the named graphs
+    store.update(f'DELETE WHERE {{ ?s <{EX}status> "old" }}')
+    assert store.select(
+        "SELECT ?o WHERE { ?s <" + EX + "status> ?o . }", named_graph=ng2
+    ).to_list() == []
