@@ -147,13 +147,58 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    token_sets: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    token_sets: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    via: str = "arrays",
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs.
+    """Exact token-set Jaccard for candidate pairs. Returns
+    (a, b, jaccard); |A∪B| = |A|+|B|−|A∩B| in both forms, so the
+    float result is bit-identical between them.
 
-    |A∩B| via join on token restricted to candidate pairs; |A∪B| =
-    |A|+|B|−|A∩B|. Returns (a, b, jaccard).
+    ``via='arrays'`` (default): fold each document's token set into
+    one array row, join the candidate pairs to the two arrays, and
+    intersect per pair (`array_intersect`, hash-based). Two joins of
+    the pair frame against a one-row-per-doc side — no exploded
+    token×pair intermediate. The right shape while token sets fit a
+    row (web documents: ≤~10⁵ shingles ≈ single MBs).
+
+    ``via='explode'``: |A∩B| by joining the exploded (id, token) frame
+    on token restricted to the candidate pairs — no array
+    materialization, for corpora whose per-doc sets are unbounded.
+    Costs a token×pair shuffle (measured 180 M intermediate rows on
+    the sf0.1 word-token config vs zero for arrays).
+
+    Row-set nuance: the arrays form keeps zero-overlap candidate pairs
+    (jaccard = 0.0); the explode form's inner token join drops them.
+    Every caller thresholds with ``jaccard >= t, t > 0``, where the
+    two are identical.
     """
+    if via == "arrays":
+        sets_ = token_sets.groupBy(id_col).agg(
+            F.collect_set("token").alias("_set")
+        )
+        a_side = sets_.select(
+            F.col(id_col).alias("a"), F.col("_set").alias("_sa")
+        )
+        b_side = sets_.select(
+            F.col(id_col).alias("b"), F.col("_set").alias("_sb")
+        )
+        return (
+            pairs.join(a_side, "a")
+            .join(b_side, "b")
+            .withColumn(
+                "_i", F.size(F.array_intersect("_sa", "_sb"))
+            )
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("_i")
+                    / (F.size("_sa") + F.size("_sb") - F.col("_i"))
+                ).alias("jaccard"),
+            )
+        )
     sizes = token_sets.groupBy(id_col).agg(F.count("*").alias("sz"))
     ta = token_sets.select(F.col(id_col).alias("a"), "token")
     tb = token_sets.select(F.col(id_col).alias("b"), "token")
