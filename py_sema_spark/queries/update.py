@@ -74,8 +74,11 @@ def _split_ops(text: str) -> List[str]:
         elif ch == "}":
             depth -= 1
         elif ch == "<":
+            # IRI only if whitespace-free up to '>'; a bare '<' (FILTER
+            # comparison) must not swallow text up to an unrelated '>'
             j = text.find(">", i + 1)
-            i = j if j != -1 else i
+            if j != -1 and not any(c.isspace() for c in text[i + 1:j]):
+                i = j
         elif ch == '"':
             j = i + 1
             while j < n and (text[j] != '"' or text[j - 1] == "\\"):
