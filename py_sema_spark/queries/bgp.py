@@ -921,7 +921,29 @@ def bgp_construct(
     else:
         raise ValueError(f"unsupported CONSTRUCT form: {sparql!r}")
 
-    # template blank nodes → synthetic vars, skolemized per solution
+    # merge prefixes: declared in the query head + caller-supplied
+    pfx = dict(prefixes or {})
+    for pm in re.finditer(
+        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
+    ):
+        pfx[pm.group(1)] = pm.group(2)
+    template = parse_template(tpl_text, pfx)
+    sol = bgp_select(
+        triples,
+        f"{head} SELECT * WHERE {{ {where_body} }} {tail}",
+        prefixes,
+        _extra_needs=template_needs(template),
+        _keep_meta=True,
+    )
+    return instantiate_template(sol, template)
+
+
+def parse_template(
+    tpl_text: str, prefixes: Dict[str, str]
+) -> List[Tuple[Term, Path | Term, Term]]:
+    """Parse a CONSTRUCT/Update triple template: blank nodes (``[]`` /
+    ``_:label``) become synthetic ``__bn_*`` variables, skolemized per
+    solution by :func:`instantiate_template`."""
     anon = [0]
 
     def _anon(_m: re.Match) -> str:
@@ -930,32 +952,36 @@ def bgp_construct(
 
     tpl_text = _BNODE_ANON.sub(_anon, tpl_text)
     tpl_text = re.sub(r"_:([A-Za-z0-9_]+)", r"?__bn_\1", tpl_text)
-
-    # merge prefixes: declared in the query head + caller-supplied
-    pfx = dict(prefixes or {})
-    for pm in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
-    ):
-        pfx[pm.group(1)] = pm.group(2)
-    template = _parse_patterns(tpl_text, pfx)
+    template = _parse_patterns(tpl_text, prefixes)
     for s, p, o in template:
         if isinstance(p, Path) and not p.is_simple_iri:
             raise ValueError("property paths are not allowed in a "
-                             "CONSTRUCT template")
+                             "triple template")
+    return template
 
-    extra_needs = {
+
+def template_needs(
+    template: List[Tuple[Term, Path | Term, Term]],
+) -> Dict[str, set]:
+    """The ``_extra_needs`` a solution set must carry so the
+    template's object variables keep their term metadata."""
+    return {
         o.value: {"kind", "lang", "dt"}
         for (_s, _p, o) in template
         if o.kind == "var" and not o.value.startswith("__bn_")
     }
-    sol = bgp_select(
-        triples,
-        f"{head} SELECT * WHERE {{ {where_body} }} {tail}",
-        prefixes,
-        _extra_needs=extra_needs,
-        _keep_meta=True,
-    )
 
+
+def instantiate_template(
+    sol: DataFrame, template: List[Tuple[Term, Path | Term, Term]]
+) -> DataFrame:
+    """Project one solution set through a triple template → triples
+    frame in TRIPLE_SCHEMA order (each template triple is one narrow
+    projection branch of the same solution plan; the only exchange is
+    the final set-dedup). Shared by CONSTRUCT and by SPARQL Update's
+    DELETE/INSERT templates — Update instantiates both templates from
+    ONE solution frame, so the WHERE is compiled (and at scale,
+    computed) once."""
     bind_cols = sorted(
         c for c in sol.columns if not c.endswith(("__lang", "__dt", "__kind"))
     )

@@ -48,7 +48,10 @@ from .bgp import (
     Term,
     _balanced_block,
     _parse_patterns,
-    bgp_construct,
+    bgp_select,
+    instantiate_template,
+    parse_template,
+    template_needs,
 )
 
 __all__ = ["apply_update", "parse_update"]
@@ -266,24 +269,37 @@ def apply_update(
         elif op["kind"] == "modify":
             # SPARQL Update §3.1.3: WHERE is evaluated once against the
             # state at the start of THIS operation; both templates
-            # instantiate from that same solution set
+            # instantiate from the SAME solution frame (compiled once,
+            # lazily checkpointed so delete + insert don't recompute it)
             pre = out
-            head = " ".join(
-                f"PREFIX {k}: <{v}>" for k, v in pfx.items()
+            tpl_del = (
+                parse_template(op["delete_tpl"], pfx)
+                if op["delete_tpl"] is not None
+                else None
             )
-            if op["delete_tpl"] is not None:
-                del_set = bgp_construct(
-                    pre,
-                    f"{head} CONSTRUCT {{ {op['delete_tpl']} }} "
-                    f"WHERE {{ {op['where']} }}",
-                )
-                out = _anti(pre, del_set)
-            if op["insert_tpl"] is not None:
-                ins_set = bgp_construct(
-                    pre,
-                    f"{head} CONSTRUCT {{ {op['insert_tpl']} }} "
-                    f"WHERE {{ {op['where']} }}",
-                )
+            tpl_ins = (
+                parse_template(op["insert_tpl"], pfx)
+                if op["insert_tpl"] is not None
+                else None
+            )
+            needs: Dict[str, set] = {}
+            for tpl in (tpl_del, tpl_ins):
+                if tpl is not None:
+                    for v, cols in template_needs(tpl).items():
+                        needs.setdefault(v, set()).update(cols)
+            sol = bgp_select(
+                pre,
+                f"SELECT * WHERE {{ {op['where']} }}",
+                pfx,
+                _extra_needs=needs,
+                _keep_meta=True,
+            )
+            if tpl_del is not None and tpl_ins is not None:
+                sol = sol.localCheckpoint(eager=False)
+            if tpl_del is not None:
+                out = _anti(pre, instantiate_template(sol, tpl_del))
+            if tpl_ins is not None:
+                ins_set = instantiate_template(sol, tpl_ins)
                 if has_g and default_graph is not None:
                     ins_set = ins_set.withColumn("g", F.lit(default_graph))
                 out = out.unionByName(ins_set, allowMissingColumns=True)
