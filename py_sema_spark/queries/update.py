@@ -16,8 +16,8 @@ verb                    plan shape
 ``DELETE DATA``         broadcast anti-join on the ground triples
 ``DELETE WHERE``        pattern → CONSTRUCT of the matched triples →
                         broadcast anti-join
-``DELETE/INSERT …       both templates instantiated from the same
-WHERE``                 WHERE solution set (:func:`..bgp.bgp_construct`),
+``DELETE/INSERT …       both templates instantiated from ONE shared
+WHERE``                 solution frame (:func:`..bgp.instantiate_template`),
                         anti-join for the delete side, union+dedup
                         for the insert side
 ``CLEAR/DROP GRAPH``    partition-pruned filter on ``g`` (Iceberg:

@@ -115,8 +115,10 @@ cluster shards by corpus splits identically; the dedup exchange is
 the only data movement and is keyed on high-cardinality (s,p,o).
 
 Correctness companions (driver-recorded per round):
-- `CORRECTNESS_r{{N}}.json` — 29/31 suite queries DuckDB-oracled
-  (LSH approximations rows-only by design).
+- `CORRECTNESS_r{{N}}.json` — every suite query DuckDB-oracled except
+  the harvest pipeline run (rows-only by design); the LSH/IVF
+  approximations additionally carry measured recall vs their exact
+  twins in the bench JSON (`ann_recall`).
 - extraction P/R vs oracle parsers: exact triple sets on the
   fixture corpus (tests/test_rdf_parsers.py, test_spark_operators.py);
   per-row byte-identical `text` via `extract.text_invariant` (0
