@@ -105,6 +105,27 @@ class TestLshBucketCap:
         assert loose.count() == uncapped.count()
 
 
+def _ensure_artifact() -> str:
+    """dist/ is a gitignored build product — build it when absent.
+
+    Staleness (zip bytes != source tree) is still a hard failure in
+    test_artifact_matches_source_tree; only *absence* triggers a
+    rebuild here, matching how a fresh checkout would deploy.
+    """
+    import importlib.util
+    import os
+
+    zip_path = "/root/repo/dist/py_sema_spark.zip"
+    if not os.path.exists(zip_path):
+        spec = importlib.util.spec_from_file_location(
+            "make_pyfiles", "/root/repo/tools/make_pyfiles.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+    return zip_path
+
+
 class TestPyFilesSubmission:
     def test_spark_submit_pyfiles_smoke(self, tmp_path):
         """North rule: the job ships via spark-submit --py-files. Runs
@@ -116,7 +137,7 @@ class TestPyFilesSubmission:
         submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
         if not shutil.which(submit) and not __import__("os").path.exists(submit):
             pytest.skip("spark-submit not available")
-        zip_path = "/root/repo/dist/py_sema_spark.zip"
+        zip_path = _ensure_artifact()
         job = tmp_path / "job.py"
         job.write_text(
             "from pyspark.sql import SparkSession\n"
@@ -145,7 +166,7 @@ class TestPyFilesSubmission:
         from pathlib import Path
 
         root = Path("/root/repo")
-        with zipfile.ZipFile(root / "dist" / "py_sema_spark.zip") as z:
+        with zipfile.ZipFile(_ensure_artifact()) as z:
             names = {n for n in z.namelist() if n.endswith(".py")}
             on_disk = {
                 str(p.relative_to(root))
