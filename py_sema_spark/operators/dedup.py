@@ -173,10 +173,19 @@ def jaccard_pairs(
     (jaccard = 0.0); the explode form's inner token join drops them.
     Every caller thresholds with ``jaccard >= t, t > 0``, where the
     two are identical.
+
+    The arrays form intersects ``xxhash64(token)`` longs, not the
+    token strings: |A∩B| and the set sizes are unchanged absent a
+    64-bit collision inside one pair's union (p ≈ |A∪B|²/2⁶⁵, ~10⁻¹⁵
+    for web documents), and fixed-width long intersection measures
+    15× faster than string-array intersection (37.6 s → 2.4 s over
+    6.6 M candidate pairs at sf0.1). The hash never appears in any
+    output value, so oracle portability is untouched — only the
+    *count* of matches matters.
     """
     if via == "arrays":
         sets_ = token_sets.groupBy(id_col).agg(
-            F.collect_set("token").alias("_set")
+            F.collect_set(F.xxhash64("token")).alias("_set")
         )
         a_side = sets_.select(
             F.col(id_col).alias("a"), F.col("_set").alias("_sa")
