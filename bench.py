@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "sparql_update",
     "gopher_quality",
     "pii_scrub",
+    "decontaminate",
+    "stratified_sample",
+    "token_budget_pack",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -796,6 +796,85 @@ FROM inj
 _register("pii_scrub", _pii_scrub, _pii_sql())
 
 
+# ---- curation suite (decontamination / sampling / shard packing) ----
+
+
+def _decontaminate(spark, sf):
+    from ..operators.curation import decontaminate
+
+    docs = _tp(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+_register(
+    "decontaminate",
+    _decontaminate,
+    f"""
+WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i + 1 : i + 5], ' ') AS gram
+  FROM toklists, (SELECT unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS i)
+  WHERE len(array_to_string(toks[i + 1 : i + 5], ' ')) > 0
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)
+
+
+def _stratified_sample(spark, sf):
+    from ..operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        {"en": 8, "de": 4},
+        default_sixteenths=2,
+        salt="s0",
+    ).select("doc_id", "lang")
+
+
+_register(
+    "stratified_sample",
+    _stratified_sample,
+    """
+SELECT doc_id, lang FROM documents
+WHERE md5('s0' || '|' || CAST(doc_id AS VARCHAR))
+      < CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' ELSE '2' END
+""",
+)
+
+
+def _token_budget_pack(spark, sf):
+    from ..operators.curation import token_budget_pack
+
+    return token_budget_pack(
+        _tp(spark, sf, "documents"), budget=10_000, chunk=256
+    )
+
+
+_register(
+    "token_budget_pack",
+    _token_budget_pack,
+    f"""
+WITH toks AS (SELECT doc_id, len({TOKS}) AS n_tokens FROM documents)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / 10000) AS INT) AS shard_id
+FROM toks
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as
