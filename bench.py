@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "stratified_sample",
     "token_budget_pack",
+    "repetition_metrics",
+    "domain_cap",
+    "domain_stats",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -30,6 +30,8 @@ exactly.
 
 from __future__ import annotations
 
+from typing import Iterable, Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +144,166 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(format(sixteenths, "x"))
         ).otherwise(bound)
     return docs.where(key < bound)
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    top_ns: Sequence[int] = (2, 3),
+    dup_ns: Sequence[int] = (5,),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) per doc.
+
+    For each ``n`` in ``top_ns`` the fraction of document characters
+    covered by the single most character-covering repeated ``n``-gram
+    (``max(count·len(gram)) / len(text)``); for each ``n`` in
+    ``dup_ns`` the fraction covered by *all* ``n``-grams occurring
+    more than once (``Σ_{count≥2} count·len(gram) / len(text)``).
+    Occurrences are counted independently (overlaps are not collapsed
+    — a deterministic simplification of Gopher's character-coverage
+    accounting, identical on both engine and oracle).
+
+    Scale shape: one explode pass emits every (n, gram) occurrence —
+    Σ_n (L−n+1) rows per doc, linear in document length (never the
+    O(L²) per-row ``filter``-within-``transform`` form). The
+    occurrence count groups on high-cardinality ``(doc_id, n, gram)``
+    with map-side combine, then one per-doc combine; both exchanges
+    are skew-free because the key includes ``doc_id``.
+    """
+    ns = sorted({*top_ns, *dup_ns})
+    toks = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("_dl"),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    )
+
+    def gram_at(n: int):
+        # single-arg lambda on purpose: a two-arg lambda would be
+        # treated by F.transform as (element, index)
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)).alias(
+                "gram"
+            ),
+        )
+
+    per_n = [
+        F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n), gram_at(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in ns
+    ]
+    occurrences = toks.select(
+        F.col(id_col),
+        "_dl",
+        F.explode(F.flatten(F.array(*per_n))).alias("_g"),
+    ).select(id_col, "_dl", "_g.n", "_g.gram")
+    counts = occurrences.groupBy(id_col, "_dl", "n", "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    covered = F.col("_c") * F.length("gram")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, covered)).alias(f"_top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("_c") >= 2), covered)
+            ).alias(f"_dup{n}")
+        )
+    per_doc = counts.groupBy(id_col, "_dl").agg(*aggs)
+    denom = F.greatest(F.col("_dl"), F.lit(1))
+    out_cols = [F.col(id_col)]
+    for n in top_ns:
+        out_cols.append(
+            (F.coalesce(f"_top{n}", F.lit(0)) / denom).alias(
+                f"top{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        out_cols.append(
+            (F.coalesce(f"_dup{n}", F.lit(0)) / denom).alias(
+                f"dup{n}gram_char_frac"
+            )
+        )
+    return (
+        docs.select(id_col, F.length(text_col).alias("_dl"))
+        .join(per_doc, [id_col, "_dl"], "left")
+        .select(*out_cols)
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep at most ``k`` documents per domain (RefinedWeb-style
+    site-level cap against SEO farms / crawler traps).
+
+    Survivors are chosen deterministically: rank by
+    ``md5(salt | doc_id)`` inside each domain (a uniform, retry-stable
+    shuffle of the domain's docs) and keep ranks ≤ k.
+
+    Scale shape: the rank filter compiles to Spark's
+    ``WindowGroupLimit`` — each map task pre-truncates its partition
+    to the top-k per domain *before* the exchange, so a crawler-trap
+    domain with 10⁹ pages ships only ``k`` rows per upstream
+    partition instead of 10⁹ rows to one reducer.
+    """
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key.asc(), F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked: DataFrame | Iterable[str],
+    domain_col: str = "source",
+) -> DataFrame:
+    """Drop documents whose domain appears on a blocklist.
+
+    Blocklists (UT1-style adult/malware domain lists) are ~10⁶ rows —
+    broadcast territory — so this is a map-side anti-join: zero
+    shuffle of the corpus at any corpus size.
+    """
+    spark = docs.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in sorted(set(blocked))], f"{domain_col} string"
+        )
+    blocked = blocked.select(domain_col).distinct()
+    return docs.join(F.broadcast(blocked), domain_col, "left_anti")
+
+
+def domain_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain corpus profile: document count, total/mean chars.
+
+    One hash aggregation keyed on the domain (partial map-side
+    combine); mean is emitted as the single division
+    ``total/count`` so the DuckDB oracle is IEEE-identical.
+    """
+    return docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).alias("total_chars"),
+        (F.sum(chars_col) / F.count(F.lit(1))).alias("mean_chars"),
+    )
 
 
 def token_budget_pack(

@@ -875,6 +875,98 @@ FROM toks
 )
 
 
+def _repetition_metrics(spark, sf):
+    from ..operators.curation import repetition_metrics
+
+    return repetition_metrics(
+        _tp(spark, sf, "documents"), top_ns=(2, 3), dup_ns=(5,)
+    )
+
+
+_register(
+    "repetition_metrics",
+    _repetition_metrics,
+    f"""
+WITH toklists AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+occ AS (
+  SELECT t.doc_id, g.n,
+         array_to_string(t.toks[g.i + 1 : g.i + g.n], ' ') AS gram
+  FROM toklists t,
+       LATERAL (
+         SELECT n.n, i.i
+         FROM (SELECT unnest([2, 3, 5]) AS n) n,
+              LATERAL (SELECT unnest(range(0, len(t.toks) - n.n + 1)) AS i) i
+       ) g
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+  FROM occ GROUP BY doc_id, n, gram
+),
+perdoc AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * gl END) AS t2,
+         max(CASE WHEN n = 3 THEN c * gl END) AS t3,
+         sum(CASE WHEN n = 5 AND c >= 2 THEN c * gl END) AS d5
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t2, 0) / greatest(length(d.text), 1) AS top2gram_char_frac,
+       coalesce(t3, 0) / greatest(length(d.text), 1) AS top3gram_char_frac,
+       coalesce(d5, 0) / greatest(length(d.text), 1) AS dup5gram_char_frac
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+""",
+)
+
+
+def _domain_cap(spark, sf):
+    from ..operators.curation import domain_cap
+
+    return domain_cap(
+        _t(spark, sf, "documents"), k=20, salt="s0"
+    ).select("doc_id", "source")
+
+
+_register(
+    "domain_cap",
+    _domain_cap,
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('s0' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents) WHERE rk <= 20
+""",
+)
+
+
+def _domain_stats(spark, sf):
+    from ..operators.curation import blocklist_filter, domain_stats
+
+    docs = blocklist_filter(
+        _t(spark, sf, "documents"), ["src3", "src7"]
+    )
+    return domain_stats(docs)
+
+
+_register(
+    "domain_stats",
+    _domain_stats,
+    """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) / count(*) AS mean_chars
+FROM documents
+WHERE source NOT IN ('src3', 'src7')
+GROUP BY source
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

@@ -6,7 +6,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from py_sema_spark.operators.curation import (
+    blocklist_filter,
     decontaminate,
+    domain_cap,
+    domain_stats,
+    repetition_metrics,
     stratified_sample,
     token_budget_pack,
     word_ngrams,
@@ -85,6 +89,94 @@ class TestStratifiedSample:
     def test_rate_bounds_validated(self, spark, docs):
         with pytest.raises(ValueError):
             stratified_sample(docs, {"en": 17})
+
+
+class TestRepetitionMetrics:
+    def test_hand_computed_fractions(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b a b a")], "doc_id long, text string"
+        )
+        row = repetition_metrics(docs, top_ns=(2, 3), dup_ns=(5,)).first()
+        # len(text)=9; top 2-gram "a b" occurs twice, len 3 → 6/9;
+        # top 3-gram "a b a" occurs twice, len 5 → 10/9; the single
+        # 5-gram occurs once → dup5 = 0
+        assert row.top2gram_char_frac == pytest.approx(6 / 9)
+        assert row.top3gram_char_frac == pytest.approx(10 / 9)
+        assert row.dup5gram_char_frac == 0.0
+
+    def test_dup_fraction_counts_all_repeats(self, spark):
+        text = "x y z w v " * 3  # every 5-gram window repeats
+        docs = spark.createDataFrame(
+            [(0, text.strip())], "doc_id long, text string"
+        )
+        row = repetition_metrics(docs, top_ns=(2,), dup_ns=(5,)).first()
+        assert row.dup5gram_char_frac > 1.0  # occurrences overlap
+
+    def test_short_and_empty_docs_report_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(0, ""), (1, "one"), (2, "two words")],
+            "doc_id long, text string",
+        )
+        out = repetition_metrics(docs, top_ns=(3,), dup_ns=(5,)).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.top3gram_char_frac == 0.0
+            assert r.dup5gram_char_frac == 0.0
+
+    def test_no_per_row_quadratic_expression(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a b c")], "doc_id long, text string"
+        )
+        plan = repetition_metrics(docs)._jdf.queryExecution(
+        ).optimizedPlan().toString()
+        # occurrence counting must be a distributed aggregate over the
+        # exploded grams, not an array self-scan inside one projection
+        assert "Aggregate" in plan and "Generate explode" in plan
+
+
+class TestDomainOps:
+    @pytest.fixture(scope="class")
+    def many(self, spark):
+        return spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias(
+                "source"
+            ),
+            (F.col("id") % 7 + 1).alias("n_chars"),
+        )
+
+    def test_domain_cap_bounds_every_domain(self, spark, many):
+        out = domain_cap(many, k=10, salt="t")
+        counts = out.groupBy("source").count().collect()
+        assert all(r["count"] == 10 for r in counts)
+
+    def test_domain_cap_deterministic(self, spark, many):
+        a = sorted(r.doc_id for r in domain_cap(many, 5, salt="t").collect())
+        b = sorted(r.doc_id for r in domain_cap(many, 5, salt="t").collect())
+        assert a == b
+
+    def test_domain_cap_uses_window_group_limit(self, spark, many):
+        plan = domain_cap(many, 10)._jdf.queryExecution().executedPlan(
+        ).toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_blocklist_filter_drops_only_listed(self, spark, many):
+        out = blocklist_filter(many, ["src1"])
+        srcs = {r.source for r in out.select("source").distinct().collect()}
+        assert srcs == {"src0", "src2"}
+
+    def test_blocklist_is_broadcast(self, spark, many):
+        plan = blocklist_filter(many, ["src1"])._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_domain_stats_values(self, spark, many):
+        rows = {r.source: r for r in domain_stats(many).collect()}
+        assert rows["src0"].n_docs == 100
+        assert rows["src0"].total_chars == sum(i % 7 + 1 for i in range(0, 300, 3))
+        assert rows["src0"].mean_chars == pytest.approx(
+            rows["src0"].total_chars / 100
+        )
 
 
 class TestTokenBudgetPack:
