@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "repetition_metrics",
     "domain_cap",
     "domain_stats",
+    "url_dedup",
+    "incremental_dedup",
+    "lm_score",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

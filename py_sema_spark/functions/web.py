@@ -34,6 +34,46 @@ def parse_link_header(
     return sorted(set(out))
 
 
+#: query-parameter names that never affect page identity (tracking)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|mc_cid|mc_eid|ref)(=|$)"
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical form of a web URL for crawl-level dedup (the CCNet /
+    RefinedWeb URL-normalization step):
+
+    - drop the ``#fragment``
+    - lowercase ``scheme://host[:port]`` (path/query case preserved)
+    - strip a leading ``www.`` and the scheme-default port
+      (``:80`` for http, ``:443`` for https)
+    - drop tracking query parameters (``utm_*``, ``fbclid``,
+      ``gclid``, ``mc_cid``, ``mc_eid``, ``ref``), sort the remaining
+      parameters, and strip trailing slashes from the path
+
+    Pure column algebra (regexp + array ops, whole-stage codegen) —
+    zero shuffles at any corpus size. Scheme-less inputs pass through
+    the path/query rules only.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    prefix = F.lower(F.regexp_extract(u, "^([^/?#]+://[^/?#]*)", 1))
+    prefix = F.regexp_replace(prefix, "://www\\.", "://")
+    prefix = F.regexp_replace(prefix, "^(http://[^/:]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, "^(https://[^/:]*):443$", "$1")
+    rest = F.regexp_replace(u, "^[^/?#]+://[^/?#]*", "")
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qstr = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        prefix,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
 def link_header_urls_col(
     header: Column, rel: Optional[str] = None
 ) -> Column:

@@ -306,6 +306,97 @@ def domain_stats(
     )
 
 
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc bigram occurrences ``(doc_id, w1, w2)`` — one narrow
+    explode over adjacent normalized-token pairs."""
+    toks = docs.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("_toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i + 1).alias("w1"),
+                        F.element_at("_toks", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_b"),
+    ).select(id_col, "_b.w1", "_b.w2")
+
+
+def lm_score(
+    docs: DataFrame,
+    train: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality score: mean log-probability
+    of each document's token bigrams under an add-``k``-smoothed
+    bigram model estimated from ``train`` (e.g. a trusted high-quality
+    slice). Low scores flag gibberish / boilerplate / wrong-language
+    docs; CCNet buckets a corpus into head/middle/tail on exactly this
+    statistic (Wenzek et al. 2020 §4.3, with KenLM as the model).
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``, ``V`` = train
+    vocabulary size; unseen bigrams/unigrams fall back to the smoothed
+    floor. Returns ``(doc_id, n_bigrams, lm_logprob)`` with the score
+    rounded to 6 decimals (absorbs float-summation-order noise so the
+    DuckDB oracle is exact); docs with <2 tokens score NULL.
+
+    Scale shape: training is two hash aggregations with map-side
+    combine (bigram + unigram counts — the classic Zipf skew
+    *pre-aggregates*, so ``the the`` never concentrates on a reducer).
+    Scoring joins the doc-bigram explode against the counts on their
+    natural keys; ``V`` attaches as a broadcast single-row frame, not
+    a driver-side collect.
+    """
+    tr_bi = bigram_counts(train, text_col, id_col)
+    bi = tr_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    uni = (
+        train.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("_v"))
+    scored = (
+        bigram_counts(docs, text_col, id_col)
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("_cb", F.lit(0)) + k)
+                / (F.coalesce("_cu", F.lit(0)) + k * F.col("_v"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("lm_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )
+
+
 def token_budget_pack(
     docs: DataFrame,
     budget: int,

@@ -429,3 +429,73 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-level URL deduplication: canonicalize every URL
+    (:func:`..functions.web.url_canonicalize`) and keep the min-id row
+    per canonical form — the first pass every web-corpus pipeline runs
+    before any content-based dedup, since a recrawled page is the
+    common duplicate.
+
+    Returns the surviving input rows plus the ``url_canon`` column.
+
+    Scale shape: canonicalization is a narrow map; the survivor
+    choice is a rank-1 filter that compiles to ``WindowGroupLimit``
+    (map-side pre-truncation per canonical URL), so a URL recrawled
+    10⁴ times ships one row per upstream partition.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.web import url_canonicalize
+
+    w = Window.partitionBy("url_canon").orderBy(id_col)
+    return (
+        docs.withColumn("url_canon", url_canonicalize(F.col(url_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CDC-style exact dedup of a fresh snapshot against all prior
+    snapshots: drop rows whose content hash was ever seen before, then
+    exact-dedup within the batch (min-id survivor).
+
+    ``seen_hashes`` is a one-column ``content_hash`` table — at scale
+    an Iceberg table appended per ingest, so each increment joins only
+    against hashes, never against historical text. Returns
+    ``(doc_id, content_hash)`` survivors; append the hash column back
+    to ``seen_hashes`` to advance the snapshot state.
+
+    Scale shape: one hash-partitioned ``left_anti`` join (both sides
+    keyed on the hash — no skew: md5 is uniform) + the same single
+    window exchange as :func:`exact_dedup`. The anti-join side can be
+    bucketed on ``content_hash`` so repeated ingests co-locate without
+    re-shuffling the accumulated state.
+    """
+    from pyspark.sql import Window
+
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    fresh = hashed.join(
+        seen_hashes.select("content_hash").distinct(),
+        "content_hash",
+        "left_anti",
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        fresh.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .select(id_col, "content_hash")
+    )

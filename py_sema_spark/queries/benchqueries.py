@@ -967,6 +967,142 @@ GROUP BY source
 )
 
 
+def _url_dedup(spark, sf):
+    from ..operators.dedup import url_dedup
+
+    docs = _t(spark, sf, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.when(F.col("doc_id") % 3 == 0, "WWW.").otherwise(""),
+            F.col("source"),
+            F.lit(".Example.org"),
+            F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
+            F.lit("/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+            F.lit("?utm_source=x&b=2&a="),
+            (F.col("doc_id") % 4).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, "&fbclid=zz").otherwise(""),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return url_dedup(messy).select("doc_id", "url_canon")
+
+
+_register(
+    "url_dedup",
+    _url_dedup,
+    r"""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+           || source || '.Example.org'
+           || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+           || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+           || '?utm_source=x&b=2&a=' || CAST(doc_id % 4 AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0 THEN '&fbclid=zz' ELSE '' END
+           || '#frag' AS url
+  FROM documents),
+c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+c2 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^([^/?#]+://[^/?#]*)', 1)),
+           '://www\.', '://'),
+           '^(http://[^/:]*):80$', '\1'),
+           '^(https://[^/:]*):443$', '\1') AS prefix,
+         regexp_replace(u, '^[^/?#]+://[^/?#]*', '') AS rest
+       FROM c1),
+c3 AS (SELECT doc_id, prefix,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+           AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[A-Za-z0-9_]*|fbclid|gclid|mc_cid|mc_eid|ref)(=|$)')
+         )), '&') AS qstr
+       FROM c2),
+canon AS (
+  SELECT doc_id,
+         prefix || path
+           || CASE WHEN qstr <> '' THEN '?' || qstr ELSE '' END AS url_canon
+  FROM c3)
+SELECT min(doc_id) AS doc_id, url_canon FROM canon GROUP BY url_canon
+""",
+)
+
+
+def _incremental_dedup(spark, sf):
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = _tp(spark, sf, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_exact_dedup(new, seen)
+
+
+_register(
+    "incremental_dedup",
+    _incremental_dedup,
+    """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS content_hash
+  FROM documents WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, md5(text) AS content_hash
+  FROM documents WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT * FROM new
+  WHERE content_hash NOT IN (SELECT content_hash FROM seen))
+SELECT min(doc_id) AS doc_id, content_hash
+FROM fresh GROUP BY content_hash
+""",
+)
+
+
+def _lm_score(spark, sf):
+    from ..operators.curation import lm_score
+
+    docs = _tp(spark, sf, "documents")
+    return lm_score(docs, docs.where(F.col("lang") == "en"))
+
+
+_register(
+    "lm_score",
+    _lm_score,
+    f"""
+WITH toklists AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+bigr AS (
+  SELECT doc_id, lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM toklists, LATERAL (SELECT unnest(range(0, len(toks) - 1)) AS i)
+),
+tb AS (SELECT w1, w2, count(*) AS cb FROM bigr
+       WHERE lang = 'en' GROUP BY w1, w2),
+tu AS (SELECT w1, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w1 FROM toklists WHERE lang = 'en')
+       GROUP BY w1),
+v AS (SELECT count(*) AS v FROM tu),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(tb.cb, 0) + 0.5) / (coalesce(tu.cu, 0) + 0.5 * v.v))
+           AS lp
+  FROM bigr b
+  LEFT JOIN tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN tu ON b.w1 = tu.w1
+  CROSS JOIN v
+),
+agg AS (SELECT doc_id, count(*) AS nb, round(avg(lp), 6) AS lm_logprob
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams, lm_logprob
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

@@ -224,3 +224,139 @@ class TestTokenBudgetPack:
         # the per-row window must be keyed on the chunk, not global
         assert "partitionspec=[_chunk" in plan.lower().replace(" ", "") or \
             "_chunk" in plan
+
+
+class TestUrlOps:
+    def test_canonicalize_vectors(self, spark):
+        from py_sema_spark.functions.web import url_canonicalize
+
+        cases = [
+            ("HTTP://WWW.Example.ORG:80/A/b/?utm_source=x&b=2&a=1#f",
+             "http://example.org/A/b?a=1&b=2"),
+            ("https://example.org:443/x", "https://example.org/x"),
+            ("https://example.org:8443/x", "https://example.org:8443/x"),
+            ("http://example.org/", "http://example.org"),
+            ("http://example.org/p?fbclid=abc", "http://example.org/p"),
+            ("http://example.org/p?z=1&y=2", "http://example.org/p?y=2&z=1"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+        )
+        from pyspark.sql import functions as F
+
+        got = {
+            r.i: r.c
+            for r in df.select(
+                "i", url_canonicalize(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (cases[i][0], got[i], want)
+
+    def test_url_dedup_keeps_min_id(self, spark):
+        from py_sema_spark.operators.dedup import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (5, "http://a.org/x?utm_source=1"),
+                (2, "http://WWW.A.org/x/"),
+                (9, "http://a.org/y"),
+            ],
+            "doc_id long, url string",
+        )
+        out = url_dedup(df).orderBy("doc_id").collect()
+        assert [(r.doc_id, r.url_canon) for r in out] == [
+            (2, "http://a.org/x"),
+            (9, "http://a.org/y"),
+        ]
+
+    def test_url_dedup_group_limit_plan(self, spark):
+        from py_sema_spark.operators.dedup import url_dedup
+
+        df = spark.createDataFrame(
+            [(1, "http://a.org/x")], "doc_id long, url string"
+        )
+        plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestIncrementalDedup:
+    def test_cross_snapshot_and_in_batch(self, spark):
+        from py_sema_spark.operators.dedup import incremental_exact_dedup
+
+        seen_docs = spark.createDataFrame(
+            [(0, "old page")], "doc_id long, text string"
+        )
+        from pyspark.sql import functions as F
+
+        seen = seen_docs.select(F.md5("text").alias("content_hash"))
+        new = spark.createDataFrame(
+            [(10, "old page"), (11, "fresh"), (12, "fresh"), (13, "other")],
+            "doc_id long, text string",
+        )
+        out = incremental_exact_dedup(new, seen).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [11, 13]
+
+    def test_state_advance_round_trip(self, spark):
+        from py_sema_spark.operators.dedup import incremental_exact_dedup
+
+        from pyspark.sql import functions as F
+
+        batch1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        empty = batch1.limit(0).select(F.md5("text").alias("content_hash"))
+        out1 = incremental_exact_dedup(batch1, empty)
+        state = empty.unionByName(out1.select("content_hash"))
+        batch2 = spark.createDataFrame(
+            [(3, "a"), (4, "c")], "doc_id long, text string"
+        )
+        out2 = incremental_exact_dedup(batch2, state)
+        assert [r.doc_id for r in out2.collect()] == [4]
+
+
+class TestLmScore:
+    def test_fluent_beats_shuffled(self, spark):
+        from py_sema_spark.operators.curation import lm_score
+
+        train = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(10)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(100, "the cat sat on the mat"), (101, "mat the on cat sat the")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in lm_score(docs, train).collect()}
+        assert rows[100].lm_logprob > rows[101].lm_logprob
+        assert rows[100].n_bigrams == 5
+
+    def test_short_docs_score_null(self, spark):
+        from py_sema_spark.operators.curation import lm_score
+
+        train = spark.createDataFrame(
+            [(0, "a b c")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "single"), (2, "")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in lm_score(docs, train).collect()}
+        assert out[1].n_bigrams == 0 and out[1].lm_logprob is None
+        assert out[2].n_bigrams == 0 and out[2].lm_logprob is None
+
+    def test_vocab_attaches_without_collect(self, spark):
+        from py_sema_spark.operators.curation import lm_score
+
+        train = spark.createDataFrame(
+            [(0, "a b a c")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        # V=3, c(a)=2, c(a b)=1 → ln((1+0.5)/(2+0.5*3))
+        import math
+
+        row = lm_score(docs, train).first()
+        assert row.lm_logprob == pytest.approx(
+            round(math.log(1.5 / 3.5), 6), abs=1e-9
+        )
