@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "quality_score",
     "doc_fingerprint",
     "cosine_topk",
+    "quantized_cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "embedding_neardup_lsh",
@@ -137,6 +138,12 @@ def ann_recall(spark, sf_dir: str) -> dict:
         "ivf_cosine_topk": round(
             recall_against_exact(
                 QUERIES["ivf_cosine_topk"](spark, sf_dir), exact_topk
+            ),
+            3,
+        ),
+        "quantized_cosine_topk": round(
+            recall_against_exact(
+                QUERIES["quantized_cosine_topk"](spark, sf_dir), exact_topk
             ),
             3,
         ),

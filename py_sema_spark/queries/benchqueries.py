@@ -1205,6 +1205,49 @@ SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= 5
 )
 
 
+def _quantized_cosine_topk(spark, sf):
+    from ..operators.similarity import quantized_cosine_topk
+
+    return quantized_cosine_topk(
+        _t(spark, sf, "embeddings"), _queries_df(spark, sf), k=5
+    ).select(
+        "q_id", "vec_id", F.round(F.col("qcos"), 6).alias("qcos"), "rank"
+    )
+
+
+_register(
+    "quantized_cosine_topk",
+    _quantized_cosine_topk,
+    """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS sc
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CAST(list_transform(embedding,
+           x -> CAST(CASE WHEN sc > 0 THEN round(x * 127.0 / sc)
+                          ELSE 0 END AS INTEGER)) AS DOUBLE[]) AS qv
+  FROM s),
+q AS (SELECT vec_id AS q_id, qv AS qq FROM qz WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.qv, q.qq)
+         / (sqrt(list_dot_product(e.qv, e.qv))
+            * sqrt(list_dot_product(q.qq, q.qq))) AS c
+  FROM qz e, q
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS qcos, rank FROM ranked WHERE rank <= 5
+""",
+)
+
+
 def _neardup_exact(spark, sf):
     e = _t(spark, sf, "embeddings")
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
