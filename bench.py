@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "incremental_dedup",
     "lm_score",
+    "ccnet_buckets",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -397,6 +397,67 @@ def lm_score(
     )
 
 
+def lm_buckets(
+    docs: DataFrame,
+    train: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail corpus split: per language, bucket docs
+    by their :func:`lm_score` tercile (Wenzek et al. 2020 §4.3 —
+    head ≈ best third under the reference LM, tail ≈ worst).
+
+    Returns ``(doc_id, <stratum>, bucket)`` with bucket ∈
+    head/middle/tail; docs too short to score land in ``tail``.
+
+    Scale shape: NOT an ``ntile`` over each language (that is one
+    reducer per language sorting the whole corpus). Instead scores are
+    rounded (already round-6 from :func:`lm_score`) and aggregated to
+    ``(lang, score) → count`` — a map-side-combining hash agg — and
+    the tercile thresholds come from a running sum over the *distinct
+    score values* per language, whose cardinality is bounded by the
+    rounded value space (≤ ~2.5·10⁷ rows regardless of corpus size).
+    Bucket assignment is then a join back on ``(lang, score)`` with
+    pure integer comparisons (``3·cum ≤ total``), so the DuckDB
+    oracle is exact.
+    """
+    # materialize the per-doc scores once: strata/counts/thresholds all
+    # reuse this frame, and without the lineage cut Catalyst re-executes
+    # the full bigram-model subtree (two explodes + three joins) for
+    # every window branch — measured 12× slower at sf0.01
+    scored = lm_score(docs, train, k, text_col, id_col).localCheckpoint()
+    strata = docs.select(id_col, stratum_col).join(scored, id_col)
+    counts = (
+        strata.where(F.col("lm_logprob").isNotNull())
+        .groupBy(stratum_col, "lm_logprob")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = Window.partitionBy(stratum_col).orderBy(
+        F.desc("lm_logprob")
+    )  # RANGE frame: tied scores share one cumulative value
+    w_all = Window.partitionBy(stratum_col)
+    th = counts.select(
+        stratum_col,
+        "lm_logprob",
+        F.when(
+            3 * F.sum("_c").over(w_cum) <= F.sum("_c").over(w_all), "head"
+        )
+        .when(
+            3 * F.sum("_c").over(w_cum) <= 2 * F.sum("_c").over(w_all),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return strata.join(th, [stratum_col, "lm_logprob"], "left").select(
+        id_col,
+        stratum_col,
+        F.coalesce("bucket", F.lit("tail")).alias("bucket"),
+    )
+
+
 def token_budget_pack(
     docs: DataFrame,
     budget: int,

@@ -1103,6 +1103,62 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 )
 
 
+def _ccnet_buckets(spark, sf):
+    from ..operators.curation import lm_buckets
+
+    docs = _tp(spark, sf, "documents")
+    return lm_buckets(docs, docs.where(F.col("lang") == "en"))
+
+
+_register(
+    "ccnet_buckets",
+    _ccnet_buckets,
+    f"""
+WITH toklists AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+bigr AS (
+  SELECT doc_id, lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM toklists, LATERAL (SELECT unnest(range(0, len(toks) - 1)) AS i)
+),
+tb AS (SELECT w1, w2, count(*) AS cb FROM bigr
+       WHERE lang = 'en' GROUP BY w1, w2),
+tu AS (SELECT w1, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w1 FROM toklists WHERE lang = 'en')
+       GROUP BY w1),
+v AS (SELECT count(*) AS v FROM tu),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(tb.cb, 0) + 0.5) / (coalesce(tu.cu, 0) + 0.5 * v.v))
+           AS lp
+  FROM bigr b
+  LEFT JOIN tb ON b.w1 = tb.w1 AND b.w2 = tb.w2
+  LEFT JOIN tu ON b.w1 = tu.w1
+  CROSS JOIN v
+),
+agg AS (SELECT doc_id, round(avg(lp), 6) AS lm_logprob
+        FROM scored GROUP BY doc_id),
+strata AS (
+  SELECT d.doc_id, d.lang, agg.lm_logprob
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+counts AS (
+  SELECT lang, lm_logprob, count(*) AS c
+  FROM strata WHERE lm_logprob IS NOT NULL GROUP BY lang, lm_logprob),
+th AS (
+  SELECT lang, lm_logprob,
+         CASE WHEN 3 * sum(c) OVER (PARTITION BY lang
+                ORDER BY lm_logprob DESC)
+              <= sum(c) OVER (PARTITION BY lang) THEN 'head'
+              WHEN 3 * sum(c) OVER (PARTITION BY lang
+                ORDER BY lm_logprob DESC)
+              <= 2 * sum(c) OVER (PARTITION BY lang) THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM counts)
+SELECT s.doc_id, s.lang, coalesce(th.bucket, 'tail') AS bucket
+FROM strata s
+LEFT JOIN th ON s.lang = th.lang AND s.lm_logprob = th.lm_logprob
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

@@ -360,3 +360,45 @@ class TestLmScore:
         assert row.lm_logprob == pytest.approx(
             round(math.log(1.5 / 3.5), 6), abs=1e-9
         )
+
+
+class TestLmBuckets:
+    def test_terciles_by_language(self, spark):
+        from py_sema_spark.operators.curation import lm_buckets
+
+        train = spark.createDataFrame(
+            [(i, "the cat sat on the mat again and again", "en")
+             for i in range(5)],
+            "doc_id long, text string, lang string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat", "en"),      # fluent
+                (1, "the cat sat mat on the", "en"),      # shuffled
+                (2, "zz qq xx ww vv uu tt", "en"),        # gibberish
+                (3, "x", "en"),                           # unscorable
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = {r.doc_id: r.bucket for r in lm_buckets(docs, train).collect()}
+        assert out[0] == "head"
+        assert out[2] == "tail"
+        assert out[3] == "tail"  # too short to score
+        assert set(out.values()) <= {"head", "middle", "tail"}
+
+    def test_every_doc_is_bucketed_once(self, spark, docs):
+        from py_sema_spark.operators.curation import lm_buckets
+
+        out = lm_buckets(docs, docs.where(F.col("lang") == "en"))
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+    def test_no_per_language_global_sort_of_docs(self, spark, docs):
+        from py_sema_spark.operators.curation import lm_buckets
+
+        plan = lm_buckets(docs, docs)._jdf.queryExecution(
+        ).optimizedPlan().toString()
+        # thresholds come from the (lang, score) count table, never an
+        # ntile/row_number over the full per-language doc set
+        assert "ntile" not in plan.lower()
+        assert "row_number" not in plan.lower()
