@@ -184,3 +184,57 @@ def stream_unique_filter(
     return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
         dedup, out_schema, state_schema, "append", timeout
     )
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    timeout_s: Optional[float] = 300,
+    dedup_ttl_s: Optional[int] = None,
+    min_words: int = 5,
+    min_stop_hits: int = 0,
+):
+    """Streaming corpus curation: documents file stream → Gopher-rule
+    quality gate → **stateful cross-batch exact dedup** on the content
+    hash → append sink.
+
+    The streaming twin of the batch curation spine (quality filter →
+    :func:`..operators.dedup.incremental_exact_dedup`): a document
+    arriving in a later micro-batch — or after a restart — with text
+    already admitted is dropped by checkpointed state rather than by
+    an ever-growing anti-join side. The quality gate is stateless
+    column algebra, so it rides inside the same micro-batch plan with
+    no extra shuffle; the only stateful exchange is keyed on the
+    uniform md5 hash. ``dedup_ttl_s`` bounds state for unbounded
+    feeds (see :func:`stream_unique_filter`).
+    """
+    from .functions.text import gopher_pass
+
+    schema = spark.read.parquet(docs_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(docs_dir)
+    )
+    passed = docs.where(
+        gopher_pass(
+            F.col("text"), min_words=min_words, min_stop_hits=min_stop_hits
+        )
+    ).withColumn("content_hash", F.md5("text"))
+    deduped = stream_unique_filter(
+        passed, ["content_hash"], state_timeout_s=dedup_ttl_s
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_s)
+        return query
+    return writer.start()

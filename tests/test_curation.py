@@ -402,3 +402,102 @@ class TestLmBuckets:
         # ntile/row_number over the full per-language doc set
         assert "ntile" not in plan.lower()
         assert "row_number" not in plan.lower()
+
+
+class TestUrlCanonProperties:
+    """Batch-property check: one Spark job over ~400 structurally
+    random URLs, compared against an independent urllib-based Python
+    reimplementation of the documented normalization rules."""
+
+    @staticmethod
+    def _py_canon(url: str) -> str:
+        import re
+        from urllib.parse import urlsplit
+
+        u = url.split("#", 1)[0]
+        sp = urlsplit(u)
+        if sp.scheme and "://" in u:
+            netloc = sp.netloc.lower()
+            if netloc.startswith("www."):
+                netloc = netloc[4:]
+            if sp.scheme.lower() == "http" and netloc.endswith(":80"):
+                netloc = netloc[:-3]
+            if sp.scheme.lower() == "https" and netloc.endswith(":443"):
+                netloc = netloc[:-4]
+            prefix = sp.scheme.lower() + "://" + netloc
+            rest = u.split("://", 1)[1]
+            rest = rest[len(sp.netloc):]
+        else:
+            prefix, rest = "", u
+        path = rest.split("?", 1)[0].rstrip("/")
+        query = rest.split("?", 1)[1] if "?" in rest else ""
+        keep = [
+            p
+            for p in query.split("&")
+            if p
+            and not re.match(
+                r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|mc_cid|mc_eid|ref)(=|$)",
+                p,
+            )
+        ]
+        qstr = "&".join(sorted(keep))
+        return prefix + path + ("?" + qstr if qstr else "")
+
+    def _random_urls(self, n=400):
+        import random
+
+        rng = random.Random(42)
+        urls = []
+        for _ in range(n):
+            scheme = rng.choice(["http", "HTTP", "https", "HTTPS"])
+            www = rng.choice(["", "www.", "WWW."])
+            host = rng.choice(["ex.org", "Sub.Ex.ORG", "a-b.net"])
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            segs = "/".join(
+                rng.choice(["p", "Q", "r2", "s-t"])
+                for _ in range(rng.randint(0, 3))
+            )
+            trail = rng.choice(["", "/", "//"])
+            params = "&".join(
+                rng.sample(
+                    ["a=1", "b=2", "utm_source=x", "fbclid=9",
+                     "ref", "z=Z&y"],
+                    rng.randint(0, 3),
+                )
+            )
+            frag = rng.choice(["", "#f", "#a/b?c=1"])
+            url = f"{scheme}://{www}{host}{port}"
+            if segs:
+                url += "/" + segs
+            url += trail
+            if params:
+                url += "?" + params
+            url += frag
+            urls.append(url)
+        return urls
+
+    def test_matches_python_reference(self, spark):
+        from py_sema_spark.functions.web import url_canonicalize
+
+        urls = self._random_urls()
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string"
+        )
+        got = {
+            r.i: r.c
+            for r in df.select(
+                "i", url_canonicalize(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == self._py_canon(u), (u, got[i], self._py_canon(u))
+
+    def test_idempotent(self, spark):
+        from py_sema_spark.functions.web import url_canonicalize
+
+        urls = self._random_urls(200)
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(url_canonicalize(F.col("url")).alias("c"))
+        twice = once.select(url_canonicalize(F.col("c")).alias("c2"))
+        pairs = once.collect(), twice.collect()
+        assert [r.c for r in pairs[0]] == [r.c2 for r in pairs[1]]

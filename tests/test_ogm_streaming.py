@@ -278,3 +278,37 @@ class TestStatefulStreamDedup:
             for r in spark.read.parquet(out).collect()
         }
         assert got == {("a", 1), ("b", 2), ("c", 4), ("d", 5)}
+
+
+class TestCurationStream:
+    def test_quality_gate_and_cross_restart_dedup(self, spark, tmp_path):
+        """run_curation_stream: low-quality docs never reach the sink;
+        a doc whose text was admitted in an earlier run is dropped on
+        re-ingest because dedup state lives in the checkpoint."""
+        from py_sema_spark.streaming import run_curation_stream
+
+        docs_dir = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        good = "the quick brown fox jumps over the lazy dog near the river"
+        junk = "### ### ### ###"
+        batch1 = spark.createDataFrame(
+            [(0, good, "en"), (1, junk, "en"), (2, good + " again", "en")],
+            "doc_id long, text string, lang string",
+        )
+        batch1.coalesce(1).write.mode("append").parquet(docs_dir)
+        run_curation_stream(spark, docs_dir, out_dir, ckpt)
+        got1 = spark.read.parquet(out_dir)
+        assert sorted(r.doc_id for r in got1.collect()) == [0, 2]
+
+        # second run: same good text under a NEW doc_id + one new doc
+        spark.createDataFrame(
+            [(10, good, "en"), (11, good + " entirely new", "en")],
+            "doc_id long, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+        run_curation_stream(spark, docs_dir, out_dir, ckpt)
+        got2 = spark.read.parquet(out_dir)
+        ids = sorted(r.doc_id for r in got2.collect())
+        assert ids == [0, 2, 11]  # 10 deduped against checkpoint state
+        # the admitted set is exactly dedup-by-hash of quality passes
+        assert got2.select("content_hash").distinct().count() == 3
