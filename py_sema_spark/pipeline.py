@@ -46,9 +46,16 @@ METRICS_SCHEMA = (
 
 class Pipeline:
     def __init__(self, spark: SparkSession, workdir: str):
+        from .trace import Trace
+
         self.spark = spark
         self.workdir = workdir.rstrip("/")
         os.makedirs(self.workdir, exist_ok=True)
+        # service-trace of this run (trace.py — reference
+        # sema/commons/service parity): every stage records whether it
+        # executed or resumed from its checkpoint, alongside the
+        # distributed stage_metrics rows
+        self.trace = Trace()
 
     # ---- checkpoint protocol ----
 
@@ -79,6 +86,8 @@ class Pipeline:
         """Run-or-resume one stage; returns the stage output DataFrame
         (read back from the checkpoint, so downstream lineage starts
         at a scan, not at the whole upstream plan)."""
+        from .trace import TraceEvent
+
         path = self._stage_path(name)
         if not self._done(name):
             t0 = time.time()
@@ -91,6 +100,11 @@ class Pipeline:
             self._write_metrics(name, out)
             with open(f"{path}/_STAGE_DONE", "w") as fh:
                 json.dump({"stage": name, "secs": time.time() - t0}, fh)
+            self.trace.add_event(
+                TraceEvent("stage", "executed", name, secs=time.time() - t0)
+            )
+        else:
+            self.trace.add_event(TraceEvent("stage", "resumed", name))
         return self.spark.read.parquet(path)
 
     def metrics(self) -> DataFrame:

@@ -386,6 +386,25 @@ class TestPipelineResume:
         m = Pipeline(spark, wd).metrics()
         assert m.where(F.col("stage") == "05_materialize").count() > 0
 
+    def test_run_is_traced(self, spark, tmp_path_factory):
+        from py_sema_spark.pipeline import Pipeline
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        wd = str(tmp_path_factory.mktemp("pipe_tr"))
+        corpus = synth_corpus(spark, 40, seed=7)
+        p = Pipeline(spark, wd)
+        p.run(corpus)
+        evts = [e["event"] for e in p.trace.events]
+        assert all(e.returns == "executed" for e in evts)
+        assert len(evts) >= 4  # one per stage
+        # a resumed run records every stage as resumed, none executed
+        p2 = Pipeline(spark, wd)
+        p2.run(corpus)
+        assert {e["event"].returns for e in p2.trace.events} == {"resumed"}
+        # and the trace exports into the same lineage store shape
+        df = p2.trace.events_df(spark)
+        assert df.columns == ["event", "status", "ts"]
+
 
 class TestQuantizedCosine:
     def test_quantize_int8_vectors(self, spark):
