@@ -154,6 +154,37 @@ def materialize_triples(
     out.write.mode(mode).partitionBy("s_bucket").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int = 64,
+    key: str = "s",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist as a Spark-catalog **bucketed table**: hash-bucketed and
+    sorted on ``key``.
+
+    This is the co-located-join layout for the 100-TB store: two
+    tables bucketed on the same key with the same bucket count join
+    with **zero Exchange** on either side (asserted in tests) — every
+    BGP self-join chain on ``s`` then runs shuffle-free, paying the
+    one layout shuffle at write time instead of per query. The Iceberg
+    analogue is ``bucket(N, s)`` partition transforms; the Spark
+    catalog form keeps the identical call surface locally.
+
+    Returns the table read back from the catalog (bucket metadata
+    attached, which plain ``spark.read.parquet`` would lose).
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return df.sparkSession.table(name)
+
+
 class GraphNameMapper:
     """External key ↔ named-graph URI, matching the reference
     (/root/reference/sema/commons/store/store.py:40-63):

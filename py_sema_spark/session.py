@@ -39,6 +39,18 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed-table support (co-located joins) without polluting
+        # the caller's cwd: warehouse + derby metastore under /tmp
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", "/tmp/py_sema_spark_warehouse"
+            ),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/py_sema_spark_derby",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

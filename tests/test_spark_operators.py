@@ -439,3 +439,35 @@ class TestQuantizedCosine:
         # int8 keeps ~7 bits of precision per dim; on 64-d vectors the
         # cosine error is ~1e-2 — top-5 agreement stays near-perfect
         assert recall_against_exact(approx, exact) >= 0.9
+
+
+class TestBucketedTables:
+    def test_colocated_join_has_no_exchange(self, spark):
+        from py_sema_spark.model import write_bucketed_table
+
+        a = spark.range(200).select(
+            F.concat(F.lit("urn:s"), (F.col("id") % 40).cast("string"))
+            .alias("s"),
+            F.col("id").alias("va"),
+        )
+        b = spark.range(100).select(
+            F.concat(F.lit("urn:s"), (F.col("id") % 40).cast("string"))
+            .alias("s"),
+            F.col("id").alias("vb"),
+        )
+        ta = write_bucketed_table(a, "t_bkt_a", n_buckets=8)
+        tb = write_bucketed_table(b, "t_bkt_b", n_buckets=8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ta.join(tb, "s")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the whole point: both sides read pre-bucketed — the join
+            # runs with no hash-partitioning exchange anywhere
+            assert "Exchange hashpartitioning" not in plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == 500  # 40-key equijoin: 5×2.5 avg
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_b")
