@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "skos_broader_depth",
     "transitive_closure",
     "connected_components",
+    "pagerank",
     "ctrl_windows",
     "unique_filter",
     "exact_dedup",

@@ -1,0 +1,105 @@
+"""Graph analytics over the extracted link graph.
+
+A webtext KG build wants link-structure signals next to content
+signals: PageRank of the crawl graph ranks hub/authority pages for
+crawl prioritization and quality weighting (the classic companion to
+the Gopher/CCNet content filters in `operators/curation.py`).
+
+Scale design mirrors `operators/closure.py`: each power iteration is
+ONE shuffle (contribution aggregate keyed on the destination node) +
+a broadcast of two scalar frames (node count, dangling mass — never a
+driver-side collect), with `localCheckpoint` lineage cuts so plan
+depth stays constant across iterations. Hub destinations pre-combine
+map-side inside the aggregation; hub *sources* are the skew-join case
+AQE splits (the rank side of the join is one row per node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, out_deg) for every source node — one hash aggregate."""
+    return edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def graph_nodes(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    return (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Power-iteration PageRank with dangling-mass redistribution.
+
+    ``r ← (1−d)/N + d·(Σ_in r/out_deg + dangling_mass/N)`` — total
+    rank mass stays 1 every round (asserted in tests with dangling
+    nodes present).
+
+    Returns (node, rank). Per round: one join rank⋈edges on the
+    source key, one aggregate keyed on destination, one left join
+    back to the node set; N and the dangling mass ride along as
+    broadcast single-row frames. ``checkpoint_every`` bounds lineage
+    exactly like the closure loop (`closure.py`).
+    """
+    nodes = graph_nodes(edges, src_col, dst_col).localCheckpoint()
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    deg = out_degrees(edges, src_col, dst_col)
+    # attach out_deg to each edge once, outside the loop
+    edges_deg = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .join(deg.withColumnRenamed("node", "_src"), "_src")
+        .localCheckpoint()
+    )
+    ranks = nodes.crossJoin(n_df).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    one_minus_d = 1.0 - damping
+    for i in range(iterations):
+        dangling = F.broadcast(
+            ranks.join(
+                deg, "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contribs = (
+            ranks.withColumnRenamed("node", "_src")
+            .join(edges_deg, "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(n_df)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(one_minus_d) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("_c", F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -121,11 +121,37 @@ class Pipeline:
         graph: str = "urn:kg:corpus",
         n_buckets: int = 64,
         hub_salt: int = 8,
+        curate: bool = False,
     ) -> DataFrame:
-        """Full run; returns the materialized triples DataFrame."""
+        """Full run; returns the materialized triples DataFrame.
+
+        With ``curate=True`` a stage ``00_curate`` runs first: URL
+        canonicalization dedup (first crawl of a recrawled page wins,
+        min ``warc_ts``-free deterministic survivor by url order) and
+        content-hash exact dedup over the extracted ``text`` — the
+        crawl-side hygiene every webtext KG build runs before paying
+        for extraction. Off by default so reference fixed-point counts
+        are unaffected.
+        """
+        if curate:
+            def _curate() -> DataFrame:
+                from .operators.dedup import url_dedup
+                from pyspark.sql import Window
+
+                deduped = url_dedup(corpus, url_col="url", id_col="url")
+                w = Window.partitionBy(F.md5("text")).orderBy("url")
+                return (
+                    deduped.withColumn("_rk", F.row_number().over(w))
+                    .where(F.col("_rk") == 1)
+                    .drop("_rk", "url_canon")
+                )
+
+            source = self.stage("00_curate", _curate)
+        else:
+            source = corpus
 
         extracted = self.stage(
-            "01_extract", lambda: extract_structured(corpus)
+            "01_extract", lambda: extract_structured(source)
         )
 
         def _clean() -> DataFrame:

@@ -1159,6 +1159,68 @@ LEFT JOIN th ON s.lang = th.lang AND s.lm_logprob = th.lm_logprob
 )
 
 
+def _pagerank(spark, sf):
+    """PageRank over a deterministic synthetic link graph on the
+    documents table (each doc links to two arithmetically-derived
+    targets — same construction in the SQL oracle, which unrolls the
+    5 power iterations as CTE pairs)."""
+    from ..operators.graph import pagerank
+
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+    edges = e.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
+    ).unionByName(
+        e.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst
+  FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
+),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
+    body = ""
+    for k in range(1, iterations + 1):
+        body += f""",
+s{k} AS (
+  SELECT e.dst AS node, sum(r.r / deg.d) AS c
+  FROM edges e
+  JOIN r{k - 1} r ON e.src = r.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT nodes.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
+    return (
+        head
+        + body
+        + f"\nSELECT node, round(r, 6) AS rank FROM r{iterations}"
+    )
+
+
+_register("pagerank", _pagerank, _pagerank_oracle(5))
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

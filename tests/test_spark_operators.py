@@ -471,3 +471,77 @@ class TestBucketedTables:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_bkt_a")
             spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+class TestPipelineCurate:
+    def test_curate_stage_dedups_recrawls(self, spark, tmp_path_factory):
+        from py_sema_spark.pipeline import Pipeline
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        wd = str(tmp_path_factory.mktemp("pipe_cur"))
+        base = synth_corpus(spark, 40, seed=7)
+        # recrawl: same pages again under tracking-param'd urls
+        recrawl = base.withColumn(
+            "url", F.concat("url", F.lit("?utm_source=recrawl"))
+        )
+        corpus = base.unionByName(recrawl)
+        p = Pipeline(spark, wd)
+        out = p.run(corpus, curate=True)
+        curated = spark.read.parquet(f"{wd}/00_curate")
+        assert curated.count() == 40  # both dedup layers collapse it
+        # triples equal the single-crawl pipeline's output
+        wd2 = str(tmp_path_factory.mktemp("pipe_cur2"))
+        out2 = Pipeline(spark, wd2).run(base)
+        assert out.count() == out2.count()
+        stages = [e["event"].listargs[0] for e in p.trace.events]
+        assert stages[0] == "00_curate"
+
+
+class TestPageRank:
+    def test_star_graph_hand_computed(self, spark):
+        from py_sema_spark.operators.graph import pagerank
+
+        # spokes a,b,c all link to hub h; h links back to a
+        edges = spark.createDataFrame(
+            [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a")],
+            "src string, dst string",
+        )
+        r = {row.node: row.rank for row in pagerank(edges, iterations=1).collect()}
+        # after 1 iter from uniform 1/4: h = 0.15/4 + 0.85*(3/4) = 0.675
+        assert r["h"] == pytest.approx(0.15 / 4 + 0.85 * 0.75)
+        assert r["b"] == pytest.approx(0.15 / 4)
+        assert r["a"] == pytest.approx(0.15 / 4 + 0.85 * 0.25)
+
+    def test_cycle_stays_uniform(self, spark):
+        from py_sema_spark.operators.graph import pagerank
+
+        n = 6
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+        )
+        r = [row.rank for row in pagerank(edges, iterations=7).collect()]
+        assert all(x == pytest.approx(1 / n) for x in r)
+
+    def test_mass_conserved_with_dangling(self, spark):
+        from py_sema_spark.operators.graph import pagerank
+
+        # d has no out-links: its mass must redistribute, not vanish
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "d"), ("a", "d")], "src string, dst string"
+        )
+        out = pagerank(edges, iterations=10).collect()
+        assert sum(r.rank for r in out) == pytest.approx(1.0, abs=1e-9)
+        r = {row.node: row.rank for row in out}
+        assert r["d"] > r["b"] > r["a"]
+
+    def test_hub_destination_preaggregates(self, spark):
+        from py_sema_spark.operators.graph import pagerank
+
+        edges = spark.range(50).select(
+            F.col("id").alias("src"), F.lit(0).alias("dst")
+        )
+        plan = pagerank(edges, iterations=1)._jdf.queryExecution(
+        ).optimizedPlan().toString()
+        # contribution sum is an Aggregate keyed on dst (map-side
+        # combine for hub pages), never a window/collect
+        assert "Aggregate" in plan and "Window" not in plan
