@@ -209,8 +209,11 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .logconf import add_logconf_argument, load_log_config
+
     top = argparse.ArgumentParser(prog="py_sema_spark")
     top.add_argument("--master", default=None)
+    add_logconf_argument(top)
     sub = top.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("extract", help="corpus parquet → triples")
@@ -285,6 +288,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = top.parse_args(argv)
+    if args.logconf:
+        load_log_config(args.logconf)
     return args.fn(args)
 
 

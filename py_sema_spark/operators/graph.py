@@ -72,33 +72,35 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     one_minus_d = 1.0 - damping
+    # one cheap driver-side check up front (same budget class as the
+    # closure loop's isEmpty): a dangling-free graph — the common case
+    # for synthetic/link-complete corpora — skips the per-iteration
+    # dangling-mass aggregate entirely, keeping each round's plan to
+    # one join + one aggregate
+    has_dangling = not nodes.join(deg, "node", "left_anti").isEmpty()
     for i in range(iterations):
-        dangling = F.broadcast(
-            ranks.join(
-                deg, "node", "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-        )
         contribs = (
             ranks.withColumnRenamed("node", "_src")
             .join(edges_deg, "_src")
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(n_df)
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    F.lit(one_minus_d) / F.col("_n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("_c", F.lit(0.0))
-                        + F.col("_dm") / F.col("_n")
-                    )
-                ).alias("rank"),
+        redistributed = F.coalesce("_c", F.lit(0.0))
+        out = nodes.join(contribs, "node", "left").crossJoin(n_df)
+        if has_dangling:
+            dangling = F.broadcast(
+                ranks.join(deg, "node", "left_anti").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
             )
+            out = out.crossJoin(dangling)
+            redistributed = redistributed + F.col("_dm") / F.col("_n")
+        ranks = out.select(
+            "node",
+            (
+                F.lit(one_minus_d) / F.col("_n")
+                + F.lit(damping) * redistributed
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()

@@ -126,3 +126,41 @@ class TestEventsDf:
         rows = df.collect()
         assert df.columns == ["event", "status", "ts"]
         assert rows[0].event == "step" and rows[0].status == "running"
+
+
+class TestLogconf:
+    def test_yaml_dictconfig_applied(self, tmp_path):
+        import logging
+
+        from py_sema_spark.logconf import load_log_config
+
+        conf = tmp_path / "lc.yml"
+        conf.write_text(
+            "version: 1\ndisable_existing_loggers: false\n"
+            "loggers:\n  py_sema_spark.test_lc:\n    level: ERROR\n"
+        )
+        assert load_log_config(conf) == conf
+        assert logging.getLogger("py_sema_spark.test_lc").level == (
+            logging.ERROR
+        )
+
+    def test_missing_file_raises(self, tmp_path):
+        from py_sema_spark.logconf import load_log_config
+
+        with pytest.raises(FileNotFoundError):
+            load_log_config(tmp_path / "nope.yml")
+
+    def test_default_fallback_exists(self):
+        from py_sema_spark.logconf import DEFAULT_LOGCONF
+
+        assert DEFAULT_LOGCONF.exists()
+
+    def test_cli_accepts_logconf(self, tmp_path, capsys):
+        from py_sema_spark.cli import main
+
+        # --logconf parses at the top level; bad path fails cleanly
+        with pytest.raises(FileNotFoundError):
+            main(
+                ["--logconf", str(tmp_path / "missing.yml"),
+                 "query", "--triples", "x", "--sparql", "SELECT ?s WHERE { ?s ?p ?o }"]
+            )
