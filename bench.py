@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "transitive_closure",
     "connected_components",
     "pagerank",
+    "triangle_count",
     "ctrl_windows",
     "unique_filter",
     "exact_dedup",

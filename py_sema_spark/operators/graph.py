@@ -105,3 +105,82 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count over the undirected simple graph.
+
+    The standard two-join scheme with **degree ordering**: edges are
+    oriented from the lower-(degree, id) endpoint to the higher one,
+    so every triangle is enumerated exactly once and — the scale
+    property — a hub of degree d contributes wedges only through its
+    ≤ d *higher-degree* neighbors, bounding wedge fan-out by the
+    graph's arboricity (O(m^1.5) work total) instead of d² per hub.
+
+    Returns (node, triangles) for every node of the graph.
+    """
+    a, b = "_ta", "_tb"
+    undirected = (
+        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
+        .where(F.col(a) != F.col(b))
+        .select(
+            F.least(a, b).alias(a), F.greatest(a, b).alias(b)
+        )
+        .distinct()
+    )
+    deg = (
+        undirected.select(F.col(a).alias("node"))
+        .unionByName(undirected.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # orient by (degree, node): lower endpoint first
+    ranked = (
+        undirected.join(deg.withColumnRenamed("node", a), a)
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("node", b), b)
+        .withColumnRenamed("_d", "_db")
+    )
+    fwd = ranked.select(
+        F.when(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col(a) < F.col(b))),
+            F.struct(F.col(a).alias("lo"), F.col(b).alias("hi")),
+        )
+        .otherwise(F.struct(F.col(b).alias("lo"), F.col(a).alias("hi")))
+        .alias("_e")
+    ).select("_e.lo", "_e.hi")
+    # fwd feeds three plan branches (both wedge sides + the closing
+    # semi-join): cut the lineage once — |E| rows, bounded by input —
+    # instead of recomputing the dedup+degree+orientation subtree 3×
+    fwd = fwd.localCheckpoint()
+    wedges = (
+        fwd.alias("e1")
+        .join(fwd.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("x"),
+            F.col("e1.hi").alias("y"),
+            F.col("e2.hi").alias("z"),
+        )
+    )
+    tris = wedges.join(
+        fwd.select(F.col("lo").alias("x"), F.col("hi").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+        )
+    )

@@ -1221,6 +1221,71 @@ r{k} AS (
 _register("pagerank", _pagerank, _pagerank_oracle(5))
 
 
+def _triangle_edges(spark, sf):
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+
+    def mk(expr):
+        return e.select(F.col("doc_id").alias("src"), expr.alias("dst"))
+
+    return (
+        mk((F.col("doc_id") + 1) % F.col("_n"))
+        .unionByName(mk((F.col("doc_id") + 2) % F.col("_n")))
+        .unionByName(mk((F.col("doc_id") * 31 + 7) % F.col("_n")))
+    )
+
+
+def _triangle_count(spark, sf):
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_triangle_edges(spark, sf))
+
+
+_register(
+    "triangle_count",
+    _triangle_count,
+    """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+fwd AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS hi
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM fwd e1 JOIN fwd e2 ON e1.hi = e2.lo
+  WHERE EXISTS (SELECT 1 FROM fwd f
+                WHERE f.lo = e1.lo AND f.hi = e2.hi)),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY node)
+SELECT deg.node, CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

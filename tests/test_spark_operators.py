@@ -545,3 +545,33 @@ class TestPageRank:
         # contribution sum is an Aggregate keyed on dst (map-side
         # combine for hub pages), never a window/collect
         assert "Aggregate" in plan and "Window" not in plan
+
+
+class TestTriangleCount:
+    def test_k3_and_square(self, spark):
+        from py_sema_spark.operators.graph import triangle_count
+
+        k3 = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        assert {r.node: r.triangles for r in triangle_count(k3).collect()} \
+            == {"a": 1, "b": 1, "c": 1}
+        square = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string",
+        )
+        assert all(
+            r.triangles == 0 for r in triangle_count(square).collect()
+        )
+
+    def test_k4_and_direction_duplicates(self, spark):
+        from py_sema_spark.operators.graph import triangle_count
+
+        # K4 given with duplicate and reversed edges + a self loop:
+        # undirected-simple normalization must not double count
+        nodes = ["a", "b", "c", "d"]
+        edges = [(x, y) for x in nodes for y in nodes if x != y]
+        edges += [("a", "a"), ("a", "b"), ("b", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        out = {r.node: r.triangles for r in triangle_count(df).collect()}
+        assert out == {n: 3 for n in nodes}
