@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "connected_components",
     "pagerank",
     "triangle_count",
+    "kmv_distinct_tokens",
     "ctrl_windows",
     "unique_filter",
     "exact_dedup",

@@ -1,0 +1,72 @@
+"""Deterministic cardinality sketches.
+
+``kmv_distinct`` is a K-Minimum-Values estimator (Bar-Yossef et al.
+2002): hash every value to a uniform integer, keep the k smallest
+per group, and estimate ``|distinct| ≈ (k−1) / u_k`` where ``u_k`` is
+the k-th smallest hash normalized to (0,1). Unlike
+``approx_count_distinct`` (HLL++, whose register layout is
+engine-private), every step here is portable column algebra over
+md5 — so the DuckDB oracle reproduces the estimate *bit-exactly*,
+and reruns/retries can never flicker the estimate.
+
+Scale shape: the value explode pre-distincts per (group, hash) with
+map-side combine; "k smallest per group" is a rank filter that
+compiles to ``WindowGroupLimit`` (each map task forwards at most k
+hashes per group), so a group with 10¹⁰ distinct values ships
+k·partitions rows, not 10¹⁰. Memory per group is O(k).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash domain: first 13 hex digits of md5 → [0, 2^52), exact in a
+#: double on both engines
+HASH_BITS = 52
+HASH_DOMAIN = float(2**HASH_BITS)
+
+
+def kmv_hash(value: Column) -> Column:
+    """Uniform deterministic hash of a value into [0, 2^52) as long."""
+    return F.conv(F.substring(F.md5(value), 1, 13), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Distinct-count estimate per group (or globally).
+
+    Returns ``(*group_cols, est_distinct)``; groups with fewer than
+    ``k`` distinct hashes report the exact count (the estimator's
+    standard small-range behavior). Relative error ≈ 1/√(k−2)
+    (~6% at k=256), asserted in tests.
+    """
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    groups = list(group_cols or [])
+    hashed = (
+        df.select(*groups, kmv_hash(F.col(value_col)).alias("_h"))
+        .distinct()
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("_h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = topk.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_hk")
+    )
+    est = F.when(
+        F.col("_m") < k, F.col("_m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_DOMAIN) / F.col("_hk")
+    )
+    return agg.select(*groups, est.alias("est_distinct"))

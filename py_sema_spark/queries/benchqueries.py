@@ -1286,6 +1286,41 @@ FROM deg LEFT JOIN pn ON deg.node = pn.node
 )
 
 
+def _kmv_distinct_tokens(spark, sf):
+    from ..operators.dedup import normalized_tokens
+    from ..operators.sketch import kmv_distinct
+
+    toks = _tp(spark, sf, "documents").select(
+        "lang", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct(toks, "tok", k=128, group_cols=["lang"])
+
+
+_register(
+    "kmv_distinct_tokens",
+    _kmv_distinct_tokens,
+    f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS}) AS tok FROM documents),
+hv AS (
+  SELECT DISTINCT lang,
+         ('0x' || substring(md5(tok), 1, 13))::BIGINT AS h
+  FROM toks),
+topk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM hv) WHERE rn <= 128),
+agg AS (SELECT lang, count(*) AS m, max(h) AS hk FROM topk GROUP BY lang)
+SELECT lang,
+       CASE WHEN m < 128 THEN CAST(m AS DOUBLE)
+            ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk
+       END AS est_distinct
+FROM agg
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

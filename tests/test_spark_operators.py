@@ -575,3 +575,47 @@ class TestTriangleCount:
         df = spark.createDataFrame(edges, "src string, dst string")
         out = {r.node: r.triangles for r in triangle_count(df).collect()}
         assert out == {n: 3 for n in nodes}
+
+
+class TestKmvSketch:
+    def test_small_groups_exact(self, spark):
+        from py_sema_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g1", f"v{i % 7}") for i in range(100)]
+            + [("g2", f"w{i}") for i in range(30)],
+            "g string, v string",
+        )
+        out = {
+            r.g: r.est_distinct
+            for r in kmv_distinct(df, "v", k=64, group_cols=["g"]).collect()
+        }
+        assert out == {"g1": 7.0, "g2": 30.0}  # below k → exact
+
+    def test_estimate_accuracy_at_scale(self, spark):
+        from py_sema_spark.operators.sketch import kmv_distinct
+
+        n = 20_000
+        df = spark.range(n).select(
+            F.concat(F.lit("val"), F.col("id").cast("string")).alias("v")
+        )
+        est = kmv_distinct(df, "v", k=256).first().est_distinct
+        assert abs(est - n) / n < 0.15  # ~1/sqrt(254) expected error
+
+    def test_deterministic_across_runs_and_partitions(self, spark):
+        from py_sema_spark.operators.sketch import kmv_distinct
+
+        df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+        a = kmv_distinct(df.repartition(2), "v", k=64).first().est_distinct
+        b = kmv_distinct(df.repartition(17), "v", k=64).first().est_distinct
+        assert a == b  # bit-identical regardless of layout
+
+    def test_rank_filter_compiles_to_group_limit(self, spark):
+        from py_sema_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", "x"), ("g", "y")], "g string, v string"
+        )
+        plan = kmv_distinct(df, "v", k=4, group_cols=["g"])._jdf\
+            .queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
