@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "lm_score",
     "ccnet_buckets",
+    "chunk_documents",
+    "tfidf_top_terms",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

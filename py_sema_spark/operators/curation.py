@@ -517,3 +517,115 @@ def token_budget_pack(
             .alias("shard_id"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows (the
+    context-window chunking step before tokenization/packing in an
+    LLM training pipeline, and the passage chunking step in a
+    retrieval pipeline).
+
+    Emits ``(doc_id, chunk_id, chunk_text, n_tokens)`` with chunks of
+    ``max_tokens`` tokens advancing by ``max_tokens − overlap``; the
+    final partial chunk is kept. Pure column algebra (tokenize once,
+    slice by index) — a narrow map, no shuffle, no Python.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = docs.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("_toks")
+    )
+    n_chunks = F.when(
+        F.size("_toks") <= 0, F.lit(0)
+    ).otherwise(
+        F.floor((F.greatest(F.size("_toks") - overlap, F.lit(1)) - 1) / step)
+        + 1
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+            # not empty — an empty doc must yield zero chunks
+            F.when(
+                n_chunks > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks.cast("int")),
+                    lambda c: F.slice(
+                        F.col("_toks"), (c - 1) * step + 1, max_tokens
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("chunk_id", "_ctoks"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        F.size("_ctoks").alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document:
+    ``score = tf · ln(N / df)`` over normalized tokens, ties broken by
+    term. Both factors are exact integers until the one ``ln`` and
+    multiply, so Spark and the SQL oracle compute bit-identical
+    doubles — the ranking (and therefore the emitted top-k set) is
+    deterministic across engines and partition layouts.
+
+    Scale shape: tf = hash agg on (doc, term) with map-side combine;
+    df = hash agg on term (Zipf hubs pre-combine); N attaches as a
+    broadcast 1-row frame; the per-doc rank filter compiles to
+    WindowGroupLimit.
+    """
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(normalized_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = terms.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_df = F.broadcast(
+        docs.select(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(n_df)
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf") * F.log(F.col("_n") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("_rk").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )

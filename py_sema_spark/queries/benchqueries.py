@@ -1321,6 +1321,70 @@ FROM agg
 )
 
 
+def _chunk_documents(spark, sf):
+    from ..operators.curation import chunk_documents
+
+    return chunk_documents(
+        _tp(spark, sf, "documents"), max_tokens=64, overlap=16
+    )
+
+
+_register(
+    "chunk_documents",
+    _chunk_documents,
+    f"""
+WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+nch AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE CAST(floor((greatest(len(toks) - 16, 1) - 1) / 48)
+                        AS INT) + 1
+         END AS nc
+  FROM toklists),
+ch AS (
+  SELECT doc_id, g.cid AS chunk_id,
+         toks[g.cid * 48 + 1 : g.cid * 48 + 64] AS ct
+  FROM nch, LATERAL (SELECT unnest(range(0, nc)) AS cid) g)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(ct, ' ') AS chunk_text,
+       CAST(len(ct) AS INT) AS n_tokens
+FROM ch
+""",
+)
+
+
+def _tfidf_top_terms(spark, sf):
+    from ..operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_tp(spark, sf, "documents"), k=5)
+
+
+_register(
+    "tfidf_top_terms",
+    _tfidf_top_terms,
+    f"""
+WITH terms AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+nc AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(nc.n AS DOUBLE) / dfq.df) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term, nc),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT)
+           AS rank
+  FROM scored)
+SELECT doc_id, term, rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+""",
+)
+
+
 def _line_dedup(spark, sf):
     """Cross-document line dedup (C4-style boilerplate removal) over a
     deterministically chunked view of `documents` (10-word chunks as

@@ -501,3 +501,79 @@ class TestUrlCanonProperties:
         twice = once.select(url_canonicalize(F.col("c")).alias("c2"))
         pairs = once.collect(), twice.collect()
         assert [r.c for r in pairs[0]] == [r.c2 for r in pairs[1]]
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from py_sema_spark.operators.curation import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = chunk_documents(df, max_tokens=4, overlap=1).orderBy(
+            "chunk_id"
+        ).collect()
+        # step 3: [t0..t3], [t3..t6], [t6..t9] — t9 is already covered
+        # by the last window, so no trailing singleton chunk
+        assert [r.chunk_text for r in out] == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+        ]
+        assert [r.n_tokens for r in out] == [4, 4, 4]
+
+    def test_short_and_empty(self, spark):
+        from py_sema_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "")], "doc_id long, text string"
+        )
+        out = chunk_documents(df, max_tokens=5).collect()
+        assert len(out) == 1  # empty doc yields no chunks
+        assert out[0].chunk_text == "a b"
+
+    def test_coverage_is_lossless_without_overlap(self, spark):
+        from py_sema_spark.operators.curation import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = chunk_documents(df, max_tokens=7, overlap=0).orderBy(
+            "chunk_id"
+        ).collect()
+        rebuilt = " ".join(r.chunk_text for r in out)
+        assert rebuilt == text
+
+    def test_bad_overlap_rejected(self, spark):
+        from py_sema_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestTfidfTopTerms:
+    def test_distinctive_term_wins(self, spark):
+        from py_sema_spark.operators.curation import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (0, "common common zebra zebra zebra"),
+                (1, "common words here"),
+                (2, "common words there"),
+            ],
+            "doc_id long, text string",
+        )
+        top = tfidf_top_terms(df, k=1).collect()
+        doc0 = [r for r in top if r.doc_id == 0][0]
+        assert doc0.term == "zebra" and doc0.rank == 1
+
+    def test_k_bound_and_tie_break(self, spark):
+        from py_sema_spark.operators.curation import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "b a c"), (1, "x y")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(df, k=2)
+        rows = [
+            (r.term, r.rank) for r in out.where(F.col("doc_id") == 0)
+            .orderBy("rank").collect()
+        ]
+        # all scores equal (each term df=1 tf=1) → alphabetical ties
+        assert rows == [("a", 1), ("b", 2)]
