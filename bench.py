@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "unique_filter",
     "exact_dedup",
     "line_dedup",
+    "dup_span_removal",
     "minhash_neardup",
     "minhash_neardup_shingle",
+    "neardup_clusters",
     "ngram_jaccard",
     "simhash",
     "lang_id",

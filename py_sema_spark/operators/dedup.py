@@ -499,3 +499,159 @@ def incremental_exact_dedup(
         .drop("_rk")
         .select(id_col, "content_hash")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-span removal — the suffix-array substring
+    dedup of Lee et al., *Deduplicating Training Data Makes Language
+    Models Better* (their ExactSubstr: drop any ≥k-token span that
+    repeats anywhere in the corpus, keeping one copy), re-expressed as
+    distributed shingle algebra instead of a monolithic suffix array.
+
+    Rule: every k-token window whose exact token sequence occurs more
+    than once corpus-wide is removed at all but its first occurrence
+    (first = min ``(doc_id, pos)``); a token is dropped when any
+    removed window covers it; each document is reassembled from its
+    surviving tokens in order. Deterministic — no sampling, no hashes
+    in the decision path beyond md5 grouping keys.
+
+    Returns ``(doc_id, clean_text, n_tokens, n_removed)``, one row per
+    document with ≥1 token.
+
+    Scale shape (mirrors :func:`line_dedup`): shingle explode →
+    **groupBy(h).agg(min(doc,pos), count)** — first-occurrence choice
+    is a partial-aggregatable min, so a boilerplate span repeated 10^8
+    times combines map-side instead of flooding one window partition —
+    → join back on the distinct hash side → per-doc regroup. Three
+    shuffles total (hash agg, coverage distinct, per-doc regroup); all
+    joins key on uniform md5 or (doc,idx), no skew. The per-token
+    explode is narrow and pipelined; nothing touches the driver.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    )
+    # window positions 0..size-k (empty when size<k; sequence(0,-1)
+    # would yield a DESCENDING [0,-1] — guard like chunk_documents)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    firsts = grams.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    marked = (
+        grams.join(firsts, "h")
+        .where(
+            (F.col("c") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = (
+        marked.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("idx"),
+        )
+        .dropDuplicates(["doc_id", "idx"])
+        .withColumn("_rm", F.lit(True))
+    )
+    tokens = toks.select(
+        "doc_id", F.posexplode("_toks").alias("idx", "tok")
+    )
+    tk = tokens.join(covered, ["doc_id", "idx"], "left")
+    return tk.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rm").isNull(), F.struct("idx", "tok")
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "shingle",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Near-duplicate **cluster assembly**: the glue step every
+    production dedup pipeline runs after pair generation — near-dup
+    pairs are only edges; keeping "one doc per duplicate group"
+    requires the transitive closure of those edges (A≈B, B≈C ⇒ drop
+    two of {A,B,C}, not one).
+
+    Composition: :func:`minhash_dedup` pairs → undirected connected
+    components (:func:`..closure.connected_components`, min-label
+    propagation with pointer doubling — O(log diameter) shuffle
+    rounds) → per-cluster survivor. Returns ``(doc_id, cluster_id,
+    is_canonical, cluster_size)`` for every document that has at least
+    one near-duplicate; ``cluster_id`` = min doc_id in the cluster, so
+    the canonical choice is deterministic across runs and partition
+    layouts. Singleton documents are absent by construction (they need
+    no dedup decision).
+
+    Scale shape: inherits minhash's banded-LSH candidate bound; the CC
+    rounds shuffle only (node, label) pairs — two longs per near-dup
+    doc, not text; the final size/survivor window partitions by
+    cluster_id whose cardinality the pointer doubling already bounded.
+    """
+    from pyspark.sql import Window
+
+    from .closure import connected_components
+
+    pairs = minhash_dedup(
+        docs,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=tokenizer,
+        shingle_n=shingle_n,
+    )
+    cc = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -41,7 +41,9 @@ from ..operators.closure import connected_components, transitive_closure
 from ..operators.dedup import (
     exact_dedup,
     minhash_dedup,
+    neardup_clusters,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash,
 )
 from ..operators.linkage import detect_mentions
@@ -1449,6 +1451,107 @@ SELECT doc_id,
   CAST(count(*) AS INT) AS n_lines,
   CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_removed
 FROM ranked GROUP BY doc_id
+""",
+)
+
+
+def _dup_spans(spark, sf):
+    out = remove_duplicate_spans(_tp(spark, sf, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
+_register(
+    "dup_span_removal",
+    _dup_spans,
+    f"""
+WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' ')) AS h
+  FROM toklists, unnest(range(0, greatest(len(toks) - 4, 0))) t(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM grams
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS idx
+  FROM ranked, unnest(range(0, 5)) t(j)
+  WHERE c > 1 AND rn > 1
+),
+tokens AS (
+  SELECT doc_id, CAST(i AS INT) AS idx, toks[CAST(i AS INT) + 1] AS tok
+  FROM toklists, unnest(range(0, len(toks))) t(i)
+)
+SELECT t.doc_id,
+  md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.idx)
+               FILTER (WHERE c.idx IS NULL), '')) AS clean_md5,
+  CAST(count(*) AS INT) AS n_tokens,
+  CAST(count(c.idx) AS INT) AS n_removed
+FROM tokens t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.idx = t.idx
+GROUP BY t.doc_id
+""",
+)
+
+
+_register(
+    "neardup_clusters",
+    lambda spark, sf: neardup_clusters(
+        _tp(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
+        tokenizer="shingle", shingle_n=8,
+    ),
+    """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS token
+  FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) t(i)
+),
+sigs AS (
+  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM toks, (SELECT unnest(range(16)) AS perm)
+  GROUP BY doc_id, perm
+),
+buckets AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM sigs GROUP BY doc_id, perm % 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM cand p
+  JOIN toks ta ON ta.doc_id = p.a
+  JOIN toks tb ON tb.doc_id = p.b AND tb.token = ta.token
+  GROUP BY p.a, p.b
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
 """,
 )
 

@@ -12,7 +12,9 @@ from py_sema_spark.operators.closure import (
 from py_sema_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup,
+    neardup_clusters,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash,
 )
 from py_sema_spark.operators.linkage import (
@@ -619,3 +621,65 @@ class TestKmvSketch:
         plan = kmv_distinct(df, "v", k=4, group_cols=["g"])._jdf\
             .queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestDupSpanRemoval:
+    """remove_duplicate_spans — hand-computed expectations (Lee et al.
+    ExactSubstr semantics: every repeated k-token window is dropped at
+    all but its first (doc_id, pos) occurrence)."""
+
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),              # first occurrence holder
+            (2, "x x a b c d e y"),              # repeats "a b c d e" at pos 2
+            (3, "q r s"),                        # < k tokens: untouched
+            (4, "a b c d e f g h"),              # exact copy: fully covered
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(docs, k=5).collect()
+        }
+
+    def test_first_occurrence_kept_intact(self, out):
+        assert out[1]["clean_text"] == "a b c d e f g h"
+        assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 8
+
+    def test_repeat_span_removed_rest_kept(self, out):
+        assert out[2]["clean_text"] == "x x y"
+        assert out[2]["n_removed"] == 5 and out[2]["n_tokens"] == 8
+
+    def test_short_doc_untouched(self, out):
+        assert out[3]["clean_text"] == "q r s"
+        assert out[3]["n_removed"] == 0
+
+    def test_full_duplicate_fully_removed(self, out):
+        assert out[4]["clean_text"] == ""
+        assert out[4]["n_removed"] == 8 and out[4]["n_tokens"] == 8
+
+
+class TestNeardupClusters:
+    def test_transitive_cluster_with_canonical_survivor(self, spark):
+        # A≈B (J=19/21), B≈C (J=19/21) but A–C (J=18/22) is below the
+        # 0.85 threshold: only transitive closure puts all three in one
+        # cluster — the property pair output alone cannot express.
+        base = [f"w{i:02d}" for i in range(20)]
+        a = " ".join(base)
+        b = " ".join(base[:19] + ["xx"])
+        c = " ".join(base[:18] + ["yy", "xx"])
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c), (4, "totally unrelated content here")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in neardup_clusters(
+                docs, threshold=0.85, tokenizer="word"
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3}  # singleton doc 4 absent
+        assert all(r["cluster_id"] == 1 for r in rows.values())
+        assert all(r["cluster_size"] == 3 for r in rows.values())
+        assert rows[1]["is_canonical"]
+        assert not rows[2]["is_canonical"] and not rows[3]["is_canonical"]
