@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "kmv_distinct_tokens",
     "ctrl_windows",
     "unique_filter",
+    "sessionize",
+    "length_quantiles",
     "exact_dedup",
     "line_dedup",
     "dup_span_removal",

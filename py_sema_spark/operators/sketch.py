@@ -70,3 +70,35 @@ def kmv_distinct(
         F.lit(float(k - 1)) * F.lit(HASH_DOMAIN) / F.col("_hk")
     )
     return agg.select(*groups, est.alias("est_distinct"))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list | None = None,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact quantiles (linear interpolation — the
+    definition Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share, so results are cross-engine comparable).
+
+    Returns one row per group: ``(group…, n, p50, p90, …)``.
+
+    Scale note: exact quantiles sort every group's values — Spark's
+    ``percentile`` aggregates per-group value buffers, fine for the
+    bounded-group-count profile this targets (per-language corpus
+    stats: thousands of groups × millions of values). For quantiles
+    OVER high-cardinality groups or as a single global pass over 100
+    TB, swap in ``percentile_approx`` (t-digest, mergeable map-side)
+    — same call shape, bounded memory, no longer bit-portable; the
+    exact form stays as its correctness oracle at test scale, the
+    same twin pattern as :func:`kmv_distinct` vs exact count-distinct.
+    """
+    groups = list(group_cols or [])
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.percentile(F.col(value_col), F.lit(q)).alias(
+            f"p{str(q)[2:].ljust(2, '0')}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(*groups).agg(*aggs)

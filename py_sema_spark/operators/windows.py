@@ -109,3 +109,54 @@ def unique_by_pattern(
         ["_ukey"],
         [order_col],
     ).drop("_ukey")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts at a user's
+    first event and whenever the gap since their previous event
+    exceeds ``gap_minutes`` — the standard clickstream construct (and
+    the batch twin of Structured Streaming's session windows).
+
+    Returns the input plus ``is_session_start`` and a deterministic
+    ``session_id`` = ``<user>#<1-based session number>`` — stable
+    across runs and partition layouts because the order key is the
+    total (ts, event_id).
+
+    Scale shape: ONE hash exchange on the user key; both the lag and
+    the running session counter are windows over that same partition,
+    so Catalyst evaluates them in a single Window node without a
+    second sort or shuffle. Gap math is integer microseconds
+    (``unix_micros``) — engine-portable, no float drift. Skewed users
+    (bots with 10^8 events) bound the window partition; cap upstream
+    with ``domain_cap``-style per-key truncation if a single key
+    exceeds executor memory.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    # timestamp_diff works on TIMESTAMP_NTZ (unix_micros does not) and
+    # yields exact integer microseconds — no tz shift, no float drift
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(F.col(ts_col)).over(w), F.col(ts_col)
+    )
+    start = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), True
+    ).otherwise(False)
+    run = Window.partitionBy(user_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = events.withColumn("is_session_start", start)
+    return out.withColumn(
+        "session_id",
+        F.concat_ws(
+            "#",
+            F.col(user_col).cast("string"),
+            F.sum(F.col("is_session_start").cast("int"))
+            .over(run)
+            .cast("string"),
+        ),
+    )

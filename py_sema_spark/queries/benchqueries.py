@@ -53,7 +53,7 @@ from ..operators.similarity import (
     embedding_neardup_pairs,
     lsh_cosine_topk,
 )
-from ..operators.windows import first_per_key, with_ctrl
+from ..operators.windows import first_per_key, sessionize, with_ctrl
 from ..functions.text import (
     doc_fingerprint,
     lang_id,
@@ -429,6 +429,32 @@ SELECT event_id, user_id,
        (lead(event_id) OVER w IS NULL) AS is_last
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+
+_register(
+    "sessionize",
+    lambda spark, sf: sessionize(
+        _t(spark, sf, "events"), gap_minutes=30
+    ).select("event_id", "user_id", "is_session_start", "session_id"),
+    """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id, ts,
+         (gap_us IS NULL OR gap_us > 1800000000) AS is_session_start
+  FROM e
+)
+SELECT event_id, user_id, is_session_start,
+       concat(CAST(user_id AS VARCHAR), '#',
+              CAST(sum(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS session_id
+FROM s
 """,
 )
 
@@ -1319,6 +1345,34 @@ SELECT lang,
             ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / hk
        END AS est_distinct
 FROM agg
+""",
+)
+
+
+def _length_quantiles(spark, sf):
+    from ..operators.sketch import exact_quantiles
+
+    q = exact_quantiles(
+        _t(spark, sf, "documents"), "n_chars", ["lang"]
+    )
+    return q.select(
+        "lang",
+        "n",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+_register(
+    "length_quantiles",
+    _length_quantiles,
+    """
+SELECT lang, count(*) AS n,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
 """,
 )
 

@@ -683,3 +683,60 @@ class TestNeardupClusters:
         assert all(r["cluster_size"] == 3 for r in rows.values())
         assert rows[1]["is_canonical"]
         assert not rows[2]["is_canonical"] and not rows[3]["is_canonical"]
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        from py_sema_spark.operators.windows import sessionize
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def m(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            (1, m(0), 10),    # user 1, session 1
+            (1, m(10), 11),   # +10min: same session
+            (1, m(50), 12),   # +40min gap: session 2
+            (2, m(0), 20),    # user 2, own session
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+        out = {
+            r["event_id"]: r
+            for r in sessionize(df, gap_minutes=30).collect()
+        }
+        assert out[10]["session_id"] == "1#1" and out[10]["is_session_start"]
+        assert out[11]["session_id"] == "1#1" and not out[11]["is_session_start"]
+        assert out[12]["session_id"] == "1#2" and out[12]["is_session_start"]
+        assert out[20]["session_id"] == "2#1" and out[20]["is_session_start"]
+
+    def test_boundary_gap_stays_in_session(self, spark):
+        import datetime as dt
+
+        from py_sema_spark.operators.windows import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 1), (1, t0 + dt.timedelta(minutes=30), 2)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+        out = {
+            r["event_id"]: r
+            for r in sessionize(df, gap_minutes=30).collect()
+        }
+        # gap == threshold is NOT a new session (strict >)
+        assert out[2]["session_id"] == "1#1"
+
+
+class TestExactQuantiles:
+    def test_linear_interpolation_values(self, spark):
+        from py_sema_spark.operators.sketch import exact_quantiles
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 11)], ["g", "v"]
+        )
+        row = exact_quantiles(df, "v", ["g"]).collect()[0]
+        assert row["n"] == 10
+        assert abs(row["p50"] - 5.5) < 1e-9
+        assert abs(row["p90"] - 9.1) < 1e-9
+        assert abs(row["p99"] - 9.91) < 1e-9
