@@ -128,11 +128,13 @@ def sessionize(
     across runs and partition layouts because the order key is the
     total (ts, event_id).
 
-    Scale shape: ONE hash exchange on the user key; both the lag and
-    the running session counter are windows over that same partition,
-    so Catalyst evaluates them in a single Window node without a
-    second sort or shuffle. Gap math is integer microseconds
-    (``unix_micros``) — engine-portable, no float drift. Skewed users
+    Scale shape: ONE hash exchange on the user key; the lag and the
+    running session counter are two Window nodes (their frames
+    differ) over that same partitioning+ordering, so the plan carries
+    exactly one Exchange and one Sort — audited via
+    ``explain("formatted")``. Gap math is integer microseconds
+    (``timestamp_diff`` — NTZ-safe) — engine-portable, no float
+    drift. Skewed users
     (bots with 10^8 events) bound the window partition; cap upstream
     with ``domain_cap``-style per-key truncation if a single key
     exceeds executor memory.
