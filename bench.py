@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ivf_cosine_topk",
     "embedding_neardup_lsh",
     "detect_mentions",
+    "entity_cooccurrence",
     "sparql_path",
     "sparql_groupby",
     "sparql_construct",

@@ -184,3 +184,77 @@ def mention_triples(
         F.lit(None).cast("string").alias("o_datatype"),
         F.lit(None).cast("string").alias("o_lang"),
     )
+
+
+def entity_cooccurrence(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    entity_col: str = "entity",
+    max_gram: int = 3,
+) -> DataFrame:
+    """PMI-weighted entity co-occurrence — the association-edge scoring
+    step of KG construction: two entities mentioned in the same
+    document get an edge weighted by pointwise mutual information
+    ``ln(P(a,b) / (P(a)·P(b)))`` estimated from document counts.
+
+    Returns ``(e1, e2, n_ab, n_a, n_b, pmi)`` with ``e1 < e2``
+    (canonical undirected edge), PMI rounded to 6 decimals so the
+    single ``ln`` is cross-engine comparable (all inputs up to it are
+    exact integers).
+
+    Scale shape: mention rows are (doc, entity) distinct — bounded by
+    docs × dictionary hits, never raw token positions; the in-document
+    pair join fans out quadratically only in *entities per document*
+    (tiny — dictionary-bounded), not document length; both count
+    aggregations combine map-side; the corpus size N joins in as a
+    **broadcast one-row frame** (no driver collect, same pattern as
+    ``lm_score``'s vocabulary size).
+    """
+    m = (
+        detect_mentions(
+            docs, dictionary, text_col, id_col, label_col, entity_col,
+            max_gram,
+        )
+        .select(F.col(id_col).alias("doc_id"), "entity")
+        .distinct()
+    )
+    pairs = (
+        m.alias("x")
+        .join(m.alias("y"), "doc_id")
+        .where(F.col("x.entity") < F.col("y.entity"))
+        .select(
+            F.col("x.entity").alias("e1"), F.col("y.entity").alias("e2")
+        )
+    )
+    ab = pairs.groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("n_ab"))
+    ent = m.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_N"))
+    return (
+        ab.join(
+            ent.select(F.col("entity").alias("e1"), F.col("n").alias("n_a")),
+            "e1",
+        )
+        .join(
+            ent.select(F.col("entity").alias("e2"), F.col("n").alias("n_b")),
+            "e2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "e1",
+            "e2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_N")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1922,6 +1922,43 @@ _MENTION_DICT_SQL = "VALUES " + ", ".join(
     f"('{e}', '{l}')" for e, l in _MENTION_DICT
 )
 
+def _cooccurrence(spark, sf):
+    from ..operators.linkage import entity_cooccurrence
+
+    docs = _tp(spark, sf, "documents")
+    d = spark.createDataFrame(_MENTION_DICT, "entity string, label string")
+    return entity_cooccurrence(docs, d, max_gram=2)
+
+
+_register(
+    "entity_cooccurrence",
+    _cooccurrence,
+    f"""
+WITH dict AS (
+  SELECT entity, array_to_string({_toks_sql('label')}, ' ') AS gram
+  FROM (SELECT * FROM ({_MENTION_DICT_SQL}) AS t(entity, label))
+  WHERE len(array_to_string({_toks_sql('label')}, ' ')) > 0
+),
+norm AS (
+  SELECT doc_id, ' ' || array_to_string({TOKS}, ' ') || ' ' AS padded FROM documents
+),
+m AS (
+  SELECT DISTINCT n.doc_id, d.entity
+  FROM norm n JOIN dict d ON n.padded LIKE '% ' || d.gram || ' %'
+),
+ab AS (
+  SELECT x.entity AS e1, y.entity AS e2, count(*) AS n_ab
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.entity < y.entity
+  GROUP BY 1, 2
+),
+ent AS (SELECT entity, count(*) AS n FROM m GROUP BY entity),
+nn AS (SELECT count(*) AS n_docs FROM documents)
+SELECT e1, e2, n_ab, a.n AS n_a, b.n AS n_b,
+       round(ln(CAST(n_ab AS DOUBLE) * n_docs / (a.n * b.n)), 6) AS pmi
+FROM ab JOIN ent a ON a.entity = ab.e1 JOIN ent b ON b.entity = ab.e2, nn
+""",
+)
+
 _register(
     "detect_mentions",
     _mentions,

@@ -740,3 +740,35 @@ class TestExactQuantiles:
         assert abs(row["p50"] - 5.5) < 1e-9
         assert abs(row["p90"] - 9.1) < 1e-9
         assert abs(row["p99"] - 9.91) < 1e-9
+
+
+class TestEntityCooccurrence:
+    def test_pmi_hand_computed(self, spark):
+        import math
+
+        from py_sema_spark.operators.linkage import entity_cooccurrence
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta"),
+                (2, "alpha beta"),
+                (3, "alpha gamma"),
+                (4, "delta only"),
+            ],
+            ["doc_id", "text"],
+        )
+        d = spark.createDataFrame(
+            [("urn:a", "alpha"), ("urn:b", "beta"), ("urn:c", "gamma")],
+            ["entity", "label"],
+        )
+        rows = {
+            (r["e1"], r["e2"]): r
+            for r in entity_cooccurrence(docs, d, max_gram=1).collect()
+        }
+        ab = rows[("urn:a", "urn:b")]
+        assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+        # PMI = ln(n_ab·N / (n_a·n_b)) = ln(2·4/6)
+        assert abs(ab["pmi"] - round(math.log(8 / 6), 6)) < 1e-9
+        ac = rows[("urn:a", "urn:c")]
+        assert (ac["n_ab"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
+        assert ("urn:b", "urn:c") not in rows
