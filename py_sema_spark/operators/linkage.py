@@ -213,6 +213,11 @@ def entity_cooccurrence(
     **broadcast one-row frame** (no driver collect, same pattern as
     ``lm_score``'s vocabulary size).
     """
+    # the mention set feeds four consumers (both pair-join sides, the
+    # entity marginals, implicitly the pair counts) — materialize it
+    # once instead of re-running the n-gram explode + dictionary join
+    # per branch (same lazy-localCheckpoint pattern as the dedup token
+    # sets; at 100 TB this is a checkpointed (doc, entity) table)
     m = (
         detect_mentions(
             docs, dictionary, text_col, id_col, label_col, entity_col,
@@ -220,6 +225,7 @@ def entity_cooccurrence(
         )
         .select(F.col(id_col).alias("doc_id"), "entity")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     pairs = (
         m.alias("x")
@@ -232,13 +238,24 @@ def entity_cooccurrence(
     ab = pairs.groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("n_ab"))
     ent = m.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
     n_docs = docs.select(F.count(F.lit(1)).alias("_N"))
+    # entity marginals are dictionary-bounded (one row per entity) —
+    # always broadcastable regardless of corpus size; the checkpoint
+    # above severed the size stats Catalyst would need to infer that
     return (
         ab.join(
-            ent.select(F.col("entity").alias("e1"), F.col("n").alias("n_a")),
+            F.broadcast(
+                ent.select(
+                    F.col("entity").alias("e1"), F.col("n").alias("n_a")
+                )
+            ),
             "e1",
         )
         .join(
-            ent.select(F.col("entity").alias("e2"), F.col("n").alias("n_b")),
+            F.broadcast(
+                ent.select(
+                    F.col("entity").alias("e2"), F.col("n").alias("n_b")
+                )
+            ),
             "e2",
         )
         .crossJoin(F.broadcast(n_docs))
