@@ -772,3 +772,26 @@ class TestEntityCooccurrence:
         ac = rows[("urn:a", "urn:c")]
         assert (ac["n_ab"], ac["n_a"], ac["n_b"]) == (1, 3, 1)
         assert ("urn:b", "urn:c") not in rows
+
+
+class TestDupSpanOverlap:
+    def test_overlapping_and_intra_doc_repeats(self, spark):
+        from py_sema_spark.operators.dedup import remove_duplicate_spans
+
+        rows = [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),              # both 5-grams repeat: fully covered
+            (3, "a b c d e z a b c d e"),    # same gram twice within one doc
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(docs, k=5).collect()
+        }
+        assert out[1]["clean_text"] == "a b c d e f"  # holds both firsts
+        # doc 2: overlapping covered ranges [0,4] and [1,5] merge to all 6
+        assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 6
+        # doc 3: neither occurrence is the global first (doc 1 pos 0 is),
+        # so positions 0-4 and 6-10 are both removed; only "z" survives
+        assert out[3]["clean_text"] == "z"
+        assert out[3]["n_tokens"] == 11 and out[3]["n_removed"] == 10
