@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "ctrl_windows",
     "unique_filter",
     "sessionize",
+    "asof_join",
     "length_quantiles",
     "exact_dedup",
     "line_dedup",

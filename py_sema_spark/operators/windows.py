@@ -162,3 +162,81 @@ def sessionize(
             .cast("string"),
         ),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    tiebreak_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join (kdb ``aj`` / pandas ``merge_asof``): for every left
+    row, attach the most recent right row with ``right.ts <= left.ts``
+    for the same key — the temporal lookup Spark has no built-in for.
+
+    Expressed as **union + ordered carry-forward**, not a range join:
+    tag both sides, sort each key's rows by ``(ts, side, tiebreak)``
+    with right rows first at equal timestamps, and carry the last
+    non-null right value forward (``last(..., ignorenulls=True)`` over
+    an unbounded-preceding frame). Left rows then hold exactly the
+    at-or-before match.
+
+    Scale shape: ONE hash exchange on the key + one sort — the same
+    cost as any windowed op — versus the range join's per-key
+    quadratic blowup (every left row × every earlier right row as an
+    intermediate). Ties at identical timestamps resolve
+    deterministically via ``tiebreak_col`` (must exist on both sides;
+    the larger value wins among equal-ts right rows).
+
+    Returns all left columns plus ``<value><suffix>`` for each
+    requested right value column.
+    """
+    lcols = left.columns
+    tb = (
+        [F.col(tiebreak_col).alias("_tb")]
+        if tiebreak_col
+        else [F.lit(0).alias("_tb")]
+    )
+    rschema = dict(zip(right.schema.names, right.schema.fields))
+    u_l = left.select(
+        *lcols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_src"),
+        *tb,
+        *[
+            F.lit(None).cast(rschema[v].dataType).alias(f"_rv_{v}")
+            for v in value_cols
+        ],
+    )
+    u_r = right.select(
+        *[
+            F.col(c) if c in right.columns else F.lit(None).alias(c)
+            for c in [on]
+        ],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c != on
+        ],
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_src"),
+        *tb,
+        *[F.col(v).alias(f"_rv_{v}") for v in value_cols],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_src", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u_l.unionByName(u_r, allowMissingColumns=False)
+    for v in value_cols:
+        filled = filled.withColumn(
+            f"{v}{suffix}",
+            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w),
+        )
+    return filled.where(F.col("_src") == 1).select(
+        *lcols, *[f"{v}{suffix}" for v in value_cols]
+    )

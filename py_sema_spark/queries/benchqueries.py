@@ -458,6 +458,45 @@ FROM s
 """,
 )
 
+def _asof(spark, sf):
+    from ..operators.windows import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        clicks, views, on="user_id", ts_col="ts",
+        value_cols=["value"], tiebreak_col="event_id",
+    ).select("event_id", "user_id", "value_asof")
+
+
+_register(
+    "asof_join",
+    _asof,
+    """
+WITH u AS (
+  SELECT event_id, user_id, ts, 1 AS src, event_id AS tb,
+         CAST(NULL AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT NULL, user_id, ts, 0, event_id, value
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id, user_id, src,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, src, tb
+           ROWS UNBOUNDED PRECEDING) AS value_asof
+  FROM u
+)
+SELECT event_id, user_id, value_asof FROM c WHERE src = 1
+""",
+)
+
 _register(
     "unique_filter",
     lambda spark, sf: first_per_key(

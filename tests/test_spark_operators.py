@@ -795,3 +795,37 @@ class TestDupSpanOverlap:
         # so positions 0-4 and 6-10 are both removed; only "z" survives
         assert out[3]["clean_text"] == "z"
         assert out[3]["n_tokens"] == 11 and out[3]["n_removed"] == 10
+
+
+class TestAsofJoin:
+    def test_at_or_before_semantics(self, spark):
+        import datetime as dt
+
+        from py_sema_spark.operators.windows import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def s(sec):
+            return t0 + dt.timedelta(seconds=sec)
+
+        clicks = spark.createDataFrame(
+            [(100, 1, s(5)), (101, 1, s(10)), (102, 1, s(20)), (103, 1, s(35)),
+             (104, 2, s(50))],
+            ["event_id", "user_id", "ts"],
+        )
+        views = spark.createDataFrame(
+            [(1, s(10), 200, 1.0), (1, s(30), 201, 2.0)],
+            ["user_id", "ts", "event_id", "value"],
+        )
+        out = {
+            r["event_id"]: r["value_asof"]
+            for r in asof_join(
+                clicks, views, on="user_id", ts_col="ts",
+                value_cols=["value"], tiebreak_col="event_id",
+            ).collect()
+        }
+        assert out[100] is None          # click before any view
+        assert out[101] == 1.0           # tie: at-or-before includes equal ts
+        assert out[102] == 1.0           # carried forward
+        assert out[103] == 2.0           # newer view wins
+        assert out[104] is None          # other user: no views at all
