@@ -238,3 +238,79 @@ def run_curation_stream(
         query.awaitTermination(timeout_s)
         return query
     return writer.start()
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+):
+    """Streaming gap-based sessionization — the stateful twin of
+    :func:`..operators.windows.sessionize`: per-key state carries
+    ``(last event epoch-µs, session counter)`` across micro-batches
+    and restarts, so a user's session numbering continues exactly
+    where the previous batch (or the pre-crash run) left off.
+
+    Emits every event with ``is_session_start`` and the same
+    deterministic ``<user>#<n>`` session ids as the batch operator —
+    the batch twin is the correctness oracle in tests.
+
+    Ordering contract: events are sorted by ``ts`` *within* each
+    micro-batch group; cross-batch order is arrival order (file order
+    under the file source). For out-of-order feeds put a watermarked
+    sort upstream or widen ``gap_minutes`` — the standard trade;
+    Spark's own session windows make the same assumption outside
+    event-time mode. State is two longs per active user — bounded by
+    the live-user set, not history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(stream.schema.fields)
+        + [
+            StructField("is_session_start", BooleanType()),
+            StructField("session_id", StringType()),
+        ]
+    )
+    state_schema = "last_us bigint, sess bigint"
+    gap_us = gap_minutes * 60_000_000
+    in_cols = [f.name for f in stream.schema.fields]
+
+    def assign(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return
+        batch = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
+        last_us, sess = state.get if state.exists else (None, 0)
+        us = (
+            batch[ts_col].astype("datetime64[us]").astype("int64").tolist()
+        )
+        starts, sids = [], []
+        user = key[0]
+        for t in us:
+            if last_us is None or t - last_us > gap_us:
+                sess += 1
+                starts.append(True)
+            else:
+                starts.append(False)
+            sids.append(f"{user}#{sess}")
+            last_us = t
+        state.update((int(last_us), int(sess)))
+        out = batch[in_cols].copy()
+        out["is_session_start"] = starts
+        out["session_id"] = sids
+        yield out
+
+    return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        assign, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

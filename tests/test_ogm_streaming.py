@@ -312,3 +312,81 @@ class TestCurationStream:
         assert ids == [0, 2, 11]  # 10 deduped against checkpoint state
         # the admitted set is exactly dedup-by-hash of quality passes
         assert got2.select("content_hash").distinct().count() == 3
+
+
+class TestStreamSessionize:
+    def test_matches_batch_and_resumes_across_restarts(
+        self, spark, tmp_path
+    ):
+        """Session numbering must equal the batch operator's on the
+        same data, continue across micro-batches, and survive a
+        restart (state in the checkpoint)."""
+        import datetime as dt
+        import os
+
+        from py_sema_spark.operators.windows import sessionize
+        from py_sema_spark.streaming import stream_sessionize
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t0 = dt.datetime(2024, 1, 1)
+
+        def s(sec):
+            return t0 + dt.timedelta(seconds=sec)
+
+        # file 1: user 1 two close events; user 2 one event
+        spark.createDataFrame(
+            [(1, s(0), 1), (1, s(60), 2), (2, s(0), 3)],
+            "user_id long, ts timestamp_ntz, event_id long",
+        ).coalesce(1).write.parquet(src + "/f1")
+        # file 2 (later micro-batch): user 1 beyond the gap → session 2
+        spark.createDataFrame(
+            [(1, s(4000), 4), (2, s(100), 5)],
+            "user_id long, ts timestamp_ntz, event_id long",
+        ).coalesce(1).write.parquet(src + "/f2")
+
+        def run():
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp_ntz, event_id long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/f*")
+            )
+            q = (
+                stream_sessionize(stream, gap_minutes=30)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run()
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = {
+            r["event_id"]: r["session_id"]
+            for r in sessionize(
+                spark.read.parquet(src + "/f*"), gap_minutes=30
+            ).collect()
+        }
+        assert got == batch  # {1:'1#1',2:'1#1',4:'1#2',3:'2#1',5:'2#1'}
+
+        # restart: a third file continues numbering from the checkpoint
+        spark.createDataFrame(
+            [(1, s(8000), 6)],
+            "user_id long, ts timestamp_ntz, event_id long",
+        ).coalesce(1).write.parquet(src + "/f3")
+        run()
+        got2 = {
+            r["event_id"]: r["session_id"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got2[6] == "1#3"
