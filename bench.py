@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "unique_filter",
     "sessionize",
     "asof_join",
+    "session_stats",
     "length_quantiles",
     "exact_dedup",
     "line_dedup",

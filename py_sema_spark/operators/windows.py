@@ -240,3 +240,27 @@ def asof_join(
     return filled.where(F.col("_src") == 1).select(
         *lcols, *[f"{v}{suffix}" for v in value_cols]
     )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count and
+    exact integer-µs duration per ``(session_id, user)``.
+
+    Scale shape: the sessionize window exchange keys on the user; the
+    rollup groups on ``(session_id, user)`` — a strict refinement of
+    the same key, so AQE/Catalyst reuses the existing partitioning
+    where possible and the aggregate combines map-side regardless.
+    """
+    s = sessionize(events, user_col, ts_col, order_cols, gap_minutes)
+    return s.groupBy("session_id", user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.timestamp_diff(
+            "MICROSECOND", F.min(ts_col), F.max(ts_col)
+        ).alias("duration_us"),
+    )

@@ -458,6 +458,34 @@ FROM s
 """,
 )
 
+_register(
+    "session_stats",
+    lambda spark, sf: __import__(
+        "py_sema_spark.operators.windows", fromlist=["session_stats"]
+    ).session_stats(_t(spark, sf, "events"), gap_minutes=30),
+    """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id, ts,
+         concat(CAST(user_id AS VARCHAR), '#',
+                CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                              THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS session_id
+  FROM e
+)
+SELECT session_id, user_id, count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY session_id, user_id
+""",
+)
+
+
 def _asof(spark, sf):
     from ..operators.windows import asof_join
 
