@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "connected_components",
     "pagerank",
     "triangle_count",
+    "common_neighbors",
     "kmv_distinct_tokens",
     "ctrl_windows",
     "unique_filter",

@@ -184,3 +184,78 @@ def triangle_count(
             "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
         )
     )
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 50,
+    min_common: int = 2,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Link prediction by common-neighbor counting — the standard KG
+    edge-suggestion baseline: for every **non-adjacent** node pair
+    sharing ≥ ``min_common`` neighbors, score = |N(a)∩N(b)| plus its
+    Jaccard normalization; returns the ``top_k`` candidates ordered by
+    (common desc, a, b) — a deterministic total order.
+
+    Scale shape: wedge enumeration through each center is inherently
+    quadratic in that center's degree, so hubs are the whole cost —
+    ``max_degree`` drops super-hub centers before the self-join (the
+    standard trade: "everyone links to the homepage" contributes no
+    discriminative common-neighbor evidence, and a 10^6-degree hub
+    would alone emit 10^12 wedges). Remaining wedges hash-aggregate
+    with map-side combine on the (a, b) pair; the adjacency anti-join
+    keys on the same pair; degrees join back from the *uncapped* graph
+    so scores stay exact for every surviving pair. Final top-k is a
+    TakeOrdered (no global sort).
+    """
+    a, b = "_ca", "_cb"
+    und = (
+        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
+        .where(F.col(a) != F.col(b))
+        .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
+        .distinct()
+    )
+    sym = und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
+        und.select(F.col(b).alias("c"), F.col(a).alias("n"))
+    )
+    deg = sym.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    centers = sym
+    if max_degree is not None:
+        cdeg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
+        centers = sym.join(
+            cdeg.where(F.col("_cd") <= max_degree).select("c"), "c"
+        )
+    wedges = (
+        centers.alias("x")
+        .join(centers.alias("y"), "c")
+        .where(F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias(a), F.col("y.n").alias(b))
+    )
+    cn = wedges.groupBy(a, b).agg(F.count(F.lit(1)).alias("common"))
+    cand = cn.where(F.col("common") >= min_common).join(
+        und, [a, b], "left_anti"
+    )
+    scored = (
+        cand.join(
+            deg.select(F.col("node").alias(a), F.col("_d").alias("_da")), a
+        )
+        .join(
+            deg.select(F.col("node").alias(b), F.col("_d").alias("_db")), b
+        )
+        .select(
+            F.col(a).alias("a"),
+            F.col(b).alias("b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("common"), "a", "b").limit(top_k)

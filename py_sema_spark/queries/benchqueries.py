@@ -1337,6 +1337,55 @@ def _triangle_count(spark, sf):
     return triangle_count(_triangle_edges(spark, sf))
 
 
+def _common_neighbors(spark, sf):
+    from ..operators.graph import common_neighbors
+
+    return common_neighbors(
+        _triangle_edges(spark, sf), top_k=50, min_common=2
+    )
+
+
+_register(
+    "common_neighbors",
+    _common_neighbors,
+    """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+sym AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT n AS node, count(*) AS d FROM sym GROUP BY n),
+cdeg AS (SELECT c, count(*) AS cd FROM sym GROUP BY c),
+centers AS (
+  SELECT s.c, s.n FROM sym s JOIN cdeg ON s.c = cdeg.c
+  WHERE cdeg.cd <= 1000),
+cn AS (
+  SELECT x.n AS a, y.n AS b, count(*) AS common
+  FROM centers x JOIN centers y ON x.c = y.c AND x.n < y.n
+  GROUP BY x.n, y.n),
+cand AS (
+  SELECT cn.a, cn.b, cn.common FROM cn
+  WHERE cn.common >= 2
+    AND NOT EXISTS (SELECT 1 FROM und u WHERE u.a = cn.a AND u.b = cn.b)
+)
+SELECT cand.a, cand.b, cand.common,
+       round(cand.common / (da.d + db.d - cand.common), 6) AS jaccard
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg db ON db.node = cand.b
+ORDER BY cand.common DESC, cand.a, cand.b
+LIMIT 50
+""",
+)
+
+
 _register(
     "triangle_count",
     _triangle_count,

@@ -829,3 +829,34 @@ class TestAsofJoin:
         assert out[102] == 1.0           # carried forward
         assert out[103] == 2.0           # newer view wins
         assert out[104] is None          # other user: no views at all
+
+
+class TestCommonNeighbors:
+    def test_hand_computed_scores_and_adjacency_exclusion(self, spark):
+        from py_sema_spark.operators.graph import common_neighbors
+
+        # N(1)=N(2)={3,4}; N(3)=N(4)={1,2}. Candidate pairs are the two
+        # non-adjacent ones, each with 2 common neighbors, Jaccard 1.0.
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3), (1, 4), (2, 4)], ["src", "dst"]
+        )
+        rows = {
+            (r["a"], r["b"]): r
+            for r in common_neighbors(edges, min_common=2).collect()
+        }
+        assert set(rows) == {(1, 2), (3, 4)}
+        assert rows[(1, 2)]["common"] == 2
+        assert rows[(1, 2)]["jaccard"] == 1.0
+        assert rows[(3, 4)]["common"] == 2
+
+    def test_max_degree_drops_hub_centers(self, spark):
+        from py_sema_spark.operators.graph import common_neighbors
+
+        # hub 0 connects to 1..5; without the cap every leaf pair
+        # shares the hub; with max_degree=3 the hub center is dropped
+        # and no pair has any common neighbor left
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], ["src", "dst"]
+        )
+        out = common_neighbors(edges, min_common=1, max_degree=3)
+        assert out.count() == 0
