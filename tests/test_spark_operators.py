@@ -860,3 +860,43 @@ class TestCommonNeighbors:
         )
         out = common_neighbors(edges, min_common=1, max_degree=3)
         assert out.count() == 0
+
+
+class TestNewOpPlanShapes:
+    """Physical-plan assertions for the round-2 window/graph additions
+    — the documented scale properties, held by test."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_sessionize_single_exchange(self, spark, sf_dir):
+        from py_sema_spark.operators.windows import sessionize
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plan = self._plan(sessionize(ev))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Sort ") <= 2  # one physical sort (+AQE read)
+
+    def test_asof_join_single_exchange(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.operators.windows import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        plan = self._plan(
+            asof_join(
+                clicks, views, on="user_id", ts_col="ts",
+                value_cols=["value"], tiebreak_col="event_id",
+            )
+        )
+        # the whole as-of join costs ONE hash exchange (the union's
+        # window) — no range join, no per-side re-shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
