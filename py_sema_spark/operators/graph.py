@@ -212,11 +212,16 @@ def common_neighbors(
     TakeOrdered (no global sort).
     """
     a, b = "_ca", "_cb"
+    # the deduped edge set feeds four consumers (both wedge sides via
+    # sym, the degree agg, the adjacency anti-join) — materialize it
+    # once (lazy localCheckpoint, the dedup-token-set pattern) instead
+    # of re-running the distinct per branch
     und = (
         edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
         .where(F.col(a) != F.col(b))
         .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sym = und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
         und.select(F.col(b).alias("c"), F.col(a).alias("n"))
@@ -230,6 +235,8 @@ def common_neighbors(
         centers = sym.join(
             cdeg.where(F.col("_cd") <= max_degree).select("c"), "c"
         )
+    # both wedge sides read the capped adjacency — build it once
+    centers = centers.localCheckpoint(eager=False)
     wedges = (
         centers.alias("x")
         .join(centers.alias("y"), "c")
