@@ -538,6 +538,9 @@ def remove_duplicate_spans(
     )
     # window positions 0..size-k (empty when size<k; sequence(0,-1)
     # would yield a DESCENDING [0,-1] — guard like chunk_documents)
+    # grams feeds the first-occurrence agg AND the join back — one
+    # lazy localCheckpoint stops the scan+tokenize+window-hash subtree
+    # running twice (compact: (doc_id, pos, md5) per window)
     grams = toks.select(
         "doc_id",
         F.posexplode(
@@ -549,7 +552,7 @@ def remove_duplicate_spans(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "h"),
-    )
+    ).localCheckpoint(eager=False)
     firsts = grams.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("c"),
