@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "chunk_documents",
     "tfidf_top_terms",
+    "inverted_index",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

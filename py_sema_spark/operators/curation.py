@@ -629,3 +629,61 @@ def tfidf_top_terms(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Build the term → postings inverted index — the retrieval-side
+    artifact of a corpus pipeline (BM25 serving, corpus search,
+    decontamination lookups all start here).
+
+    Returns ``(token, df, total_tf, postings)`` where ``postings`` is
+    the canonical ``"doc:tf,doc:tf,…"`` string sorted by doc id — a
+    deterministic, engine-portable serialization (an array<struct>
+    output would compare differently across engines; the string form
+    is bit-stable and is also what an external index loader ingests).
+
+    Scale shape: explode → **two nested hash aggs** ((token, doc) tf,
+    then per-token rollup), both map-side combining; Zipf-skewed hub
+    tokens ("the") pre-aggregate per partition before the exchange.
+    The per-token postings list is the one genuinely unbounded object
+    — ``min_df`` prunes hapax noise, and a production index shards
+    postings by doc-range bucket (the same ``with_subject_bucket``
+    salting model.py applies to hub subjects); here the list stays
+    whole because the fixture vocabulary is bounded.
+    """
+    from ..operators.dedup import normalized_tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(normalized_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["doc_id"].cast("string"),
+                        x["tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

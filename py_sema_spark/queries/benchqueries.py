@@ -1493,6 +1493,29 @@ FROM documents GROUP BY lang
 )
 
 
+def _inverted_index(spark, sf):
+    from ..operators.curation import inverted_index
+
+    return inverted_index(_tp(spark, sf, "documents"), min_df=2)
+
+
+_register(
+    "inverted_index",
+    _inverted_index,
+    f"""
+WITH tf AS (
+  SELECT token, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS token FROM documents)
+  GROUP BY token, doc_id
+)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY token HAVING count(*) >= 2
+""",
+)
+
+
 def _chunk_documents(spark, sf):
     from ..operators.curation import chunk_documents
 

@@ -577,3 +577,32 @@ class TestTfidfTopTerms:
         ]
         # all scores equal (each term df=1 tf=1) → alphabetical ties
         assert rows == [("a", 1), ("b", 2)]
+
+
+class TestInvertedIndex:
+    def test_postings_hand_computed(self, spark):
+        from py_sema_spark.operators.curation import inverted_index
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["token"]: r for r in inverted_index(docs, min_df=1).collect()
+        }
+        assert rows["apple"]["df"] == 2
+        assert rows["apple"]["total_tf"] == 3
+        assert rows["apple"]["postings"] == "1:2,3:1"
+        assert rows["banana"]["postings"] == "1:1,2:1"
+        assert rows["cherry"]["df"] == 1
+
+    def test_min_df_prunes(self, spark):
+        from py_sema_spark.operators.curation import inverted_index
+
+        docs = spark.createDataFrame(
+            [(1, "common rare"), (2, "common")], ["doc_id", "text"]
+        )
+        toks = {
+            r["token"] for r in inverted_index(docs, min_df=2).collect()
+        }
+        assert toks == {"common"}
