@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "tfidf_top_terms",
     "inverted_index",
+    "bm25_topk",
     "xsd_literals",
     "turtle_serialize",
     "jsonld_serialize",

@@ -687,3 +687,71 @@ def inverted_index(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking for a fixed query-term set — the scoring half of
+    the retrieval pair started by :func:`inverted_index` (Robertson/
+    Sparck Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``, tf saturation
+    ``k1``, length normalization ``b``).
+
+    Returns the ``top_k`` documents as ``(doc_id, score)`` ordered by
+    (score desc, doc_id) — a deterministic total order. Per-term
+    contributions are rounded to 8 decimals before the per-doc sum and
+    the sum to 6, so the two float-nonassociative points are pinned
+    for the cross-engine oracle; everything upstream is integer.
+
+    Scale shape: the corpus scans once (tokens + per-doc length in one
+    projection); the tf filter keeps only query-term rows *before* any
+    exchange, so the hash aggs work on |terms|-bounded data; N and
+    avg-length ride as a broadcast one-row frame (no collect); final
+    top-k is TakeOrdered. At serving scale the df/N constants come
+    from the materialized inverted index instead of a corpus pass —
+    same expression, precomputed inputs.
+    """
+    from ..operators.dedup import normalized_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    ).select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
+    stats = F.broadcast(
+        toks.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("_N"),
+            F.avg("dl").alias("_avgdl"),
+        )
+    )
+    qt = toks.where(F.col("token").isin(list(terms)))
+    tf = qt.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = F.broadcast(
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") / F.col("_avgdl")
+    )
+    per_term = tf.join(df_t, "token").crossJoin(stats).select(
+        "doc_id",
+        F.round(idf * (F.col("tf") * (k1 + 1)) / denom, 8).alias("_s"),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )

@@ -1516,6 +1516,44 @@ FROM tf GROUP BY token HAVING count(*) >= 2
 )
 
 
+def _bm25(spark, sf):
+    from ..operators.curation import bm25_score
+
+    return bm25_score(
+        _tp(spark, sf, "documents"),
+        ["spark", "table", "stream"],
+        k1=1.2, b=0.75, top_k=20,
+    )
+
+
+_register(
+    "bm25_topk",
+    _bm25,
+    f"""
+WITH tl AS (SELECT doc_id, {TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tl),
+stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
+  FROM toks WHERE token IN ('spark', 'table', 'stream')
+  GROUP BY doc_id, token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+per AS (
+  SELECT tf.doc_id,
+         round(ln(1.0::DOUBLE + (s.N - dft.df + 0.5::DOUBLE) / (dft.df + 0.5::DOUBLE))
+               * (tf.tf * 2.2::DOUBLE)
+               / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * tf.dl) / s.avgdl)),
+               8) AS s
+  FROM tf JOIN dft ON tf.token = dft.token, stats s)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM per GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+
+
 def _chunk_documents(spark, sf):
     from ..operators.curation import chunk_documents
 

@@ -606,3 +606,26 @@ class TestInvertedIndex:
             r["token"] for r in inverted_index(docs, min_df=2).collect()
         }
         assert toks == {"common"}
+
+
+class TestBm25:
+    def test_ranking_properties(self, spark):
+        from py_sema_spark.operators.curation import bm25_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark spark spark filler filler"),
+                (2, "spark filler filler filler filler"),
+                (3, "spark filler"),          # same tf as 2, shorter doc
+                (4, "nothing relevant here"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r["score"]
+            for r in bm25_score(docs, ["spark"], top_k=10).collect()
+        }
+        assert 4 not in rows                  # no query term → unscored
+        assert rows[1] > rows[2]              # higher tf wins
+        assert rows[3] > rows[2]              # length normalization
+        assert all(s > 0 for s in rows.values())
