@@ -900,3 +900,33 @@ class TestNewOpPlanShapes:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNewOpEdgeCases:
+    def test_neardup_clusters_empty_pairs(self, spark):
+        from py_sema_spark.operators.dedup import neardup_clusters
+
+        docs = spark.createDataFrame(
+            [(1, "completely unique first text"),
+             (2, "another unrelated document body")],
+            ["doc_id", "text"],
+        )
+        assert neardup_clusters(docs, threshold=0.9).count() == 0
+
+    def test_asof_join_no_right_rows_for_key(self, spark):
+        import datetime as dt
+
+        from py_sema_spark.operators.windows import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 9, t0)], ["event_id", "user_id", "ts"]
+        )
+        right = spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_id long, value double"
+        )
+        out = asof_join(
+            left, right, on="user_id", ts_col="ts",
+            value_cols=["value"], tiebreak_col="event_id",
+        ).collect()
+        assert len(out) == 1 and out[0]["value_asof"] is None
