@@ -195,6 +195,12 @@ def asof_join(
     requested right value column.
     """
     lcols = left.columns
+    reserved = {"_ts", "_src", "_tb"} | {f"_rv_{v}" for v in value_cols}
+    clash = reserved & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with internals: {sorted(clash)}"
+        )
     tb = (
         [F.col(tiebreak_col).alias("_tb")]
         if tiebreak_col
