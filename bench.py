@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "pagerank",
     "triangle_count",
     "common_neighbors",
+    "adamic_adar",
     "kmv_distinct_tokens",
     "ctrl_windows",
     "unique_filter",

@@ -266,3 +266,65 @@ def common_neighbors(
         )
     )
     return scored.orderBy(F.desc("common"), "a", "b").limit(top_k)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 50,
+    min_common: int = 2,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction — :func:`common_neighbors` with the
+    standard rarity weighting: each shared neighbor ``c`` contributes
+    ``1/ln(deg(c))`` instead of 1, so a pair sharing two obscure
+    neighbors outranks one sharing two hubs.
+
+    Returns top_k ``(a, b, common, aa)`` ordered by (aa desc, a, b).
+    Per-wedge weights are rounded to 8 decimals before the pair sum
+    and the sum to 6 — the float-associativity pinning every summed-
+    double oracle here uses. Same plan shape and ``max_degree`` hub
+    cap as ``common_neighbors`` (a wedge center has degree ≥ 2 by
+    construction, so ``ln(deg)`` never hits zero).
+    """
+    a, b = "_ca", "_cb"
+    und = (
+        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
+        .where(F.col(a) != F.col(b))
+        .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
+        und.select(F.col(b).alias("c"), F.col(a).alias("n"))
+    )
+    cdeg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
+    centers = sym.join(
+        F.broadcast(
+            cdeg.where(
+                F.col("_cd") <= (max_degree or (1 << 62))
+            )
+        ),
+        "c",
+    ).localCheckpoint(eager=False)
+    wedges = (
+        centers.alias("x")
+        .join(centers.alias("y"), "c")
+        .where(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias(a),
+            F.col("y.n").alias(b),
+            F.round(F.lit(1.0) / F.log(F.col("x._cd")), 8).alias("_w"),
+        )
+    )
+    scored = wedges.groupBy(a, b).agg(
+        F.count(F.lit(1)).alias("common"),
+        F.round(F.sum("_w"), 6).alias("aa"),
+    )
+    out = scored.where(F.col("common") >= min_common).join(
+        und, [a, b], "left_anti"
+    )
+    return out.select(
+        F.col(a).alias("a"), F.col(b).alias("b"), "common", "aa"
+    ).orderBy(F.desc("aa"), "a", "b").limit(top_k)

@@ -1386,6 +1386,49 @@ LIMIT 50
 )
 
 
+def _adamic_adar(spark, sf):
+    from ..operators.graph import adamic_adar
+
+    return adamic_adar(
+        _triangle_edges(spark, sf), top_k=50, min_common=2
+    )
+
+
+_register(
+    "adamic_adar",
+    _adamic_adar,
+    """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+sym AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+cdeg AS (SELECT c, count(*) AS cd FROM sym GROUP BY c),
+centers AS (
+  SELECT s.c, s.n, cdeg.cd FROM sym s JOIN cdeg ON s.c = cdeg.c
+  WHERE cdeg.cd <= 1000),
+scored AS (
+  SELECT x.n AS a, y.n AS b, count(*) AS common,
+         round(sum(round(1.0::DOUBLE / ln(x.cd), 8)), 6) AS aa
+  FROM centers x JOIN centers y ON x.c = y.c AND x.n < y.n
+  GROUP BY x.n, y.n)
+SELECT s.a, s.b, s.common, s.aa
+FROM scored s
+WHERE s.common >= 2
+  AND NOT EXISTS (SELECT 1 FROM und u WHERE u.a = s.a AND u.b = s.b)
+ORDER BY s.aa DESC, s.a, s.b
+LIMIT 50
+""",
+)
+
+
 _register(
     "triangle_count",
     _triangle_count,

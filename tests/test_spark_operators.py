@@ -930,3 +930,23 @@ class TestNewOpEdgeCases:
             value_cols=["value"], tiebreak_col="event_id",
         ).collect()
         assert len(out) == 1 and out[0]["value_asof"] is None
+
+
+class TestAdamicAdar:
+    def test_rare_neighbor_outranks_hub(self, spark):
+        from py_sema_spark.operators.graph import adamic_adar
+
+        # pair (1,2) shares rare neighbor 10 (deg 2) and hub 20;
+        # pair (3,4) shares hub 20 and hub 21 (both deg 4).
+        # Equal common counts, but (1,2)'s rare neighbor weighs more.
+        edges = [(1, 10), (2, 10)]
+        for leaf in (1, 2, 3, 4):
+            edges += [(leaf, 20), (leaf, 21)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        rows = {
+            (r["a"], r["b"]): r
+            for r in adamic_adar(df, min_common=2, top_k=10).collect()
+        }
+        assert rows[(1, 2)]["common"] == 3  # 10, 20, 21
+        assert rows[(3, 4)]["common"] == 2  # 20, 21
+        assert rows[(1, 2)]["aa"] > rows[(3, 4)]["aa"]
