@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "ctrl_windows",
     "unique_filter",
     "sessionize",
+    "windowed_counts",
+    "event_type_pivot",
     "asof_join",
     "session_stats",
     "length_quantiles",

@@ -433,6 +433,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 
 _register(
+    "windowed_counts",
+    # tumbling 1-hour event-time windows (batch twin of the streaming
+    # watermarked rollup in streaming.py): F.window aligns buckets to
+    # the epoch hour exactly like DuckDB's time_bucket
+    lambda spark, sf: _t(spark, sf, "events")
+    .groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    )
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    .select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        "event_type",
+        "n",
+        "sum_value",
+    ),
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+_register(
+    "event_type_pivot",
+    # per-user event-type pivot with an explicit value list (explicit
+    # so the output schema is static — a pivot without one scans the
+    # data twice to discover columns and breaks schema stability)
+    lambda spark, sf: _t(spark, sf, "events")
+    .groupBy("user_id")
+    .pivot("event_type", ["click", "view", "purchase", "error"])
+    .count()
+    .select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("click", "view", "purchase", "error")
+        ],
+    ),
+    """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+""",
+)
+
+_register(
     "sessionize",
     lambda spark, sf: sessionize(
         _t(spark, sf, "events"), gap_minutes=30
