@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "sessionize",
     "windowed_counts",
     "event_type_pivot",
+    "rollup_counts",
     "asof_join",
     "session_stats",
     "length_quantiles",

@@ -485,6 +485,21 @@ FROM events GROUP BY user_id
 )
 
 _register(
+    "rollup_counts",
+    # multi-level aggregation: per (type, user), per-type subtotal,
+    # grand total in ONE pass (grouping sets expand map-side; no
+    # re-scan per level)
+    lambda spark, sf: _t(spark, sf, "events")
+    .rollup("event_type", "user_id")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .select("event_type", "user_id", "n"),
+    """
+SELECT event_type, user_id, count(*) AS n
+FROM events GROUP BY ROLLUP (event_type, user_id)
+""",
+)
+
+_register(
     "sessionize",
     lambda spark, sf: sessionize(
         _t(spark, sf, "events"), gap_minutes=30
