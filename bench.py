@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "chunk_documents",
     "tfidf_top_terms",
+    "length_outliers",
     "inverted_index",
     "bm25_topk",
     "xsd_literals",

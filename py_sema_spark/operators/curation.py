@@ -755,3 +755,45 @@ def bm25_score(
         .orderBy(F.desc("score"), "doc_id")
         .limit(top_k)
     )
+
+
+def length_outlier_filter(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_cols: list | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percentile-band outlier removal — the standard curation gate
+    for truncated/boilerplate (too short) and concatenation-glitch
+    (too long) documents, computed per group (usually per language —
+    absolute thresholds misfire across scripts).
+
+    Keeps rows with ``p_lo <= value <= p_hi`` within their group and
+    returns them with the band attached (``p_lo``, ``p_hi``).
+
+    Scale shape: one hash agg for the per-group band
+    (:func:`..sketch.exact_quantiles` — swap `percentile_approx` in at
+    100 TB, same call shape), then a **broadcast** join back (bands
+    are one row per group, bounded by group cardinality); the corpus
+    itself never shuffles.
+    """
+    from .sketch import exact_quantiles
+
+    groups = list(group_cols or [])
+    bands = exact_quantiles(docs, value_col, groups, (lo, hi))
+    pl = f"p{str(lo)[2:].ljust(2, '0')}"
+    ph = f"p{str(hi)[2:].ljust(2, '0')}"
+    bands = bands.select(
+        *groups, F.col(pl).alias("p_lo"), F.col(ph).alias("p_hi")
+    )
+    joined = (
+        docs.join(F.broadcast(bands), groups)
+        if groups
+        else docs.crossJoin(F.broadcast(bands))
+    )
+    return joined.where(
+        (F.col(value_col) >= F.col("p_lo"))
+        & (F.col(value_col) <= F.col("p_hi"))
+    )

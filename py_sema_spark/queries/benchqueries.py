@@ -1664,6 +1664,37 @@ ORDER BY score DESC, doc_id LIMIT 20
 )
 
 
+def _length_outliers(spark, sf):
+    from ..operators.curation import length_outlier_filter
+
+    out = length_outlier_filter(
+        _t(spark, sf, "documents"), "n_chars", ["lang"], 0.05, 0.95
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("p_lo", 4).alias("p_lo"),
+        F.round("p_hi", 4).alias("p_hi"),
+    )
+
+
+_register(
+    "length_outliers",
+    _length_outliers,
+    """
+WITH bands AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round(b.lo, 4) AS p_lo, round(b.hi, 4) AS p_hi
+FROM documents d JOIN bands b ON d.lang = b.lang
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+""",
+)
+
+
 def _chunk_documents(spark, sf):
     from ..operators.curation import chunk_documents
 

@@ -629,3 +629,19 @@ class TestBm25:
         assert rows[1] > rows[2]              # higher tf wins
         assert rows[3] > rows[2]              # length normalization
         assert all(s > 0 for s in rows.values())
+
+
+class TestLengthOutlierFilter:
+    def test_band_keeps_middle(self, spark):
+        from py_sema_spark.operators.curation import length_outlier_filter
+
+        rows = [(i, "x", i * 10) for i in range(1, 12)]  # 10..110
+        docs = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+        kept = {
+            r["doc_id"]
+            for r in length_outlier_filter(
+                docs, "n_chars", ["lang"], 0.10, 0.90
+            ).collect()
+        }
+        # p10 = 20, p90 = 100 (linear interpolation on 11 values)
+        assert kept == set(range(2, 11))
