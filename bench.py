@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "windowed_counts",
     "event_type_pivot",
     "rollup_counts",
+    "cube_counts",
     "asof_join",
     "session_stats",
     "length_quantiles",

@@ -500,6 +500,21 @@ FROM events GROUP BY ROLLUP (event_type, user_id)
 )
 
 _register(
+    "cube_counts",
+    # full CUBE over (event_type, lang-of-user bucket): all four
+    # grouping sets in one pass — the ROLLUP companion
+    lambda spark, sf: _t(spark, sf, "events")
+    .withColumn("user_bucket", (F.col("user_id") % 4).cast("bigint"))
+    .cube("event_type", "user_bucket")
+    .agg(F.count(F.lit(1)).alias("n"))
+    .select("event_type", "user_bucket", "n"),
+    """
+SELECT event_type, user_id % 4 AS user_bucket, count(*) AS n
+FROM events GROUP BY CUBE (event_type, user_id % 4)
+""",
+)
+
+_register(
     "sessionize",
     lambda spark, sf: sessionize(
         _t(spark, sf, "events"), gap_minutes=30
