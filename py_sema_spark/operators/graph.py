@@ -328,3 +328,62 @@ def adamic_adar(
     return out.select(
         F.col(a).alias("a"), F.col(b).alias("b"), "common", "aa"
     ).orderBy(F.desc("aa"), "a", "b").limit(top_k)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 30,
+) -> DataFrame:
+    """Multi-source BFS hop distances: (node, dist) for every node
+    reachable from ``sources`` (a one-column frame of start nodes),
+    dist = minimum hop count (0 for the sources themselves).
+
+    The crawl-frontier primitive (reference's link-follow harvest,
+    /root/reference/sema/harvest/__init__.py executor loop, is BFS
+    with depth bookkeeping) and the landmark half of graph-distance
+    features for KG entity ranking.
+
+    Scale shape: per round ONE shuffle — frontier ⋈ edges on the
+    source key — then a left-anti join against the settled set to
+    keep only first-time nodes (Δ-stepping not needed for unit
+    weights). Frontiers and the settled set are localCheckpoint-ed
+    (same O(1)-plan-depth discipline as closure.py); rounds =
+    eccentricity of the source set, never graph size. Hub sources in
+    the frontier⋈edges join are AQE-splittable; the settled set never
+    exceeds (node, dist) width, so the anti-join's build side stays
+    narrow.
+    """
+    from .closure import _materialize
+
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .transform(_materialize)
+    )
+    settled = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .transform(_materialize)
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        grown = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new = (
+            grown.join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .transform(_materialize)
+        )
+        if new.isEmpty():
+            break
+        settled = settled.unionByName(new).transform(_materialize)
+        frontier = new
+    return settled

@@ -2988,3 +2988,43 @@ SELECT p_partkey,
 FROM part
 """,
 )
+
+
+def _shortest_paths(spark, sf):
+    """Multi-source BFS hop distances over the deterministic synthetic
+    link graph (same construction as `_triangle_edges`); sources are
+    every doc_id divisible by 997. Oracle: DuckDB recursive CTE with
+    the same 30-hop cap, min(dist) per node."""
+    from ..operators.graph import shortest_paths
+
+    edges = _triangle_edges(spark, sf)
+    sources = (
+        _tp(spark, sf, "documents")
+        .where(F.col("doc_id") % 997 == 0)
+        .select("doc_id")
+    )
+    return shortest_paths(edges, sources, max_hops=30)
+
+
+_register(
+    "shortest_paths",
+    _shortest_paths,
+    """
+WITH RECURSIVE nc AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+),
+bfs AS (
+  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 997 = 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 30
+)
+SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node
+""",
+)

@@ -950,3 +950,47 @@ class TestAdamicAdar:
         assert rows[(1, 2)]["common"] == 3  # 10, 20, 21
         assert rows[(3, 4)]["common"] == 2  # 20, 21
         assert rows[(1, 2)]["aa"] > rows[(3, 4)]["aa"]
+
+
+class TestShortestPaths:
+    def test_chain_with_unreachable(self, spark):
+        from py_sema_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+            "src string, dst string",
+        )
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.dist for r in shortest_paths(edges, src).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_takes_min(self, spark):
+        from py_sema_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (5, 4)], "src long, dst long"
+        )
+        src = spark.createDataFrame([(0,), (5,)], "node long")
+        got = {r.node: r.dist for r in shortest_paths(edges, src).collect()}
+        # node 4 reachable at dist 4 from 0 but dist 1 from 5
+        assert got[4] == 1 and got[3] == 3 and got[0] == 0 and got[5] == 0
+
+    def test_cycle_terminates(self, spark):
+        from py_sema_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        src = spark.createDataFrame([(0,)], "node long")
+        got = {r.node: r.dist for r in shortest_paths(edges, src).collect()}
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_max_hops_caps_search(self, spark):
+        from py_sema_spark.operators.graph import shortest_paths
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        src = spark.createDataFrame([(0,)], "node long")
+        got = shortest_paths(edges, src, max_hops=2).collect()
+        assert max(r.dist for r in got) == 2 and len(got) == 3
