@@ -3028,3 +3028,46 @@ bfs AS (
 SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node
 """,
 )
+
+
+def _interval_join(spark, sf):
+    """Interval-overlap join: every 'click' event anchors a half-open
+    30-minute window; count and sum the same user's events inside it.
+    The binned equi-join shape (operators/rangejoin.py) replaces the
+    per-key cross product DuckDB's inequality join implies."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    ev = _tp(spark, sf, "events")
+    anchors = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    pts = ev.select("user_id", "ts", "value")
+    j = interval_overlap_join(
+        pts, anchors, keys=["user_id"], bin_minutes=30
+    )
+    return j.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_register(
+    "interval_join",
+    _interval_join,
+    """
+WITH anchors AS (
+  SELECT user_id, event_id AS anchor_id,
+         ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT a.anchor_id, e.value
+  FROM anchors a JOIN events e
+    ON e.user_id = a.user_id AND e.ts >= a.s AND e.ts < a.e)
+SELECT anchor_id, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM j GROUP BY anchor_id
+""",
+)

@@ -994,3 +994,56 @@ class TestShortestPaths:
         src = spark.createDataFrame([(0,)], "node long")
         got = shortest_paths(edges, src, max_hops=2).collect()
         assert max(r.dist for r in got) == 2 and len(got) == 3
+
+
+class TestIntervalOverlapJoin:
+    def _frames(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def at(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        pts = spark.createDataFrame(
+            [(1, at(0), "a"), (1, at(10), "b"), (1, at(30), "c"),
+             (2, at(5), "d")],
+            "user_id long, ts timestamp, tag string",
+        )
+        iv = spark.createDataFrame(
+            [(1, 100, at(0), at(30)), (2, 200, at(0), at(30)),
+             (1, 300, at(30), at(30))],  # empty interval: matches nothing
+            "user_id long, iid long, start timestamp, end timestamp",
+        )
+        return pts, iv
+
+    def test_half_open_semantics(self, spark):
+        from py_sema_spark.operators.rangejoin import interval_overlap_join
+
+        pts, iv = self._frames(spark)
+        got = sorted(
+            (r.iid, r.tag)
+            for r in interval_overlap_join(
+                pts, iv, keys=["user_id"], bin_minutes=7
+            ).collect()
+        )
+        # 'c' at minute 30 is excluded (end-exclusive); empty interval gone
+        assert got == [(100, "a"), (100, "b"), (200, "d")]
+
+    def test_no_duplicate_matches_across_bins(self, spark):
+        from py_sema_spark.operators.rangejoin import interval_overlap_join
+
+        pts, iv = self._frames(spark)
+        # tiny bins force the interval to explode over many buckets —
+        # each (interval, point) pair must still appear exactly once
+        out = interval_overlap_join(pts, iv, keys=["user_id"], bin_minutes=1)
+        assert out.count() == out.dropDuplicates(["iid", "tag"]).count() == 3
+
+    def test_single_equijoin_no_nested_loop(self, spark):
+        from py_sema_spark.operators.rangejoin import interval_overlap_join
+
+        pts, iv = self._frames(spark)
+        plan = interval_overlap_join(
+            pts, iv, keys=["user_id"], bin_minutes=30
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
