@@ -3071,3 +3071,29 @@ SELECT anchor_id, count(*) AS n_events,
 FROM j GROUP BY anchor_id
 """,
 )
+
+
+def _heavy_hitters(spark, sf):
+    """Exact heavy-hitter tokens (freq > n/40) over the documents
+    corpus via Misra-Gries candidate pruning + exact verify — the
+    phase-1 sketch never shuffles; only candidate rows reach the
+    count. Oracle: the plain exact formulation."""
+    from ..operators.dedup import normalized_tokens
+    from ..operators.sketch import heavy_hitters
+
+    toks = _tp(spark, sf, "documents").select(
+        F.explode(normalized_tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=40)
+
+
+_register(
+    "heavy_hitters",
+    _heavy_hitters,
+    f"""
+WITH toks AS (SELECT unnest({TOKS}) AS item FROM documents),
+n AS (SELECT count(*) AS n FROM toks),
+c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY item)
+SELECT c.item, c.cnt FROM c, n WHERE c.cnt * 40 > n.n
+""",
+)

@@ -1047,3 +1047,37 @@ class TestIntervalOverlapJoin:
             pts, iv, keys=["user_id"], bin_minutes=30
         )._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestHeavyHitters:
+    def test_exact_hitters_only(self, spark):
+        from py_sema_spark.operators.sketch import heavy_hitters
+
+        rows = [("a",)] * 50 + [("b",)] * 30 + [(f"u{i}",) for i in range(20)]
+        df = spark.createDataFrame(rows, "w string").repartition(8)
+        got = {r.item: r.cnt for r in heavy_hitters(df, "w", k=4).collect()}
+        # n=100, threshold 25: only a (50) and b (30) qualify
+        assert got == {"a": 50, "b": 30}
+
+    def test_candidates_never_miss_a_hitter(self, spark):
+        from py_sema_spark.operators.sketch import (
+            heavy_hitters,
+            misra_gries_candidates,
+        )
+
+        # adversarial: many near-threshold distractors spread across
+        # partitions; the true hitter must survive phase-1 pruning
+        rows = [(i % 97, ) for i in range(2000)] + [(999,)] * 500
+        df = spark.createDataFrame(rows, "v long").repartition(16)
+        cand = {r.item for r in misra_gries_candidates(df, "v", k=6).collect()}
+        assert "999" in cand
+        got = {r.item: r.cnt for r in heavy_hitters(df, "v", k=6).collect()}
+        assert got == {999: 500}  # n=2500, threshold ~417
+
+    def test_item_type_preserved(self, spark):
+        from py_sema_spark.operators.sketch import heavy_hitters
+
+        df = spark.createDataFrame([(7,)] * 9 + [(1,), (2,)], "v long")
+        out = heavy_hitters(df, "v", k=3)
+        assert dict(out.dtypes)["item"] == "bigint"
+        assert out.collect()[0].item == 7
