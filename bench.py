@@ -35,10 +35,13 @@ BENCH_QUERIES = [
     "transitive_closure",
     "connected_components",
     "pagerank",
+    "hits",
+    "shortest_paths",
     "triangle_count",
     "common_neighbors",
     "adamic_adar",
     "kmv_distinct_tokens",
+    "heavy_hitters",
     "ctrl_windows",
     "unique_filter",
     "sessionize",
@@ -47,6 +50,7 @@ BENCH_QUERIES = [
     "rollup_counts",
     "cube_counts",
     "asof_join",
+    "interval_join",
     "session_stats",
     "length_quantiles",
     "exact_dedup",

@@ -387,3 +387,75 @@ def shortest_paths(
         settled = settled.unionByName(new).transform(_materialize)
         frontier = new
     return settled
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg) — the bipartite companion
+    to :func:`pagerank` for webtext KG page ranking: authorities are
+    pages good links point AT, hubs are pages that point at good
+    authorities.
+
+    Per iteration: auth ← Σ hub over in-edges, L1-normalize; then
+    hub ← Σ (new) auth over out-edges, L1-normalize. L1 (not the
+    textbook L2) keeps the math sum/divide only — exactly portable to
+    the unrolled-CTE SQL oracle, same trick as pagerank's. Nodes
+    without in-(out-)edges carry score 0, so mass totals stay 1.
+
+    Scale shape per round: two shuffles (one aggregate keyed on dst,
+    one on src — hub destinations pre-combine map-side) and two
+    broadcast scalar frames for the normalizers; lineage cut per
+    round via localCheckpoint, O(1) plan depth. Returns
+    (node, hub, auth) rounded to 6.
+    """
+    from .closure import _materialize
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .transform(_materialize)
+    )
+    nodes = graph_nodes(e).transform(_materialize)
+
+    def _normalize(scores: DataFrame) -> DataFrame:
+        s = F.broadcast(scores.agg(F.sum("s").alias("_sum")))
+        return scores.crossJoin(s).select(
+            "node", (F.col("s") / F.col("_sum")).alias("s")
+        )
+
+    hub = nodes.withColumn("s", F.lit(1.0))
+    auth = nodes.withColumn("s", F.lit(1.0))
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("_r"))
+        )
+        auth = _normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("_r", F.lit(0.0)).alias("s")
+            )
+        ).transform(_materialize)
+        raw_h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("_r"))
+        )
+        hub = _normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("_r", F.lit(0.0)).alias("s")
+            )
+        ).transform(_materialize)
+    return (
+        hub.withColumnRenamed("s", "_h")
+        .join(auth.withColumnRenamed("s", "_a"), "node")
+        .select(
+            "node",
+            F.round("_h", 6).alias("hub"),
+            F.round("_a", 6).alias("auth"),
+        )
+    )

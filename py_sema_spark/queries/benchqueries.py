@@ -3097,3 +3097,50 @@ c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY item)
 SELECT c.item, c.cnt FROM c, n WHERE c.cnt * 40 > n.n
 """,
 )
+
+
+def _hits(spark, sf):
+    """HITS hub/authority over the synthetic link graph (3 L1-
+    normalized iterations; oracle unrolls them as CTE pairs, same
+    pattern as the pagerank oracle)."""
+    from ..operators.graph import hits
+
+    return hits(_triangle_edges(spark, sf), iterations=3)
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+    UNION ALL
+    SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc)),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS (SELECT node, 1.0::DOUBLE AS s FROM nodes)"""
+    body = ""
+    for k in range(1, iterations + 1):
+        body += f""",
+ar{k} AS (SELECT e.dst AS node, sum(h.s) AS r
+          FROM edges e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst),
+an{k} AS (SELECT nodes.node, coalesce(ar{k}.r, 0.0::DOUBLE) AS r
+          FROM nodes LEFT JOIN ar{k} ON nodes.node = ar{k}.node),
+a{k} AS (SELECT node, r / (SELECT sum(r) FROM an{k}) AS s FROM an{k}),
+hr{k} AS (SELECT e.src AS node, sum(a.s) AS r
+          FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src),
+hn{k} AS (SELECT nodes.node, coalesce(hr{k}.r, 0.0::DOUBLE) AS r
+          FROM nodes LEFT JOIN hr{k} ON nodes.node = hr{k}.node),
+h{k} AS (SELECT node, r / (SELECT sum(r) FROM hn{k}) AS s FROM hn{k})"""
+    return (
+        head
+        + body
+        + f"""
+SELECT h.node, round(h.s, 6) AS hub, round(a.s, 6) AS auth
+FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
+    )
+
+
+_register("hits", _hits, _hits_oracle(3))

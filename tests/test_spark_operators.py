@@ -1081,3 +1081,32 @@ class TestHeavyHitters:
         out = heavy_hitters(df, "v", k=3)
         assert dict(out.dtypes)["item"] == "bigint"
         assert out.collect()[0].item == 7
+
+
+class TestHits:
+    def test_bipartite_hand_computed(self, spark):
+        from py_sema_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1")],
+            "src string, dst string",
+        )
+        r = {row.node: (row.hub, row.auth) for row in
+             hits(edges, iterations=1).collect()}
+        # auth raw (a1,a2)=(2,1) → L1 (2/3,1/3); hub raw (h1,h2)=(1,2/3)
+        # → L1 (3/5,2/5); pure hubs have auth 0 and vice versa
+        assert r["a1"] == (0.0, round(2 / 3, 6))
+        assert r["a2"] == (0.0, round(1 / 3, 6))
+        assert r["h1"] == (0.6, 0.0)
+        assert r["h2"] == (0.4, 0.0)
+
+    def test_mass_is_one_each_side(self, spark):
+        from py_sema_spark.operators.graph import hits
+
+        n = 8
+        edges = spark.createDataFrame(
+            [(i, (i * 3 + 1) % n) for i in range(n)], "src long, dst long"
+        )
+        out = hits(edges, iterations=4).collect()
+        assert sum(r.hub for r in out) == pytest.approx(1.0, abs=1e-5)
+        assert sum(r.auth for r in out) == pytest.approx(1.0, abs=1e-5)
