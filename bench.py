@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "transitive_closure",
     "connected_components",
     "pagerank",
+    "trustrank",
     "hits",
     "shortest_paths",
     "triangle_count",

@@ -459,3 +459,88 @@ def hits(
             F.round("_a", 6).alias("auth"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+    teleport vector is uniform over a trusted ``seeds`` frame (one
+    column of node ids) instead of uniform over all nodes — the
+    standard webtext trust/spam-demotion signal: trust flows out of
+    hand-vetted pages along links and decays with distance.
+
+    ``r ← (1−d)·1[seed]/|S| + d·(Σ_in r/out_deg + dangling·1[seed]/|S|)``
+    — dangling mass also teleports to the seeds, so total mass stays
+    1 (asserted in tests). Non-seed pages unreachable from any seed
+    score exactly 0.
+
+    Same per-round plan as :func:`pagerank` (one join + one aggregate
+    + broadcast scalars); the seed indicator is a broadcast left-semi
+    hash join, never a driver-side collect — seeds can be millions of
+    rows on a real cluster.
+    """
+    nodes = graph_nodes(edges, src_col, dst_col).localCheckpoint()
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint()
+    )
+    s_df = F.broadcast(seed_nodes.agg(F.count(F.lit(1)).alias("_s")))
+    deg = out_degrees(edges, src_col, dst_col)
+    edges_deg = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .join(deg.withColumnRenamed("node", "_src"), "_src")
+        .localCheckpoint()
+    )
+    # seed indicator rides on the node frame: 1/|S| for seeds, else 0
+    nodes_j = (
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("_is_seed", F.lit(1.0))),
+            "node",
+            "left",
+        )
+        .crossJoin(s_df)
+        .select(
+            "node",
+            (F.coalesce("_is_seed", F.lit(0.0)) / F.col("_s")).alias("_jump"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes_j.select("node", F.col("_jump").alias("rank"))
+    one_minus_d = 1.0 - damping
+    has_dangling = not nodes.join(deg, "node", "left_anti").isEmpty()
+    for i in range(iterations):
+        contribs = (
+            ranks.withColumnRenamed("node", "_src")
+            .join(edges_deg, "_src")
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_c"))
+        )
+        out = nodes_j.join(contribs, "node", "left")
+        inflow = F.coalesce("_c", F.lit(0.0))
+        if has_dangling:
+            dangling = F.broadcast(
+                ranks.join(deg, "node", "left_anti").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+            )
+            out = out.crossJoin(dangling)
+            inflow = inflow + F.col("_dm") * F.col("_jump")
+        ranks = out.select(
+            "node",
+            (
+                F.lit(one_minus_d) * F.col("_jump")
+                + F.lit(damping) * inflow
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -3144,3 +3144,73 @@ FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"""
 
 
 _register("hits", _hits, _hits_oracle(3))
+
+
+def _trustrank(spark, sf):
+    """TrustRank over the pagerank link graph with every 100th doc as
+    a trusted seed; 5 rounds. The graph is link-complete (every doc
+    has out-edges) so the dangling branch stays off — the oracle
+    unrolls the same recurrence."""
+    from ..operators.graph import trustrank
+
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+    edges = e.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
+    ).unionByName(
+        e.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
+        )
+    )
+    seeds = docs.where(F.col("doc_id") % 100 == 0)
+    return trustrank(edges, seeds, iterations=5).select(
+        "node", F.round("rank", 6).alias("trust")
+    )
+
+
+def _trustrank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst
+  FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
+),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+sc AS (SELECT count(*) AS s FROM seeds),
+jump AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL
+              THEN CAST(1.0 AS DOUBLE) / sc.s
+              ELSE CAST(0.0 AS DOUBLE) END AS j
+  FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node, sc),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, j AS r FROM jump)"""
+    body = ""
+    for k in range(1, iterations + 1):
+        body += f""",
+s{k} AS (
+  SELECT e.dst AS node, sum(r.r / deg.d) AS c
+  FROM edges e
+  JOIN r{k - 1} r ON e.src = r.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+r{k} AS (
+  SELECT jump.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * jump.j
+         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
+  FROM jump LEFT JOIN s{k} s ON jump.node = s.node)"""
+    return (
+        head
+        + body
+        + f"\nSELECT node, round(r, 6) AS trust FROM r{iterations}"
+    )
+
+
+_register("trustrank", _trustrank, _trustrank_oracle(5))

@@ -1110,3 +1110,48 @@ class TestHits:
         out = hits(edges, iterations=4).collect()
         assert sum(r.hub for r in out) == pytest.approx(1.0, abs=1e-5)
         assert sum(r.auth for r in out) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestTrustRank:
+    def test_trust_decays_from_seed(self, spark):
+        from py_sema_spark.operators.graph import trustrank
+
+        # chain s -> a -> b; seed = s. Trust must strictly decay along
+        # the chain, and s keeps the teleport floor.
+        edges = spark.createDataFrame(
+            [("s", "a"), ("a", "b"), ("b", "b")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("s",)], "node string")
+        r = {row.node: row.rank for row in
+             trustrank(edges, seeds, iterations=10).collect()}
+        assert r["s"] > 0 and r["s"] == pytest.approx(0.15, abs=1e-6)
+        assert r["a"] < r["s"] or r["b"] > 0  # a gets d*s's mass
+        assert r["a"] == pytest.approx(0.85 * r["s"], abs=1e-6)
+
+    def test_unreachable_scores_zero_and_mass_conserved(self, spark):
+        from py_sema_spark.operators.graph import trustrank
+
+        # x,y disconnected from the seed component; d dangles so its
+        # mass teleports back to the seed set
+        edges = spark.createDataFrame(
+            [("s", "a"), ("a", "d"), ("x", "y"), ("y", "x")],
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("s",)], "node string")
+        out = trustrank(edges, seeds, iterations=12).collect()
+        r = {row.node: row.rank for row in out}
+        assert r["x"] == 0.0 and r["y"] == 0.0
+        assert sum(v.rank for v in out) == pytest.approx(1.0, abs=1e-9)
+
+    def test_seed_not_in_graph_ignored(self, spark):
+        from py_sema_spark.operators.graph import trustrank
+
+        edges = spark.createDataFrame(
+            [("s", "a"), ("a", "s")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame(
+            [("s",), ("ghost",)], "node string"
+        )
+        out = trustrank(edges, seeds, iterations=8).collect()
+        assert sum(v.rank for v in out) == pytest.approx(1.0, abs=1e-9)
+        assert {v.node for v in out} == {"s", "a"}
