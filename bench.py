@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "trustrank",
     "hits",
     "shortest_paths",
+    "neighbor_agg",
+    "k_core",
     "triangle_count",
     "common_neighbors",
     "adamic_adar",

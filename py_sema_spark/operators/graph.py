@@ -16,6 +16,8 @@ AQE splits (the rank side of the join is one row per node).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -544,3 +546,114 @@ def trustrank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    id_col: str = "node",
+    feature_cols: Sequence[str] = ("f",),
+    hops: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GNN-style neighborhood feature aggregation: for every node,
+    the mean of its out-neighbors' features; ``hops=2`` feeds hop-1's
+    aggregates back through the edge list (mean-of-means — GraphSAGE's
+    mean aggregator without the learned weights). The feature-
+    propagation primitive for KG node representations: entity quality
+    / length / trust signals smoothed over the link structure.
+
+    Per hop ONE shuffle: edges ⋈ features on the neighbor key (hub
+    neighbors broadcast well when the feature frame is small; AQE
+    skew-splits otherwise), then a src-keyed average with map-side
+    partial aggregation. Nodes with no out-neighbors drop out of the
+    result (no NULL rows to carry), matching the plain-SQL twin.
+
+    Returns ``(node, <f>_nbr_avg …)`` with doubles rounded to 6 —
+    the usual cross-engine float pinning.
+    """
+    from .closure import _materialize
+
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    cur = features.select(
+        F.col(id_col).alias("_nbr"),
+        *[F.col(c).cast("double").alias(f"_v_{c}") for c in feature_cols],
+    )
+    for _ in range(hops):
+        cur = (
+            e.join(cur, e["_dst"] == cur["_nbr"])
+            .groupBy(F.col("_src").alias("_nbr"))
+            .agg(
+                *[
+                    F.avg(f"_v_{c}").alias(f"_v_{c}")
+                    for c in feature_cols
+                ]
+            )
+        ).transform(_materialize)
+    return cur.select(
+        F.col("_nbr").alias(id_col),
+        *[
+            F.round(F.col(f"_v_{c}"), 6).alias(f"{c}_nbr_avg")
+            for c in feature_cols
+        ],
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling: repeatedly delete nodes with undirected degree
+    < k; survivors form the k-core — the standard dense-subgraph
+    filter (seed selection for entity canonicalization, spam-farm
+    detection in webtext link graphs).
+
+    Runs a FIXED number of peel rounds (not to-convergence) so the
+    unrolled-CTE SQL oracle computes the identical set; ``rounds``
+    bounds the cascade depth (each round is a full sweep — the
+    parallel/"bulk" peeling variant, which converges in far fewer
+    sweeps than the sequential textbook algorithm: a cascade only
+    survives a sweep if an entire chain lost exactly enough degree).
+    Tests pin a case where round r+1 differs from round r.
+
+    Per round: two semi-joins restrict the symmetric edge list to
+    live endpoints, then one count aggregate keyed on the center —
+    all hash joins on node ids; the live set stays one narrow column
+    and is localCheckpoint-ed per round.
+
+    Returns the surviving ``(node)`` frame.
+    """
+    from .closure import _materialize
+
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("c"), F.col("b").alias("n"))
+        .unionByName(und.select(F.col("b").alias("c"), F.col("a").alias("n")))
+        .transform(_materialize)
+    )
+    alive = sym.select(F.col("c").alias("node")).distinct().transform(
+        _materialize
+    )
+    for _ in range(rounds):
+        live_edges = sym.join(
+            alive.withColumnRenamed("node", "c"), "c", "left_semi"
+        ).join(alive.withColumnRenamed("node", "n"), "n", "left_semi")
+        alive = (
+            live_edges.groupBy(F.col("c").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("node")
+            .transform(_materialize)
+        )
+    return alive

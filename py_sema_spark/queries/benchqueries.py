@@ -3214,3 +3214,105 @@ r{k} AS (
 
 
 _register("trustrank", _trustrank, _trustrank_oracle(5))
+
+
+def _neighbor_agg(spark, sf):
+    """2-hop mean-of-means neighborhood aggregation of document length
+    over the synthetic link graph (GraphSAGE-style mean aggregator)."""
+    from ..operators.graph import neighbor_agg
+
+    docs = _tp(spark, sf, "documents")
+    return neighbor_agg(
+        _triangle_edges(spark, sf),
+        docs.select(F.col("doc_id").alias("node"), "n_chars"),
+        feature_cols=["n_chars"],
+        hops=2,
+    )
+
+
+_register(
+    "neighbor_agg",
+    _neighbor_agg,
+    """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+    UNION ALL
+    SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc)),
+h1 AS (
+  SELECT e.src AS node, avg(CAST(d.n_chars AS DOUBLE)) AS v
+  FROM edges e JOIN documents d ON e.dst = d.doc_id GROUP BY e.src),
+h2 AS (
+  SELECT e.src AS node, avg(h1.v) AS v
+  FROM edges e JOIN h1 ON e.dst = h1.node GROUP BY e.src)
+SELECT node, round(v, 6) AS n_chars_nbr_avg FROM h2
+""",
+)
+
+
+def _kcore_edges(spark, sf):
+    """Degree-varied synthetic graph (the uniform triangle graph is
+    6-regular — k-core would be all-or-nothing): chain edges for all
+    docs, +2 edges for even docs, hash jumps for every third doc."""
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+    return (
+        e.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + 1) % F.col("_n")).alias("dst"),
+        )
+        .unionByName(
+            e.where(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") + 2) % F.col("_n")).alias("dst"),
+            )
+        )
+        .unionByName(
+            e.where(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
+            )
+        )
+    )
+
+
+def _k_core(spark, sf):
+    """3-core of the degree-varied graph after 8 fixed peel sweeps
+    (fixed rounds keep the unrolled-CTE oracle bit-identical)."""
+    from ..operators.graph import k_core
+
+    return k_core(_kcore_edges(spark, sf), k=3, rounds=8)
+
+
+def _k_core_oracle(k: int = 4, rounds: int = 8) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+  WHERE doc_id % 3 = 0),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+sym AS (SELECT a AS c, b AS n FROM und UNION ALL SELECT b, a FROM und),
+alive0 AS (SELECT DISTINCT c AS node FROM sym)"""
+    body = ""
+    for r in range(1, rounds + 1):
+        body += f""",
+alive{r} AS (
+  SELECT s.c AS node
+  FROM sym s
+  JOIN alive{r - 1} x ON s.c = x.node
+  JOIN alive{r - 1} y ON s.n = y.node
+  GROUP BY s.c HAVING count(*) >= {k})"""
+    return head + body + f"\nSELECT node FROM alive{rounds}"
+
+
+_register("k_core", _k_core, _k_core_oracle(3, 8))

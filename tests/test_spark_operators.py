@@ -1155,3 +1155,70 @@ class TestTrustRank:
         out = trustrank(edges, seeds, iterations=8).collect()
         assert sum(v.rank for v in out) == pytest.approx(1.0, abs=1e-9)
         assert {v.node for v in out} == {"s", "a"}
+
+
+class TestNeighborAgg:
+    def test_one_hop_mean(self, spark):
+        from py_sema_spark.operators.graph import neighbor_agg
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        feats = spark.createDataFrame(
+            [("a", 10.0), ("b", 20.0), ("c", 40.0)], "node string, f double"
+        )
+        got = {r.node: r.f_nbr_avg for r in
+               neighbor_agg(edges, feats, feature_cols=["f"]).collect()}
+        # c has no out-edges → absent; a averages b,c; b averages c
+        assert got == {"a": 30.0, "b": 40.0}
+
+    def test_two_hop_mean_of_means(self, spark):
+        from py_sema_spark.operators.graph import neighbor_agg
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("b", "d")], "src string, dst string"
+        )
+        feats = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", 6.0), ("d", 10.0)],
+            "node string, f double",
+        )
+        got = {r.node: r.f_nbr_avg for r in
+               neighbor_agg(edges, feats, feature_cols=["f"], hops=2).collect()}
+        # hop1: a→8? no: a's nbr b=2 → a:2... hop1 {a:2, b:8}; hop2:
+        # a's nbr b has hop1 8 → a:8; b's nbrs c,d have no hop1 → drop
+        assert got == {"a": 8.0}
+
+
+class TestKCore:
+    def test_triangle_with_tail(self, spark):
+        from py_sema_spark.operators.graph import k_core
+
+        # triangle abc (each degree 2) + pendant d; 2-core = triangle
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string",
+        )
+        got = {r.node for r in k_core(edges, k=2, rounds=5).collect()}
+        assert got == {"a", "b", "c"}
+
+    def test_cascade_needs_multiple_sweeps(self, spark):
+        from py_sema_spark.operators.graph import k_core
+
+        # chain hanging off a triangle: each sweep peels one more
+        # chain node; rounds=1 must differ from convergence
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "x1"), ("x1", "x2"), ("x2", "x3")],
+            "src string, dst string",
+        )
+        one = {r.node for r in k_core(edges, k=2, rounds=1).collect()}
+        full = {r.node for r in k_core(edges, k=2, rounds=5).collect()}
+        assert full == {"a", "b", "c"} and len(one) > len(full)
+
+    def test_empty_core(self, spark):
+        from py_sema_spark.operators.graph import k_core
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        assert k_core(edges, k=3, rounds=4).count() == 0
