@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sessionize",
     "windowed_counts",
     "event_type_pivot",
+    "json_props_rollup",
     "rollup_counts",
     "cube_counts",
     "asof_join",
@@ -83,6 +84,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "decontaminate",
     "stratified_sample",
+    "temperature_rebalance",
     "token_budget_pack",
     "repetition_metrics",
     "domain_cap",

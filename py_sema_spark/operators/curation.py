@@ -797,3 +797,59 @@ def length_outlier_filter(
         (F.col(value_col) >= F.col("p_lo"))
         & (F.col(value_col) <= F.col("p_hi"))
     )
+
+
+def temperature_rebalance(
+    docs: DataFrame,
+    temperature: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "t0",
+) -> DataFrame:
+    """Temperature-flattened group rebalancing — the multilingual
+    training-mix move (CCNet / mT5-style): sample group g at rate
+    ``(n_g / n_min)^(τ−1)``, so with τ<1 the biggest groups are
+    downsampled hardest, the rarest group keeps every row, and the
+    kept counts approach ∝ n_g^τ.
+
+    Membership is the same deterministic no-rand() hash test as
+    :func:`stratified_sample` (md5 of salt|id → uniform in [0,1)),
+    so retries/speculation/partitioning can't change the sample; the
+    rate table is a tiny broadcast join (one groupBy over the corpus
+    to learn counts — the only exchange). Rates are rounded to 6
+    before the compare so the Spark and SQL ``pow`` agree bit-for-bit
+    on the boundary.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = F.broadcast(counts.agg(F.min("_n").alias("_mn")))
+    rates = F.broadcast(
+        counts.crossJoin(mn).select(
+            group_col,
+            F.round(
+                F.pow(
+                    F.col("_n").cast("double") / F.col("_mn"),
+                    F.lit(temperature - 1.0),
+                ),
+                6,
+            ).alias("_rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    return docs.join(rates, group_col).where(u < F.col("_rate")).select(
+        *docs.columns
+    )

@@ -3316,3 +3316,64 @@ alive{r} AS (
 
 
 _register("k_core", _k_core, _k_core_oracle(3, 8))
+
+
+def _json_props_rollup(spark, sf):
+    """Schema-on-read over the events.props JSON column: parse with
+    `from_json` (JVM-side, single pass, no Python) and roll up per
+    event_type. The schema-on-read path a real event table needs —
+    props stays an opaque string in storage, the struct exists only
+    in the scan projection."""
+    ev = _tp(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_register(
+    "json_props_rollup",
+    _json_props_rollup,
+    """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+
+
+def _temperature_rebalance(spark, sf):
+    """τ=0.5 language flattening over documents; result = per-lang
+    kept counts (the sample itself is deterministic, so counts are
+    exact)."""
+    from ..operators.curation import temperature_rebalance
+
+    kept = temperature_rebalance(
+        _tp(spark, sf, "documents"), temperature=0.5
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_register(
+    "temperature_rebalance",
+    _temperature_rebalance,
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT lang,
+             round(pow(CAST(n AS DOUBLE) / mn.mn, -0.5::DOUBLE), 6) AS rate
+      FROM c, mn),
+kept AS (
+  SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+  WHERE ('0x' || substring(md5('t0|' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / 4503599627370496.0 < r.rate)
+SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
+""",
+)

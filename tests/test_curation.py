@@ -645,3 +645,42 @@ class TestLengthOutlierFilter:
         }
         # p10 = 20, p90 = 100 (linear interpolation on 11 values)
         assert kept == set(range(2, 11))
+
+
+class TestTemperatureRebalance:
+    def test_rare_group_kept_whole_big_group_flattened(self, spark):
+        from py_sema_spark.operators.curation import temperature_rebalance
+
+        rows = [(i, "en") for i in range(400)] + [
+            (1000 + i, "mi") for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = temperature_rebalance(docs, temperature=0.5)
+        by = {
+            r.lang: r.n
+            for r in kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # rate(mi)=1.0 → all 10 kept; rate(en)=(400/10)^-.5≈0.158
+        assert by["mi"] == 10
+        assert 30 < by["en"] < 100  # ~63 expected, hash-deterministic
+
+    def test_deterministic_under_repartition(self, spark):
+        from py_sema_spark.operators.curation import temperature_rebalance
+
+        rows = [(i, "en" if i % 5 else "de") for i in range(500)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = {r.doc_id for r in temperature_rebalance(docs).collect()}
+        b = {
+            r.doc_id
+            for r in temperature_rebalance(docs.repartition(13)).collect()
+        }
+        assert a == b and a
+
+    def test_tau_one_keeps_everything(self, spark):
+        from py_sema_spark.operators.curation import temperature_rebalance
+
+        rows = [(i, "en" if i % 3 else "fr") for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        assert temperature_rebalance(docs, temperature=1.0).count() == 90
