@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "ivf_cosine_topk",
     "embedding_neardup_lsh",
     "detect_mentions",
+    "fuzzy_name_pairs",
     "entity_cooccurrence",
     "sparql_path",
     "sparql_groupby",

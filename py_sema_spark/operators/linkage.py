@@ -275,3 +275,63 @@ def entity_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Entity-name fuzzy matching at edit distance ≤ 1 via
+    *deletion-neighborhood blocking* (the FastSS scheme): every name
+    emits itself plus each single-character-deletion variant as block
+    keys; any two strings within Levenshtein 1 share at least one key
+    (substitution at i → both delete i; insertion → the longer's
+    deletion equals the shorter). Candidates sharing a key are then
+    verified with the exact ``levenshtein`` (a shared key only bounds
+    distance ≤ 2).
+
+    Why not prefix/length banding: entity names routinely share long
+    constant prefixes ("Customer#…"), which collapses such bands into
+    one quadratic bucket. Deletion variants are near-unique full
+    strings, so bucket sizes track true near-duplicate clusters —
+    |keys| = O(n·len), join fan-out = real matches + few distance-2
+    strays, never all-pairs. (FastSS generalizes to d>1 with d-fold
+    deletions; only d=1 is wired here — raise otherwise.)
+
+    Returns ``(id_a, id_b, name_a, name_b, dist)`` with id_a < id_b.
+    """
+    if max_distance != 1:
+        raise ValueError("fuzzy_name_pairs supports max_distance=1")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")
+    ).where(F.length("_nm") > 0)
+    keyed = base.select(
+        "_id",
+        "_nm",
+        F.explode(
+            F.concat(
+                F.array(F.col("_nm")),
+                F.expr(
+                    "transform(sequence(1, char_length(_nm)), i -> "
+                    "concat(substring(_nm, 1, i-1), substring(_nm, i+1, "
+                    "2147483647)))"
+                ),
+            )
+        ).alias("_k"),
+    ).distinct()
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        l.join(r, (F.col("l._k") == F.col("r._k")) & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._nm").alias("name_a"),
+            F.col("r._nm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).where(F.col("dist") <= max_distance)

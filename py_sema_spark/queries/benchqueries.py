@@ -3377,3 +3377,27 @@ kept AS (
 SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
 """,
 )
+
+
+def _fuzzy_name_pairs(spark, sf):
+    """Edit-distance-1 customer-name pairs via deletion-neighborhood
+    blocking; oracle brute-forces levenshtein over all ordered pairs
+    (fine at oracle scale — the blocking is the 100-TB path)."""
+    from ..operators.linkage import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(
+        _tp(spark, sf, "customer"), id_col="c_custkey", name_col="c_name"
+    )
+
+
+_register(
+    "fuzzy_name_pairs",
+    _fuzzy_name_pairs,
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)

@@ -1222,3 +1222,43 @@ class TestKCore:
             [("a", "b"), ("b", "c")], "src string, dst string"
         )
         assert k_core(edges, k=3, rounds=4).count() == 0
+
+
+class TestFuzzyNamePairs:
+    def test_substitution_insertion_deletion_found(self, spark):
+        from py_sema_spark.operators.linkage import fuzzy_name_pairs
+
+        df = spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "smiths"), (4, "mith"),
+             (5, "jones")],
+            "id long, name string",
+        )
+        got = {(r.id_a, r.id_b): r.dist
+               for r in fuzzy_name_pairs(df).collect()}
+        # substitution (1,2), insertion (1,3), deletion (1,4); jones
+        # matches nothing; (2,3)=(3,4)=(2,4)=2 must be verified away
+        assert got == {(1, 2): 1, (1, 3): 1, (1, 4): 1}
+
+    def test_shared_prefix_does_not_explode(self, spark):
+        from py_sema_spark.operators.linkage import fuzzy_name_pairs
+
+        # long constant prefix (the case that kills prefix blocking)
+        rows = [(i, f"Customer#{i:04d}") for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        out = fuzzy_name_pairs(df)
+        brute = {
+            (a, b)
+            for a, na in rows
+            for b, nb in rows
+            if a < b and sum(x != y for x, y in zip(na, nb)) == 1
+        }
+        assert {(r.id_a, r.id_b) for r in out.collect()} == brute
+
+    def test_identical_names_distance_zero(self, spark):
+        from py_sema_spark.operators.linkage import fuzzy_name_pairs
+
+        df = spark.createDataFrame(
+            [(1, "acme"), (2, "acme")], "id long, name string"
+        )
+        rows = fuzzy_name_pairs(df).collect()
+        assert len(rows) == 1 and rows[0].dist == 0
