@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "domain_stats",
     "url_dedup",
     "incremental_dedup",
+    "apply_changes",
+    "scd2_apply",
     "lm_score",
     "ccnet_buckets",
     "chunk_documents",

@@ -1,0 +1,114 @@
+"""Change-data-capture application: MERGE-style upserts and SCD2
+entity history.
+
+The batch halves of what Iceberg's ``MERGE INTO`` / row-level deletes
+give a KG store in production: a crawl delta (new/changed/vanished
+pages → changed entities) is applied to the previous snapshot without
+rewriting untouched rows' content, and attribute history is kept as
+validity intervals so queries can ask "what did we believe about this
+entity at time t" (the temporal twin of `store.py`'s named-graph
+versioning; the reference's mtime-diff sync, syncfs/service.py, is
+the file-level special case).
+
+Scale shape: both operators are ONE anti-join + ONE union on the key
+hash — no windows over the full snapshot, no driver state. The
+snapshot side arrives bucketed by key (`model.write_bucketed`) so the
+anti-join co-locates without a shuffle; the delta is the small side
+and broadcasts.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics over a keyed snapshot: ``changes`` carries
+    ``op ∈ {'upsert', 'delete'}``; upserted keys replace their snapshot
+    rows, deleted keys vanish, untouched rows pass through. If the
+    delta holds several rows for one key, every non-delete row
+    survives only if the key has no delete (delete wins — the
+    CDC-compaction convention); exact-duplicate upserts collapse.
+
+    Columns: ``changes`` must carry the snapshot's columns plus
+    ``op``. Returns the new snapshot with the snapshot's column order.
+    """
+    keys = list(key_cols)
+    snap_cols = snapshot.columns
+    touched = changes.select(*keys).distinct()
+    kept = snapshot.join(touched, keys, "left_anti")
+    deleted = changes.where(F.col(op_col) == "delete").select(*keys).distinct()
+    inserted = (
+        changes.where(F.col(op_col) != "delete")
+        .join(deleted, keys, "left_anti")
+        .select(*snap_cols)
+        .distinct()
+    )
+    return kept.unionByName(inserted)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: ``dim`` holds versioned rows
+    (``valid_from``, ``valid_to`` — NULL marks the current version);
+    ``updates`` holds new attribute states stamped ``ts``. Each
+    updated key's current row is CLOSED at the key's earliest update
+    timestamp, and every update row opens a version valid until the
+    key's next update (NULL for the newest) — applying a batch that
+    contains several updates per key chains their intervals, the
+    standard warehouse backfill behavior.
+
+    History rows (``valid_to`` already set) are untouched. Returns
+    the new dimension table: dim's columns, same order.
+
+    Plan: one window over the UPDATES only (tiny vs the dimension) to
+    chain intervals, one key-hash join to close current rows, one
+    union. Never sorts or rewrites closed history.
+    """
+    keys = list(key_cols)
+    dim_cols = dim.columns
+    attr_cols = [
+        c for c in dim_cols if c not in (*keys, valid_from, valid_to)
+    ]
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    opened = updates.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias(valid_from),
+        F.lead(ts_col).over(w).alias(valid_to),
+    )
+    first_ts = updates.groupBy(*keys).agg(
+        F.min(ts_col).alias("_close_at")
+    )
+    current = dim.where(F.col(valid_to).isNull())
+    closed_now = (
+        current.join(first_ts, keys)
+        .select(
+            *keys,
+            *attr_cols,
+            F.col(valid_from),
+            F.col("_close_at").alias(valid_to),
+        )
+    )
+    untouched_current = current.join(first_ts.select(*keys), keys, "left_anti")
+    history = dim.where(F.col(valid_to).isNotNull())
+    return (
+        history.select(*dim_cols)
+        .unionByName(untouched_current.select(*dim_cols))
+        .unionByName(closed_now.select(*dim_cols))
+        .unionByName(opened.select(*dim_cols))
+    )

@@ -3401,3 +3401,107 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
 )
+
+
+def _apply_changes(spark, sf):
+    """MERGE INTO batch apply: every 10th customer deleted, every
+    (10k+1)th upserted with a shifted balance; result is the new
+    snapshot."""
+    from ..operators.cdc import apply_changes
+
+    cust = _tp(spark, sf, "customer")
+    up = cust.where(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("upsert").alias("op"),
+    )
+    dl = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment", F.lit("delete").alias("op"),
+    )
+    return apply_changes(cust, up.unionByName(dl), ["c_custkey"])
+
+
+_register(
+    "apply_changes",
+    _apply_changes,
+    """
+SELECT * FROM customer
+WHERE c_custkey % 10 NOT IN (0, 1)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey,
+       c_acctbal + 100.0::DOUBLE AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 10 = 1
+""",
+)
+
+
+def _scd2_apply(spark, sf):
+    """SCD2 entity-attribute history: a three-part update batch (two
+    chained updates for keys %5=0, one for %5=1) applied to a current-
+    only dimension; intervals chain inside the batch."""
+    from ..operators.cdc import scd2_apply
+
+    cust = _tp(spark, sf, "customer")
+    ntz = "timestamp_ntz"
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast(ntz).alias("valid_from"),
+        F.lit(None).cast(ntz).alias("valid_to"),
+    )
+
+    def upd(mod, delta, ts):
+        return cust.where(F.col("c_custkey") % 5 == mod).select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") + F.lit(delta)).alias("bal"),
+            F.lit(ts).cast(ntz).alias("ts"),
+        )
+
+    updates = (
+        upd(0, 1.0, "2024-02-01 00:00:00")
+        .unionByName(upd(0, 2.0, "2024-03-01 00:00:00"))
+        .unionByName(upd(1, 1.0, "2024-02-15 00:00:00"))
+    )
+    return scd2_apply(dim, updates, ["k"])
+
+
+_register(
+    "scd2_apply",
+    _scd2_apply,
+    """
+WITH dim AS (
+  SELECT c_custkey AS k, c_acctbal AS bal,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer),
+up AS (
+  SELECT c_custkey AS k, c_acctbal + 1.0::DOUBLE AS bal,
+         TIMESTAMP '2024-02-01' AS ts
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 2.0::DOUBLE, TIMESTAMP '2024-03-01'
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 1.0::DOUBLE, TIMESTAMP '2024-02-15'
+  FROM customer WHERE c_custkey % 5 = 1),
+opened AS (
+  SELECT k, bal, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+  FROM up),
+first_ts AS (SELECT k, min(ts) AS close_at FROM up GROUP BY k),
+closed AS (
+  SELECT d.k, d.bal, d.valid_from, f.close_at AS valid_to
+  FROM dim d JOIN first_ts f ON d.k = f.k WHERE d.valid_to IS NULL),
+untouched AS (
+  SELECT d.k, d.bal, d.valid_from, d.valid_to FROM dim d
+  WHERE d.valid_to IS NULL
+    AND d.k NOT IN (SELECT k FROM first_ts))
+SELECT * FROM untouched
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+""",
+)

@@ -1262,3 +1262,73 @@ class TestFuzzyNamePairs:
         )
         rows = fuzzy_name_pairs(df).collect()
         assert len(rows) == 1 and rows[0].dist == 0
+
+
+class TestApplyChanges:
+    def test_upsert_delete_passthrough(self, spark):
+        from py_sema_spark.operators.cdc import apply_changes
+
+        snap = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        chg = spark.createDataFrame(
+            [(2, "B", "upsert"), (3, "c", "delete"), (4, "d", "upsert")],
+            "k long, v string, op string",
+        )
+        got = {(r.k, r.v) for r in apply_changes(snap, chg, ["k"]).collect()}
+        assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+    def test_delete_wins_over_same_key_upsert(self, spark):
+        from py_sema_spark.operators.cdc import apply_changes
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        chg = spark.createDataFrame(
+            [(1, "x", "upsert"), (1, "x", "delete")],
+            "k long, v string, op string",
+        )
+        assert apply_changes(snap, chg, ["k"]).count() == 0
+
+
+class TestScd2Apply:
+    def test_close_and_chain(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.cdc import scd2_apply
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        dim = spark.createDataFrame(
+            [(1, 10.0, t("2024-01-01"), None),
+             (2, 20.0, t("2024-01-01"), None),
+             (1, 5.0, t("2023-01-01"), t("2024-01-01"))],
+            "k long, bal double, valid_from timestamp, valid_to timestamp",
+        )
+        ups = spark.createDataFrame(
+            [(1, 11.0, t("2024-02-01")), (1, 12.0, t("2024-03-01"))],
+            "k long, bal double, ts timestamp",
+        )
+        rows = {(r.k, r.bal, r.valid_from, r.valid_to)
+                for r in scd2_apply(dim, ups, ["k"]).collect()}
+        assert rows == {
+            (1, 5.0, t("2023-01-01"), t("2024-01-01")),   # history kept
+            (1, 10.0, t("2024-01-01"), t("2024-02-01")),  # closed at 1st upd
+            (1, 11.0, t("2024-02-01"), t("2024-03-01")),  # chained
+            (1, 12.0, t("2024-03-01"), None),             # new current
+            (2, 20.0, t("2024-01-01"), None),             # untouched
+        }
+
+    def test_exactly_one_current_per_updated_key(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.cdc import scd2_apply
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        dim = spark.createDataFrame(
+            [(i, float(i), t("2024-01-01"), None) for i in range(20)],
+            "k long, bal double, valid_from timestamp, valid_to timestamp",
+        )
+        ups = spark.createDataFrame(
+            [(i, i + 0.5, t("2024-02-01")) for i in range(0, 20, 2)],
+            "k long, bal double, ts timestamp",
+        )
+        out = scd2_apply(dim, ups, ["k"])
+        cur = out.where(F.col("valid_to").isNull())
+        assert cur.count() == 20
+        assert cur.groupBy("k").count().where("count > 1").count() == 0
