@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "domain_stats",
     "url_dedup",
     "incremental_dedup",
+    "incremental_minhash",
     "apply_changes",
     "scd2_apply",
     "lm_score",

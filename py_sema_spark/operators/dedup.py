@@ -103,6 +103,23 @@ def minhash_signatures(
     return exploded.groupBy(id_col, "perm").agg(F.min("h").alias("sig"))
 
 
+def band_buckets(
+    signatures: DataFrame, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bucket) LSH band keys: band = perm % bands, bucket =
+    md5(band | sorted perm:sig slice). Shared by the batch pair
+    enumeration and the incremental ingest-vs-index join, so both
+    sides of an incremental dedup land in identical buckets."""
+    banded = signatures.withColumn("band", F.col("perm") % bands)
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm").cast("string"), F.col("sig"))
+        ))).alias("band_sig"))
+        .withColumn("bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -121,14 +138,7 @@ def lsh_candidate_pairs(
     10^12-document scale. Default None keeps exact LSH semantics
     (required by the oracle-checked query).
     """
-    banded = signatures.withColumn("band", F.col("perm") % bands)
-    buckets = (
-        banded.groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("perm").cast("string"), F.col("sig"))
-        ))).alias("band_sig"))
-        .withColumn("bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_sig"))))
-    )
+    buckets = band_buckets(signatures, bands, id_col)
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -657,4 +667,75 @@ def neardup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup detection for a FRESH INGEST against an existing
+    corpus, touching only the corpus's minhash-signature index —
+    never its text. The production ingest loop at 10^12 docs: the
+    accumulated corpus exists as a (doc_id, perm, sig) table (an
+    Iceberg table appended per batch, bucketed on doc_id); each new
+    crawl batch signs itself, joins bucket-to-bucket against the
+    index, and similarity is *estimated from signature agreement*
+    (matching-perm fraction — the textbook unbiased MinHash Jaccard
+    estimator), so no historical shuffle and no historical text read.
+
+    Returns one row per duplicate new doc: ``(doc_id, dup_of,
+    est_jaccard)`` — the best-matching corpus doc at est ≥ threshold
+    (ties → smallest corpus id). Survivors are ``new_docs`` anti-
+    joined on the result; their signatures then append to the index.
+
+    Scale shape: bucket join is new-batch-sized on the probe side
+    (the index side is bucketed storage); the estimator join ships
+    only candidate pairs × num_perm rows; one window bounded by
+    candidates picks the best match. ``band_buckets`` is shared with
+    the batch path so incremental and batch decisions agree.
+    """
+    new_sigs = minhash_signatures(
+        token_set(new_docs, text_col, id_col), num_perm, id_col
+    )
+    nb = band_buckets(new_sigs, bands, id_col).select(
+        F.col(id_col).alias("_new"), "bucket"
+    )
+    ob = band_buckets(corpus_signatures, bands, id_col).select(
+        F.col(id_col).alias("_old"), "bucket"
+    )
+    cand = nb.join(ob, "bucket").select("_new", "_old").distinct()
+    ns = new_sigs.select(
+        F.col(id_col).alias("_new"), "perm", F.col("sig").alias("_sn")
+    )
+    os_ = corpus_signatures.select(
+        F.col(id_col).alias("_old"), "perm", F.col("sig").alias("_so")
+    )
+    est = (
+        cand.join(ns, "_new")
+        .join(os_, ["_old", "perm"])
+        .groupBy("_new", "_old")
+        .agg(
+            F.avg(
+                F.when(F.col("_sn") == F.col("_so"), 1.0).otherwise(0.0)
+            ).alias("_est")
+        )
+        .where(F.col("_est") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_new").orderBy(F.desc("_est"), F.col("_old"))
+    return (
+        est.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_new").alias(id_col),
+            F.col("_old").alias("dup_of"),
+            F.round("_est", 6).alias("est_jaccard"),
+        )
     )

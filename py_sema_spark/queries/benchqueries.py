@@ -3505,3 +3505,72 @@ UNION ALL SELECT * FROM closed
 UNION ALL SELECT * FROM opened
 """,
 )
+
+
+def _incremental_minhash(spark, sf):
+    """Fresh ingest (doc_id % 4 = 0) near-dup checked against the
+    existing corpus's signature index only (doc_id % 4 != 0) —
+    similarity estimated from matching-perm fraction, no corpus text
+    touched."""
+    from ..operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        token_set,
+    )
+
+    docs = _tp(spark, sf, "documents")
+    newd = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    idx = minhash_signatures(token_set(corpus), num_perm=16)
+    return incremental_minhash_dedup(
+        newd, idx, num_perm=16, bands=4, threshold=0.7
+    )
+
+
+_register(
+    "incremental_minhash",
+    _incremental_minhash,
+    f"""
+WITH newtoks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
+  WHERE doc_id % 4 = 0),
+oldtoks AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
+  WHERE doc_id % 4 <> 0),
+nsigs AS (
+  SELECT doc_id, perm,
+         min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM newtoks, (SELECT unnest(range(16)) AS perm) GROUP BY doc_id, perm),
+osigs AS (
+  SELECT doc_id, perm,
+         min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM oldtoks, (SELECT unnest(range(16)) AS perm) GROUP BY doc_id, perm),
+nb AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM nsigs GROUP BY doc_id, perm % 4),
+ob AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM osigs GROUP BY doc_id, perm % 4),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nb n JOIN ob o ON n.bucket = o.bucket),
+est AS (
+  SELECT c.new_id, c.old_id,
+         avg(CASE WHEN ns.sig = os.sig THEN 1.0::DOUBLE
+                  ELSE 0.0::DOUBLE END) AS e
+  FROM cand c
+  JOIN nsigs ns ON ns.doc_id = c.new_id
+  JOIN osigs os ON os.doc_id = c.old_id AND os.perm = ns.perm
+  GROUP BY c.new_id, c.old_id),
+best AS (
+  SELECT new_id, old_id, e,
+         row_number() OVER (PARTITION BY new_id ORDER BY e DESC, old_id) AS rn
+  FROM est WHERE e >= 0.7::DOUBLE)
+SELECT new_id AS doc_id, old_id AS dup_of, round(e, 6) AS est_jaccard
+FROM best WHERE rn = 1
+""",
+)

@@ -1332,3 +1332,60 @@ class TestScd2Apply:
         cur = out.where(F.col("valid_to").isNull())
         assert cur.count() == 20
         assert cur.groupBy("k").count().where("count > 1").count() == 0
+
+
+class TestIncrementalMinhash:
+    def test_ingest_dup_found_via_index_only(self, spark):
+        from py_sema_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+            token_set,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different content about spark plans")],
+            "doc_id long, text string",
+        )
+        newd = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog"),
+             (11, "nothing like anything in the corpus at all zzz")],
+            "doc_id long, text string",
+        )
+        idx = minhash_signatures(token_set(corpus), num_perm=16)
+        got = {(r.doc_id, r.dup_of, r.est_jaccard)
+               for r in incremental_minhash_dedup(newd, idx).collect()}
+        # identical text → all 16 perms agree → est 1.0; 11 survives
+        assert got == {(10, 1, 1.0)}
+
+    def test_best_match_ties_to_smallest_corpus_id(self, spark):
+        from py_sema_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+            token_set,
+        )
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(5, txt), (3, txt)], "doc_id long, text string"
+        )
+        newd = spark.createDataFrame([(9, txt)], "doc_id long, text string")
+        idx = minhash_signatures(token_set(corpus), num_perm=16)
+        rows = incremental_minhash_dedup(newd, idx).collect()
+        assert len(rows) == 1 and rows[0].dup_of == 3
+
+    def test_agrees_with_batch_banding(self, spark):
+        from py_sema_spark.operators.dedup import (
+            band_buckets,
+            minhash_signatures,
+            token_set,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 3} shared words here") for i in range(6)],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signatures(token_set(docs), num_perm=16)
+        b1 = {(r.doc_id, r.bucket) for r in band_buckets(sigs).collect()}
+        b2 = {(r.doc_id, r.bucket) for r in band_buckets(sigs).collect()}
+        assert b1 == b2 and len(b1) == 6 * 4
