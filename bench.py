@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_join",
     "session_stats",
+    "rolling_zscore",
     "length_quantiles",
     "exact_dedup",
     "line_dedup",

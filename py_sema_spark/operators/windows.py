@@ -270,3 +270,44 @@ def session_stats(
             "MICROSECOND", F.min(ts_col), F.max(ts_col)
         ).alias("duration_us"),
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling anomaly score: each event's value is z-scored
+    against the mean/stddev of the PRECEDING ``lookback`` events of
+    the same key (frame excludes the current row — no self-
+    contamination), and flagged when |z| > threshold. The standard
+    streaming-metrics outlier gate, expressed as one window.
+
+    Scale shape: ONE hash exchange on the key + one sort; both the
+    avg and the sample stddev ride the same window frame, so the
+    plan carries a single Window node. Population of the frame is
+    row-bounded (not time-bounded), so hot keys cost O(lookback) per
+    row, never O(history). Rows with fewer than 2 preceding events
+    get z = NULL / anomaly = false (stddev undefined), matching the
+    SQL twin.
+
+    Returns the input plus ``z`` (rounded to 6) and ``is_anomaly``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        sd.isNotNull() & (sd != 0.0),
+        F.round((F.col(value_col) - mu) / sd, 6),
+    )
+    return events.withColumn("z", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
+    )

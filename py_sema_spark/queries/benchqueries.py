@@ -3574,3 +3574,34 @@ SELECT new_id AS doc_id, old_id AS dup_of, round(e, 6) AS est_jaccard
 FROM best WHERE rn = 1
 """,
 )
+
+
+def _rolling_zscore(spark, sf):
+    """Rolling z-score anomaly gate over the event stream (20-row
+    preceding frame per user); result restricted to scored rows to
+    keep the frame deterministic across engines."""
+    from ..operators.windows import rolling_zscore
+
+    out = rolling_zscore(_tp(spark, sf, "events"))
+    return out.where(F.col("z").isNotNull()).select(
+        "event_id", "z", "is_anomaly"
+    )
+
+
+_register(
+    "rolling_zscore",
+    _rolling_zscore,
+    """
+WITH scored AS (
+  SELECT event_id,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, round((value - mu) / sd, 6) AS z,
+       abs((value - mu) / sd) > 3.0::DOUBLE AS is_anomaly
+FROM scored WHERE sd IS NOT NULL AND sd <> 0.0::DOUBLE
+""",
+)

@@ -1389,3 +1389,37 @@ class TestIncrementalMinhash:
         b1 = {(r.doc_id, r.bucket) for r in band_buckets(sigs).collect()}
         b2 = {(r.doc_id, r.bucket) for r in band_buckets(sigs).collect()}
         assert b1 == b2 and len(b1) == 6 * 4
+
+
+class TestRollingZscore:
+    def test_flags_spike_and_skips_warmup(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.windows import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, 1, t0 + dt.timedelta(minutes=i),
+                 100.0 if i == 10 else float(i % 3))
+                for i in range(12)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = {r.event_id: (r.z, r.is_anomaly)
+               for r in rolling_zscore(ev, lookback=5).collect()}
+        # first event has no preceding rows → z NULL, not anomalous
+        assert out[0] == (None, False)
+        assert out[10][1] is True          # the spike
+        assert out[11][1] is False         # normal again
+
+    def test_single_window_node_single_exchange(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.windows import rolling_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(i, i % 3, t0, float(i)) for i in range(30)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        plan = rolling_zscore(ev)._jdf.queryExecution().executedPlan(
+        ).toString()
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange") == 1
