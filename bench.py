@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "stratified_sample",
     "temperature_rebalance",
+    "negative_samples",
     "token_budget_pack",
     "repetition_metrics",
     "domain_cap",

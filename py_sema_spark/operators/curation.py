@@ -853,3 +853,85 @@ def temperature_rebalance(
     return docs.join(rates, group_col).where(u < F.col("_rate")).select(
         *docs.columns
     )
+
+
+def negative_samples(
+    ids: DataFrame,
+    positives: DataFrame | None = None,
+    k: int = 3,
+    id_col: str = "doc_id",
+    salt: str = "n0",
+) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training:
+    each id draws ``k`` pseudo-random partners, self-pairs drop,
+    pairs normalize to (a < b), and known positives (a two-column
+    frame) anti-join away. No ``rand()`` anywhere — partner choice is
+    md5(salt|index|draw) mod n, so retries, speculation, and
+    repartitioning reproduce the exact pair set (the property that
+    keeps a 10^12-row training manifest rebuildable).
+
+    Plan: one window ranks ids into a dense 0..n-1 index (at real
+    scale the corpus already carries one — pass precomputed ids and
+    the window folds away), one explode (k rows per id), one join
+    back index→id, one anti-join. All joins are on uniform keys.
+
+    Returns distinct ``(a, b)`` id pairs.
+    """
+    from pyspark.sql import Window
+
+    base = ids.select(F.col(id_col).alias("_id")).distinct()
+    idx = base.withColumn(
+        "_ix", F.row_number().over(Window.orderBy("_id")) - 1
+    )
+    n_df = F.broadcast(idx.agg(F.count(F.lit(1)).alias("_n")))
+    drawn = (
+        idx.crossJoin(n_df)
+        .select(
+            "_id",
+            "_ix",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("_j"),
+        )
+        .withColumn(
+            "_pix",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(salt),
+                            F.col("_ix").cast("string"),
+                            F.col("_j").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("_n"),
+        )
+    )
+    paired = (
+        drawn.join(
+            idx.select(
+                F.col("_ix").alias("_pix"), F.col("_id").alias("_pid")
+            ),
+            "_pix",
+        )
+        .where(F.col("_id") != F.col("_pid"))
+        .select(
+            F.least("_id", "_pid").alias("a"),
+            F.greatest("_id", "_pid").alias("b"),
+        )
+        .distinct()
+    )
+    if positives is not None:
+        pa, pb = positives.columns[:2]
+        pos = positives.select(
+            F.least(F.col(pa), F.col(pb)).alias("a"),
+            F.greatest(F.col(pa), F.col(pb)).alias("b"),
+        ).distinct()
+        paired = paired.join(pos, ["a", "b"], "left_anti")
+    return paired

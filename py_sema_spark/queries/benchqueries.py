@@ -3605,3 +3605,43 @@ SELECT event_id, round((value - mu) / sd, 6) AS z,
 FROM scored WHERE sd IS NOT NULL AND sd <> 0.0::DOUBLE
 """,
 )
+
+
+def _negative_samples(spark, sf):
+    """k=3 deterministic negative pairs over documents, excluding the
+    ring-adjacency positives (i, i+1 mod n)."""
+    from ..operators.curation import negative_samples
+
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    pos = docs.crossJoin(n_df).select(
+        F.col("doc_id").alias("x"),
+        ((F.col("doc_id") + 1) % F.col("_n")).alias("y"),
+    )
+    return negative_samples(docs, pos, k=3)
+
+
+_register(
+    "negative_samples",
+    _negative_samples,
+    """
+WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS ix FROM ids),
+nn AS (SELECT count(*) AS n FROM idx),
+drawn AS (
+  SELECT i.id, i.ix, nn.n, j.j,
+         ('0x' || substring(md5('n0|' || CAST(i.ix AS VARCHAR) || '|'
+                                 || CAST(j.j AS VARCHAR)), 1, 13))::BIGINT
+         % nn.n AS pix
+  FROM idx i, nn, (SELECT unnest(range(1, 4)) AS j) j),
+paired AS (
+  SELECT DISTINCT least(d.id, p.id) AS a, greatest(d.id, p.id) AS b
+  FROM drawn d JOIN idx p ON d.pix = p.ix WHERE d.id <> p.id),
+pos AS (
+  SELECT DISTINCT least(doc_id, (doc_id + 1) % nn.n) AS a,
+         greatest(doc_id, (doc_id + 1) % nn.n) AS b
+  FROM documents, nn)
+SELECT a, b FROM paired
+WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.a = paired.a AND pos.b = paired.b)
+""",
+)

@@ -684,3 +684,27 @@ class TestTemperatureRebalance:
         rows = [(i, "en" if i % 3 else "fr") for i in range(90)]
         docs = spark.createDataFrame(rows, "doc_id long, lang string")
         assert temperature_rebalance(docs, temperature=1.0).count() == 90
+
+
+class TestNegativeSamples:
+    def test_excludes_self_and_positives_and_is_deterministic(self, spark):
+        from py_sema_spark.operators.curation import negative_samples
+
+        ids = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        pos = spark.createDataFrame(
+            [(i, (i + 1) % 50) for i in range(50)], "x long, y long"
+        )
+        out1 = {(r.a, r.b) for r in negative_samples(ids, pos, k=3).collect()}
+        out2 = {(r.a, r.b)
+                for r in negative_samples(ids.repartition(7), pos, k=3).collect()}
+        assert out1 == out2 and out1
+        assert all(a < b for a, b in out1)
+        ring = {(min(i, (i + 1) % 50), max(i, (i + 1) % 50)) for i in range(50)}
+        assert not (out1 & ring)
+
+    def test_k_bounds_pair_count(self, spark):
+        from py_sema_spark.operators.curation import negative_samples
+
+        ids = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        out = negative_samples(ids, None, k=2)
+        assert 0 < out.count() <= 200
