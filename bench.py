@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "interval_join",
     "session_stats",
     "rolling_zscore",
+    "funnel_counts",
     "length_quantiles",
     "exact_dedup",
     "line_dedup",

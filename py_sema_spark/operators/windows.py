@@ -311,3 +311,50 @@ def rolling_zscore(
     return events.withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 strictly after their first step 1, then step 3 strictly
+    after that first qualifying step 2 — the classic conversion
+    funnel, each stage anchored at the user's EARLIEST qualifying
+    event (first-touch attribution).
+
+    Per stage: one filtered aggregate (min ts per user among events of
+    that type after the previous anchor) + one key-hash join against
+    the previous anchor frame — the event table is scanned once per
+    stage with the type filter pushed to the scan; no windows over
+    full per-user histories, so bot users with 10^8 events cost their
+    event count, never a sort. Returns (step_index, step, users) with
+    users monotonically non-increasing.
+    """
+    anchors = None
+    out = []
+    for i, step in enumerate(steps):
+        stage_events = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if anchors is not None:
+            stage_events = stage_events.join(anchors, "_u").where(
+                F.col("_t") > F.col("_anchor")
+            )
+        anchors = stage_events.groupBy("_u").agg(
+            F.min("_t").alias("_anchor")
+        )
+        out.append(
+            anchors.agg(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("users"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -3645,3 +3645,35 @@ SELECT a, b FROM paired
 WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.a = paired.a AND pos.b = paired.b)
 """,
 )
+
+
+def _funnel_counts(spark, sf):
+    """signup → click → purchase conversion funnel, first-touch
+    anchored, over the event stream."""
+    from ..operators.windows import funnel_counts
+
+    return funnel_counts(_tp(spark, sf, "events"))
+
+
+_register(
+    "funnel_counts",
+    _funnel_counts,
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS step_index, 'signup' AS step, (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+""",
+)

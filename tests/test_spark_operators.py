@@ -1423,3 +1423,37 @@ class TestRollingZscore:
         ).toString()
         assert plan.count("Window") == 1
         assert plan.count("Exchange") == 1
+
+
+class TestFunnelCounts:
+    def test_strict_ordering_required(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.windows import funnel_counts
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+        # u1 completes in order; u2 clicked BEFORE signup (no credit);
+        # u3 signed up only
+        ev = spark.createDataFrame(
+            [(1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+             (2, t(0), "click"), (2, t(1), "signup"), (2, t(2), "purchase"),
+             (3, t(0), "signup")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {r.step: r.users for r in funnel_counts(ev).collect()}
+        # u2 has no click after signup, so drops at stage 2 even
+        # though a purchase exists
+        assert got == {"signup": 3, "click": 1, "purchase": 1}
+
+    def test_first_touch_anchor(self, spark):
+        import datetime as dt
+        from py_sema_spark.operators.windows import funnel_counts
+
+        t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+        # click sits between the two signups: only the FIRST signup
+        # anchors, so the click at t1 counts (strictly after t0)
+        ev = spark.createDataFrame(
+            [(1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "signup")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {r.step: r.users for r in funnel_counts(ev).collect()}
+        assert got == {"signup": 1, "click": 1, "purchase": 0}
