@@ -3601,7 +3601,7 @@ WITH scored AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, round((value - mu) / sd, 6) AS z,
-       abs((value - mu) / sd) > 3.0::DOUBLE AS is_anomaly
+       abs(round((value - mu) / sd, 6)) > 3.0::DOUBLE AS is_anomaly
 FROM scored WHERE sd IS NOT NULL AND sd <> 0.0::DOUBLE
 """,
 )
