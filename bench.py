@@ -70,7 +70,9 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "quality_score",
+    "quality_percentile",
     "doc_fingerprint",
+    "label_centroids",
     "cosine_topk",
     "quantized_cosine_topk",
     "lsh_cosine_topk",

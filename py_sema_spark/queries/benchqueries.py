@@ -3677,3 +3677,67 @@ UNION ALL
 SELECT 3, 'purchase', (SELECT count(*) FROM s3)
 """,
 )
+
+
+def _quality_percentile(spark, sf):
+    """Cross-lingual quality calibration: percent_rank of the quality
+    score WITHIN each language, so one threshold means the same thing
+    in every language (raw score distributions differ by language;
+    rank-normalizing is the standard fix). ONE hash exchange + one
+    sort (single Window); the oracle wraps the existing
+    quality_score oracle as a derived table."""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    docs = _tp(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("q").asc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "q_pctile", F.round(F.percent_rank().over(w), 6)
+    )
+
+
+_register(
+    "quality_percentile",
+    _quality_percentile,
+    f"""
+SELECT b.doc_id, d.lang, b.quality AS q,
+       round(percent_rank() OVER (PARTITION BY d.lang
+             ORDER BY b.quality, b.doc_id), 6) AS q_pctile
+FROM ({ORACLES["quality_score"]}) b
+JOIN documents d ON b.doc_id = d.doc_id
+""",
+)
+
+
+def _label_centroids(spark, sf):
+    """Per-label embedding centroid in long form (label, pos, v) —
+    the seed computation for IVF lists / per-class prototypes.
+    posexplode is map-side; one hash aggregate on (label, pos) with
+    partial combine — dimension count bounds the agg state."""
+    emb = _tp(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+    )
+
+
+_register(
+    "label_centroids",
+    _label_centroids,
+    """
+SELECT t.label, g.pos - 1 AS pos,
+       round(avg(t.embedding[g.pos]), 6) AS v
+FROM embeddings t,
+     LATERAL (SELECT unnest(generate_series(1, len(t.embedding))) AS pos) g
+GROUP BY t.label, g.pos - 1
+""",
+)
