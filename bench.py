@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "funnel_counts",
     "length_quantiles",
+    "pricing_summary",
+    "top_customers",
     "exact_dedup",
     "line_dedup",
     "dup_span_removal",

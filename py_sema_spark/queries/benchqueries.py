@@ -3741,3 +3741,102 @@ FROM embeddings t,
 GROUP BY t.label, g.pos - 1
 """,
 )
+
+
+def _pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary. Money math runs in
+    DECIMAL(18,2)/(38,4) so the giant per-group sums are EXACT and
+    order-independent — the cross-engine-safe form of a 10^5-row
+    float sum (summing doubles in different orders drifts ~1e-2 at
+    this magnitude, beyond any rounding pin). One hash aggregate with
+    map-side combine; the shipdate filter pushes to the scan."""
+    li = _tp(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    dec = "decimal(18,2)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc_mult = (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base"),
+            F.sum(price * disc_mult).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base",
+            F.round("sum_disc", 4).alias("sum_disc"),
+            "n",
+        )
+    )
+
+
+_register(
+    "pricing_summary",
+    _pricing_summary,
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS sum_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _top_customers(spark, sf):
+    """TPC-H Q10-shaped revenue rollup: customer ⋈ orders ⋈ lineitem,
+    exact decimal revenue per customer, top 20 under a total order.
+    customer and orders broadcast against the lineitem fact at bench
+    scale; at 100 TB the same plan becomes two co-partitioned hash
+    joins on the key chain custkey→orderkey (both high-cardinality,
+    AQE-splittable)."""
+    cust = _tp(spark, sf, "customer")
+    orders = _tp(spark, sf, "orders")
+    li = _tp(spark, sf, "lineitem")
+    dec = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    j = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).join(
+        F.broadcast(cust.select("c_custkey", "c_name")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", F.round("revenue", 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_register(
+    "top_customers",
+    _top_customers,
+    """
+SELECT c.c_custkey, c.c_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
