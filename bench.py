@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "unique_filter",
     "sessionize",
     "windowed_counts",
+    "hopping_counts",
     "event_type_pivot",
     "json_props_rollup",
     "rollup_counts",
@@ -88,6 +89,7 @@ BENCH_QUERIES = [
     "sparql_construct",
     "sparql_update",
     "gopher_quality",
+    "quality_audit",
     "pii_scrub",
     "decontaminate",
     "stratified_sample",

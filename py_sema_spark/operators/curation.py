@@ -935,3 +935,47 @@ def negative_samples(
         ).distinct()
         paired = paired.join(pos, ["a", "b"], "left_anti")
     return paired
+
+
+def quality_audit(
+    df: DataFrame, rules: dict[str, F.Column]
+) -> DataFrame:
+    """Data-quality audit: ``rules`` maps rule name → boolean Column
+    that should hold for every row; returns one row per rule with
+    ``(rule, violations, total, pass_rate)`` — the pipeline QA gate a
+    production ingest runs before promoting a snapshot (the
+    relational cousin of the SHACL report in `shacl.py`: same
+    shape, column predicates instead of shapes).
+
+    ONE scan regardless of rule count: every rule compiles to a
+    conditional-count aggregate over the same pass (NULL counts as a
+    violation — an unknown value never silently passes), then a tiny
+    unpivot. pass_rate is rounded to 6.
+    """
+    aggs = []
+    for name, col in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(col, F.lit(False)), 0).otherwise(1)
+            ).alias(f"_v_{name}")
+        )
+    aggs.append(F.count(F.lit(1)).alias("_total"))
+    wide = df.agg(*aggs)
+    parts = []
+    for name in rules:
+        parts.append(
+            wide.select(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{name}").alias("violations"),
+                F.col("_total").alias("total"),
+                F.round(
+                    (F.col("_total") - F.col(f"_v_{name}"))
+                    / F.col("_total"),
+                    6,
+                ).alias("pass_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3840,3 +3840,86 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
 """,
 )
+
+
+def _hopping_counts(spark, sf):
+    """Sliding (hopping) window rollup: 60-minute windows every 20
+    minutes, per event_type — each event lands in exactly 3 windows
+    via Spark's built-in `window()` (JVM-side explode, epoch-aligned).
+    The oracle reconstructs the same epoch-aligned window starts."""
+    ev = _tp(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "60 minutes", "20 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+_register(
+    "hopping_counts",
+    _hopping_counts,
+    """
+WITH ev AS (
+  SELECT event_type, ts, epoch_us(ts) AS us FROM events),
+hits AS (
+  SELECT event_type, ts,
+         (us // 1200000000 - k.k) * 1200000000 AS s_us
+  FROM ev, (SELECT unnest(range(3)) AS k) k
+  WHERE (us // 1200000000 - k.k) * 1200000000 + 3600000000 > us
+    AND (us // 1200000000 - k.k) * 1200000000 <= us)
+SELECT make_timestamp(s_us) AS w_start,
+       make_timestamp(s_us + 3600000000) AS w_end,
+       event_type, count(*) AS cnt
+FROM hits GROUP BY s_us, event_type
+""",
+)
+
+
+def _quality_audit(spark, sf):
+    """Three-rule QA gate over documents in ONE scan (conditional
+    counts, NULL counts as violation)."""
+    from ..operators.curation import quality_audit
+
+    docs = _tp(spark, sf, "documents")
+    return quality_audit(
+        docs,
+        {
+            "nonempty_text": F.length("text") > 0,
+            "lang_known": F.col("lang").isin("en", "de", "fr", "es", "nl"),
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        },
+    )
+
+
+_register(
+    "quality_audit",
+    _quality_audit,
+    """
+WITH w AS (
+  SELECT
+    CAST(sum(CASE WHEN coalesce(length(text) > 0, false)
+         THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN coalesce(lang IN ('en','de','fr','es','nl'), false)
+         THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN coalesce(n_chars = length(text), false)
+         THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    count(*) AS total
+  FROM documents)
+SELECT 'nonempty_text' AS rule, v1 AS violations, total,
+       round(CAST(total - v1 AS DOUBLE) / total, 6) AS pass_rate FROM w
+UNION ALL
+SELECT 'lang_known', v2, total,
+       round(CAST(total - v2 AS DOUBLE) / total, 6) FROM w
+UNION ALL
+SELECT 'n_chars_consistent', v3, total,
+       round(CAST(total - v3 AS DOUBLE) / total, 6) FROM w
+""",
+)

@@ -708,3 +708,22 @@ class TestNegativeSamples:
         ids = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
         out = negative_samples(ids, None, k=2)
         assert 0 < out.count() <= 200
+
+
+class TestQualityAudit:
+    def test_null_counts_as_violation_one_scan(self, spark):
+        from py_sema_spark.operators.curation import quality_audit
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, None), (3, "xx")], "id long, lang string"
+        )
+        out = quality_audit(
+            df, {"lang_known": F.col("lang").isin("en", "de")}
+        )
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.rule, r.violations, r.total) == ("lang_known", 2, 3)
+        # one scan: a single Aggregate over the source, no join
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
