@@ -314,3 +314,38 @@ def stream_sessionize(
         assign, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hopping_counts(
+    event_stream: DataFrame,
+    window: str = "60 minutes",
+    slide: str = "20 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``hopping_counts`` query: sliding
+    windows per event_type with a watermark bounding state (windows
+    older than the watermark finalize and evict — the state-store
+    growth cap a 24/7 ingest needs). Batch parity is pinned by test:
+    an availableNow pass over a static corpus produces exactly the
+    batch aggregation's rows.
+
+    Watermarks require TIMESTAMP (not NTZ): the event time is cast to
+    the session-UTC instant for watermarking and the window bounds
+    cast back to NTZ, so streaming output rows compare equal to the
+    NTZ batch twin."""
+    ntz = "timestamp_ntz"
+    return (
+        event_stream.withColumn("_wts", F.col("ts").cast("timestamp"))
+        .withWatermark("_wts", watermark)
+        .groupBy(
+            F.window("_wts", window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast(ntz).alias("w_start"),
+            F.col("w.end").cast(ntz).alias("w_end"),
+            "event_type",
+            "cnt",
+        )
+    )

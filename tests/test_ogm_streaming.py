@@ -390,3 +390,36 @@ class TestStreamSessionize:
             for r in spark.read.parquet(out).collect()
         }
         assert got2[6] == "1#3"
+
+
+class TestStreamHoppingCounts:
+    def test_parity_with_batch_hopping(self, spark, tmp_path):
+        import os
+
+        from py_sema_spark.streaming import stream_hopping_counts
+        from py_sema_spark.queries.benchqueries import QUERIES
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+        events_dir = str(tmp_path / "events_stream")
+        spark.read.parquet(f"{sf}/events.parquet").write.parquet(events_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(events_dir).schema
+        ).parquet(events_dir)
+        agg = stream_hopping_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("hopstream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.w_start, r.w_end, r.event_type, r.cnt)
+            for r in spark.sql("select * from hopstream").collect()
+        }
+        want = {
+            (r.w_start, r.w_end, r.event_type, r.cnt)
+            for r in QUERIES["hopping_counts"](spark, sf).collect()
+        }
+        assert got == want and got
