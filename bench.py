@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "quality_percentile",
     "doc_fingerprint",
     "label_centroids",
+    "random_projection",
     "cosine_topk",
     "quantized_cosine_topk",
     "lsh_cosine_topk",

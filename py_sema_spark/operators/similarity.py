@@ -509,3 +509,62 @@ def quantized_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def signed_random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    DETERMINISTIC ±1 projection matrix: component j of the output is
+    ``Σ_i v[i] · sign(md5(salt|i|j))`` — the matrix is a pure function
+    of (position, component, salt), so no matrix is stored or
+    broadcast, every executor derives the same signs, and reruns are
+    bit-stable (the precondition for using projected vectors as cache
+    / shard keys). The compress-before-ANN primitive: 64-d → 16-d
+    cuts candidate-scoring cost 4× while approximately preserving
+    cosine geometry (tested), and thresholding at 0 gives exactly the
+    hyperplane bits `lsh_cosine_topk` hashes with.
+
+    Plan: one posexplode (map-side) × out_dim explode → hash
+    aggregate on (id, component) with partial combine — no joins, no
+    Python. Returns long form ``(vec_id, j, proj)`` rounded to 6.
+    """
+    ex = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_i", "_v"),
+    ).select(
+        id_col,
+        "_i",
+        F.col("_v").cast("double").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("_i").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return (
+        ex.withColumn("_s", sign)
+        .groupBy(id_col, "j")
+        .agg(F.round(F.sum(F.col("_v") * F.col("_s")), 6).alias("proj"))
+    )

@@ -3923,3 +3923,31 @@ SELECT 'n_chars_consistent', v3, total,
        round(CAST(total - v3 AS DOUBLE) / total, 6) FROM w
 """,
 )
+
+
+def _random_projection(spark, sf):
+    """64-d → 16-d signed random projection over the embeddings table
+    (long form); matrix derived from md5, never materialized."""
+    from ..operators.similarity import signed_random_projection
+
+    return signed_random_projection(_tp(spark, sf, "embeddings"))
+
+
+_register(
+    "random_projection",
+    _random_projection,
+    """
+WITH ex AS (
+  SELECT t.vec_id, g.i - 1 AS i, CAST(t.embedding[g.i] AS DOUBLE) AS v
+  FROM embeddings t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.embedding))) AS i) g),
+signed AS (
+  SELECT vec_id, j.j, v,
+         CASE WHEN ('0x' || substring(md5('rp|' || CAST(i AS VARCHAR)
+                    || '|' || CAST(j.j AS VARCHAR)), 1, 1))::INT % 2 = 0
+              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+  FROM ex, (SELECT unnest(range(16)) AS j) j)
+SELECT vec_id, j, round(sum(v * s), 6) AS proj
+FROM signed GROUP BY vec_id, j
+""",
+)

@@ -1457,3 +1457,51 @@ class TestFunnelCounts:
         )
         got = {r.step: r.users for r in funnel_counts(ev).collect()}
         assert got == {"signup": 1, "click": 1, "purchase": 0}
+
+
+class TestSignedRandomProjection:
+    def test_deterministic_and_linear(self, spark):
+        from py_sema_spark.operators.similarity import (
+            signed_random_projection,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0, 2.0]), (2, [2.0, 0.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = signed_random_projection(emb, out_dim=4)
+        p = {(r.vec_id, r.j): r.proj for r in out.collect()}
+        assert len(p) == 8
+        # projection is linear: vec 2 = 2 × vec 1 componentwise
+        for j in range(4):
+            assert p[(2, j)] == pytest.approx(2 * p[(1, j)], abs=1e-6)
+
+    def test_cosine_roughly_preserved(self, spark):
+        import math
+        from py_sema_spark.operators.similarity import (
+            signed_random_projection,
+        )
+
+        # two nearly-parallel and one orthogonal-ish vector, 32-d
+        base = [1.0 if i % 3 else -0.5 for i in range(32)]
+        near = [v + (0.01 if i % 7 else -0.01) for i, v in enumerate(base)]
+        far = [(-1.0) ** i * (1.0 + i % 5) for i in range(32)]
+        emb = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = signed_random_projection(emb, out_dim=16).collect()
+        vecs = {}
+        for r in rows:
+            vecs.setdefault(r.vec_id, {})[r.j] = r.proj
+
+        def cos(a, b):
+            xs = [a[j] for j in sorted(a)]
+            ys = [b[j] for j in sorted(b)]
+            dot = sum(x * y for x, y in zip(xs, ys))
+            na = math.sqrt(sum(x * x for x in xs))
+            nb = math.sqrt(sum(y * y for y in ys))
+            return dot / (na * nb)
+
+        assert cos(vecs[1], vecs[2]) > 0.95
+        assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3]) + 0.3
