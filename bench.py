@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sessionize",
     "windowed_counts",
     "hopping_counts",
+    "metric_drift",
     "event_type_pivot",
     "json_props_rollup",
     "rollup_counts",

@@ -3951,3 +3951,43 @@ SELECT vec_id, j, round(sum(v * s), 6) AS proj
 FROM signed GROUP BY vec_id, j
 """,
 )
+
+
+def _metric_drift(spark, sf):
+    """Drift monitor: per (event_type, day) mean value, its 7-day
+    trailing moving average, and the deviation — the ingest-health
+    time series a production pipeline alerts on. One aggregate + one
+    window over the (type, day) rollup (tiny vs the event table)."""
+    from pyspark.sql import Window
+
+    ev = _tp(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.withColumn(
+        "ma7", F.round(F.avg("avg_v").over(w), 6)
+    ).withColumn("drift", F.round(F.col("avg_v") - F.col("ma7"), 6))
+
+
+_register(
+    "metric_drift",
+    _metric_drift,
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(avg(value), 6) AS avg_v
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+ma AS (
+  SELECT event_type, day, avg_v,
+         round(avg(avg_v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+  FROM daily)
+SELECT event_type, day, avg_v, ma7, round(avg_v - ma7, 6) AS drift
+FROM ma
+""",
+)
