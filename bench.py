@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "event_type_pivot",
     "json_props_rollup",
     "rollup_counts",
+    "topk_per_group",
     "cube_counts",
     "asof_join",
     "interval_join",

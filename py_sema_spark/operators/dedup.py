@@ -700,9 +700,13 @@ def incremental_minhash_dedup(
     candidates picks the best match. ``band_buckets`` is shared with
     the batch path so incremental and batch decisions agree.
     """
+    # both signature frames feed two plan branches (banding + the
+    # estimator join): materialize each once, per the audited reuse
+    # pattern (PLANS.md common_neighbors / dup_span_removal)
     new_sigs = minhash_signatures(
         token_set(new_docs, text_col, id_col), num_perm, id_col
-    )
+    ).localCheckpoint(eager=False)
+    corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
     nb = band_buckets(new_sigs, bands, id_col).select(
         F.col(id_col).alias("_new"), "bucket"
     )

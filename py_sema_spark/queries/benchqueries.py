@@ -3991,3 +3991,36 @@ SELECT event_type, day, avg_v, ma7, round(avg_v - ma7, 6) AS drift
 FROM ma
 """,
 )
+
+
+def _topk_per_group(spark, sf):
+    """Top-3 events by value per event_type under a total order —
+    compiles to WindowGroupLimit (each map task forwards at most k
+    rows per group before the exchange; asserted in tests), the
+    shape that makes per-group top-k safe on 10^12-row groups."""
+    from pyspark.sql import Window
+
+    ev = _tp(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+_register(
+    "topk_per_group",
+    _topk_per_group,
+    """
+SELECT event_type, rk, event_id, round(value, 6) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events)
+WHERE rk <= 3
+""",
+)

@@ -1505,3 +1505,12 @@ class TestSignedRandomProjection:
 
         assert cos(vecs[1], vecs[2]) > 0.95
         assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3]) + 0.3
+
+
+class TestTopkPerGroupPlan:
+    def test_window_group_limit_applies(self, spark):
+        from py_sema_spark.queries.benchqueries import QUERIES
+
+        df = QUERIES["topk_per_group"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
