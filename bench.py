@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "windowed_counts",
     "hopping_counts",
     "metric_drift",
+    "value_histogram",
     "event_type_pivot",
     "json_props_rollup",
     "rollup_counts",
@@ -79,6 +80,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "label_centroids",
     "random_projection",
+    "centroid_similarity",
     "cosine_topk",
     "quantized_cosine_topk",
     "lsh_cosine_topk",

@@ -4024,3 +4024,90 @@ FROM (
 WHERE rk <= 3
 """,
 )
+
+
+def _value_histogram(spark, sf):
+    """Fixed-width histogram of event values per event_type (bin
+    width 25, clamped to [0, 500)): the distribution summary a 100-TB
+    profiler computes in ONE map-side-combining aggregate — never a
+    sort, never a collect."""
+    ev = _tp(spark, sf, "events")
+    bin_ = F.least(
+        F.floor(F.greatest(F.col("value"), F.lit(0.0)) / 25).cast("int"),
+        F.lit(19),
+    )
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo", (F.col("bin") * 25).cast("double"))
+    )
+
+
+_register(
+    "value_histogram",
+    _value_histogram,
+    """
+SELECT event_type, bin, count(*) AS cnt,
+       CAST(bin * 25 AS DOUBLE) AS lo
+FROM (
+  SELECT event_type,
+         CAST(least(floor(greatest(value, 0.0) / 25), 19) AS INT) AS bin
+  FROM events)
+GROUP BY event_type, bin
+""",
+)
+
+
+def _centroid_similarity(spark, sf):
+    """Pairwise cosine between per-label centroids (long-form
+    centroids pivoted back to arrays via sort_array/collect_list) —
+    the tiny all-pairs that IS safe: |labels|² rows, broadcast-
+    joined."""
+    cent = QUERIES["label_centroids"](spark, sf)
+    arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("vec")
+    )
+    a, b = arr.alias("a"), arr.alias("b")
+    pair = a.join(
+        F.broadcast(b), F.col("a.label") < F.col("b.label")
+    )
+    dot = F.aggregate(
+        F.zip_with("a.vec", "b.vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return pair.select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(dot / (norm(F.col("a.vec")) * norm(F.col("b.vec"))), 6).alias(
+            "cos"
+        ),
+    )
+
+
+_register(
+    "centroid_similarity",
+    _centroid_similarity,
+    f"""
+WITH cent AS ({ORACLES["label_centroids"]}),
+arr AS (
+  SELECT label, list(v ORDER BY pos) AS vec FROM cent GROUP BY label),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.vec AS va, b.vec AS vb
+  FROM arr a JOIN arr b ON a.label < b.label)
+SELECT label_a, label_b,
+       round(list_sum(list_transform(range(1, len(va) + 1),
+                                     i -> va[i] * vb[i]))
+             / (sqrt(list_sum(list_transform(va, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6) AS cos
+FROM pair
+""",
+)
