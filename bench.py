@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "connected_components",
     "pagerank",
     "trustrank",
+    "weighted_pagerank",
     "hits",
     "shortest_paths",
     "neighbor_agg",

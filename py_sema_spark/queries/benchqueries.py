@@ -4111,3 +4111,66 @@ SELECT label_a, label_b,
 FROM pair
 """,
 )
+
+
+def _weighted_pagerank(spark, sf):
+    """Weighted PageRank on the two-edge synthetic graph: the *31+7
+    edges carry weight 2, the *17+3 edges weight 1 — the oracle
+    unrolls the same weighted recurrence."""
+    from ..operators.graph import weighted_pagerank
+
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+    edges = e.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
+        F.lit(2.0).alias("weight"),
+    ).unionByName(
+        e.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return weighted_pagerank(edges, iterations=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _weighted_pagerank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst, 2.0::DOUBLE AS w
+  FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nc.n, 1.0::DOUBLE FROM documents, nc
+),
+edges AS (SELECT src, dst, sum(w) AS w FROM raw GROUP BY src, dst),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+wsum AS (SELECT src, sum(w) AS ws FROM edges GROUP BY src),
+en AS (SELECT e.src, e.dst, e.w / wsum.ws AS frac
+       FROM edges e JOIN wsum ON e.src = wsum.src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
+    body = ""
+    for k in range(1, iterations + 1):
+        body += f""",
+s{k} AS (
+  SELECT en.dst AS node, sum(r.r * en.frac) AS c
+  FROM en JOIN r{k - 1} r ON en.src = r.node GROUP BY en.dst),
+r{k} AS (
+  SELECT nodes.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
+    return (
+        head
+        + body
+        + f"\nSELECT node, round(r, 6) AS rank FROM r{iterations}"
+    )
+
+
+_register("weighted_pagerank", _weighted_pagerank, _weighted_pagerank_oracle(5))

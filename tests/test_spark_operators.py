@@ -1514,3 +1514,47 @@ class TestTopkPerGroupPlan:
         df = QUERIES["topk_per_group"](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestWeightedPageRank:
+    def test_weight_shifts_mass(self, spark):
+        from py_sema_spark.operators.graph import weighted_pagerank
+
+        # a splits 3:1 between b and c; b,c return to a
+        edges = spark.createDataFrame(
+            [("a", "b", 3.0), ("a", "c", 1.0),
+             ("b", "a", 1.0), ("c", "a", 1.0)],
+            "src string, dst string, weight double",
+        )
+        r = {row.node: row.rank
+             for row in weighted_pagerank(edges, iterations=1).collect()}
+        # from uniform 1/3: b gets 0.85*(1/3)*0.75, c 0.85*(1/3)*0.25
+        assert r["b"] == pytest.approx(0.15 / 3 + 0.85 / 3 * 0.75)
+        assert r["c"] == pytest.approx(0.15 / 3 + 0.85 / 3 * 0.25)
+        assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        from py_sema_spark.operators.graph import pagerank, weighted_pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 7) for i in range(7)], "src long, dst long"
+        )
+        wedges = edges.withColumn("weight", F.lit(1.0))
+        ru = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+        rw = {r.node: r.rank
+              for r in weighted_pagerank(wedges, iterations=4).collect()}
+        for n in ru:
+            assert rw[n] == pytest.approx(ru[n], abs=1e-12)
+
+    def test_parallel_edges_presummed_zero_dropped(self, spark):
+        from py_sema_spark.operators.graph import weighted_pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1.0), ("a", "b", 2.0), ("a", "c", 3.0),
+             ("a", "d", 0.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+            "src string, dst string, weight double",
+        )
+        r = {row.node: row.rank
+             for row in weighted_pagerank(edges, iterations=1).collect()}
+        assert "d" not in r  # zero-weight edge contributes no node
+        assert r["b"] == pytest.approx(r["c"])  # 3 vs 3 after pre-sum
