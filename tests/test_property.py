@@ -158,3 +158,57 @@ def test_nt_literal_roundtrip(text, tag):
     want_dt = term.datatype or "http://www.w3.org/2001/XMLSchema#string"
     if got.lang is None:
         assert (got.datatype or "http://www.w3.org/2001/XMLSchema#string") == want_dt
+
+
+# ---- blocking/binning invariants the Spark joins rely on ----
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_keys(s: str) -> set:
+    """Pure mirror of linkage.fuzzy_name_pairs' key generation."""
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@given(
+    st.text(alphabet="ab#", min_size=1, max_size=8),
+    st.text(alphabet="ab#", min_size=1, max_size=8),
+)
+@settings(max_examples=300)
+def test_deletion_blocking_never_misses_distance_one(a, b):
+    # completeness theorem behind fuzzy_name_pairs: any pair within
+    # levenshtein 1 shares a deletion-neighborhood key (tiny alphabet
+    # maximizes collision-adjacent cases)
+    if _lev(a, b) <= 1:
+        assert _deletion_keys(a) & _deletion_keys(b)
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),   # point (µs)
+    st.integers(min_value=0, max_value=10_000),   # interval start
+    st.integers(min_value=1, max_value=3_000),    # interval length
+    st.integers(min_value=1, max_value=500),      # bin width
+)
+@settings(max_examples=300)
+def test_interval_binning_exactly_covers(ts, s, ln, w):
+    # mirror of rangejoin.interval_overlap_join's bucket math: the
+    # point's single bucket is hit by the interval's exploded bucket
+    # range IFF the interval truly covers the point (half-open)
+    e = s + ln
+    point_bin = ts // w
+    interval_bins = range(s // w, (e - 1) // w + 1)
+    joins = point_bin in interval_bins
+    covers = s <= ts < e
+    if covers:
+        assert joins  # never a false negative
+    if joins and not covers:
+        pass  # residual predicate filters these — allowed
