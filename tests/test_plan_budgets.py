@@ -1,0 +1,62 @@
+"""Plan-shape regression budgets: every audited query's physical plan
+must stay within its recorded exchange budget (PLANS.md shapes).
+
+An Exchange is the unit of shuffle cost at cluster scale; these
+budgets pin the plans the audits signed off on, so a refactor that
+silently adds a shuffle (lost broadcast, un-reused subtree, a window
+acquiring its own partitioning) fails here long before a bench run
+could notice. Budgets are the audited count + headroom of 2 (minor
+planner-version drift), never more.
+
+Iterative operators (pagerank family, closure) materialize rounds via
+localCheckpoint, so their *final* plan is intentionally shallow — the
+budget still guards the last round + assembly.
+"""
+
+import pytest
+
+from py_sema_spark.queries.benchqueries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# audited exchange counts (see PLANS.md) + 2 headroom
+BUDGETS = {
+    "interval_join": 4 + 2,
+    "heavy_hitters": 8 + 2,
+    "hits": 2 + 2,
+    "trustrank": 6 + 2,
+    "weighted_pagerank": 10 + 2,
+    "fuzzy_name_pairs": 6 + 2,
+    "apply_changes": 10 + 2,
+    "scd2_apply": 16 + 2,
+    "rolling_zscore": 2 + 2,
+    "funnel_counts": 17 + 2,
+    "temperature_rebalance": 9 + 2,
+    "negative_samples": 17 + 2,
+    "json_props_rollup": 2 + 2,
+    "quality_audit": 6 + 2,
+    "hopping_counts": 2 + 2,
+    "metric_drift": 3 + 2,
+    "value_histogram": 2 + 2,
+    "label_centroids": 2 + 2,
+    "random_projection": 2 + 2,
+    "centroid_similarity": 7 + 2,
+    "quality_percentile": 2 + 2,
+    "pricing_summary": 2 + 2,
+    "top_customers": 6 + 2,
+    "topk_per_group": 2 + 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, name):
+    plan = (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan()
+    ).toString()
+    got = plan.count("Exchange")
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {BUDGETS[name]} — a shuffle "
+        "crept in; re-audit the plan (PLANS.md) before raising the budget"
+    )
+    # no query in this set may degenerate to a cartesian product
+    assert "CartesianProduct" not in plan
