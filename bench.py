@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "length_quantiles",
     "pricing_summary",
     "top_customers",
+    "regional_revenue",
     "exact_dedup",
     "line_dedup",
     "dup_span_removal",

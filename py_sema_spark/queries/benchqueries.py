@@ -4174,3 +4174,51 @@ r{k} AS (
 
 
 _register("weighted_pagerank", _weighted_pagerank, _weighted_pagerank_oracle(5))
+
+
+def _regional_revenue(spark, sf):
+    """TPC-H Q5-shaped star join: lineitem fact against the supplier →
+    nation → region dimension chain, exact decimal revenue per region.
+    The three dimensions chain-broadcast (each is tiny); the fact
+    table never shuffles before the final region aggregate — the
+    canonical star-schema plan at any scale."""
+    li = _tp(spark, sf, "lineitem")
+    sup = _tp(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _tp(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    reg = _tp(spark, sf, "region")
+    dec = "decimal(18,2)"
+    rev = F.col("l_extendedprice").cast(dec) * (
+        F.lit(1).cast(dec) - F.col("l_discount").cast(dec)
+    )
+    dim = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("r_name", F.round("revenue", 4).alias("revenue"), "n_items")
+    )
+
+
+_register(
+    "regional_revenue",
+    _regional_revenue,
+    """
+SELECT r.r_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
