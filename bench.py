@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "sparql_groupby",
     "sparql_construct",
     "sparql_update",
+    "graph_diff",
     "gopher_quality",
     "quality_audit",
     "pii_scrub",

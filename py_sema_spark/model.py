@@ -280,3 +280,26 @@ class GraphRegistry:
         self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
             1
         ).write.mode("overwrite").parquet(self.path)
+
+
+def graph_diff(
+    old: DataFrame, new: DataFrame, keys: tuple = ("s", "p", "o")
+) -> DataFrame:
+    """Snapshot-over-snapshot triple diff: ``(op, s, p, o)`` with
+    op ∈ {added, removed} — the crawl-delta view a KG store publishes
+    per ingest (the reference's graph subtract, rdflib ``g1 - g2`` in
+    store.py:73's semantics, in both directions at once).
+
+    Two left-anti joins on the triple key. Both sides arrive bucketed
+    by subject hash (`write_bucketed`), so on a real cluster the
+    anti-joins co-locate shuffle-free; unchanged triples (the vast
+    majority between adjacent crawls) never leave their partition.
+    """
+    ks = list(keys)
+    added = new.select(*ks).join(old.select(*ks), ks, "left_anti").select(
+        F.lit("added").alias("op"), *ks
+    )
+    removed = old.select(*ks).join(new.select(*ks), ks, "left_anti").select(
+        F.lit("removed").alias("op"), *ks
+    )
+    return added.unionByName(removed)

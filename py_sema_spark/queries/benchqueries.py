@@ -4222,3 +4222,46 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """,
 )
+
+
+def _graph_diff(spark, sf):
+    """Crawl-delta diff: the 'previous snapshot' is the current KG
+    with even-custkey prefLabels in their pre-rename form (upper-
+    cased) — so the diff carries both added (new labels) and removed
+    (old labels) rows."""
+    from ..model import graph_diff
+
+    new = kg_triples(spark, sf).select("s", "p", "o")
+    custkey = F.regexp_extract(F.col("s"), r"urn:cust:(\d+)", 1)
+    mutate = (
+        (F.col("p") == SKOS + "prefLabel")
+        & F.col("s").startswith("urn:cust:")
+        & (custkey.cast("long") % 2 == 0)
+    )
+    old = new.withColumn(
+        "o", F.when(mutate, F.upper(F.col("o"))).otherwise(F.col("o"))
+    )
+    return graph_diff(old, new)
+
+
+_register(
+    "graph_diff",
+    _graph_diff,
+    KG_SQL
+    + f"""
+, newt AS (SELECT s, p, o FROM triples),
+old AS (
+  SELECT s, p,
+         CASE WHEN p = '{SKOS}prefLabel' AND s LIKE 'urn:cust:%'
+                   AND CAST(substr(s, 10) AS BIGINT) % 2 = 0
+              THEN upper(o) ELSE o END AS o
+  FROM newt)
+SELECT 'added' AS op, n.s, n.p, n.o FROM newt n
+WHERE NOT EXISTS (SELECT 1 FROM old o2
+                  WHERE o2.s = n.s AND o2.p = n.p AND o2.o = n.o)
+UNION ALL
+SELECT 'removed', o2.s, o2.p, o2.o FROM old o2
+WHERE NOT EXISTS (SELECT 1 FROM newt n
+                  WHERE n.s = o2.s AND n.p = o2.p AND n.o = o2.o)
+""",
+)

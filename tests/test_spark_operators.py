@@ -1558,3 +1558,25 @@ class TestWeightedPageRank:
              for row in weighted_pagerank(edges, iterations=1).collect()}
         assert "d" not in r  # zero-weight edge contributes no node
         assert r["b"] == pytest.approx(r["c"])  # 3 vs 3 after pre-sum
+
+
+class TestGraphDiff:
+    def test_both_directions_and_unchanged_silent(self, spark):
+        from py_sema_spark.model import graph_diff
+
+        old = spark.createDataFrame(
+            [("a", "p", "1"), ("b", "p", "2")], "s string, p string, o string"
+        )
+        new = spark.createDataFrame(
+            [("a", "p", "1"), ("b", "p", "3")], "s string, p string, o string"
+        )
+        got = {(r.op, r.s, r.o) for r in graph_diff(old, new).collect()}
+        assert got == {("added", "b", "3"), ("removed", "b", "2")}
+
+    def test_identical_graphs_empty_diff(self, spark):
+        from py_sema_spark.model import graph_diff
+
+        g = spark.createDataFrame(
+            [("a", "p", "1")], "s string, p string, o string"
+        )
+        assert graph_diff(g, g).count() == 0
