@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "rolling_zscore",
     "funnel_counts",
     "length_quantiles",
+    "winsorized_stats",
+    "target_encoding",
     "pricing_summary",
     "top_customers",
     "regional_revenue",

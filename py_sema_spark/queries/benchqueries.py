@@ -4265,3 +4265,87 @@ WHERE NOT EXISTS (SELECT 1 FROM newt n
                   WHERE n.s = o2.s AND n.p = o2.p AND n.o = o2.o)
 """,
 )
+
+
+def _winsorized_stats(spark, sf):
+    """Winsorized per-type statistics: clip values at the type's
+    [p05, p95] (exact linear-interpolation percentiles — the
+    definition Spark `percentile` and DuckDB `quantile_cont` share),
+    then mean/min/max of the clipped series. The outlier-robust
+    rollup a metrics pipeline publishes. Percentiles ride a tiny
+    broadcast join back onto the events."""
+    ev = _tp(spark, sf, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("_lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("_hi"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias(
+            "_c"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.avg("_c"), 6).alias("wins_mean"),
+        F.round(F.min("_c"), 6).alias("wins_min"),
+        F.round(F.max("_c"), 6).alias("wins_max"),
+    )
+
+
+_register(
+    "winsorized_stats",
+    _winsorized_stats,
+    """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type),
+clipped AS (
+  SELECT e.event_type,
+         least(greatest(e.value, p.lo), p.hi) AS c
+  FROM events e JOIN pct p ON e.event_type = p.event_type)
+SELECT event_type, round(avg(c), 6) AS wins_mean,
+       round(min(c), 6) AS wins_min, round(max(c), 6) AS wins_max
+FROM clipped GROUP BY event_type
+""",
+)
+
+
+def _target_encoding(spark, sf):
+    """Leave-one-out target encoding of event_type against value:
+    each row's feature is the mean value of its category EXCLUDING
+    itself — (Σ−v)/(n−1), the leakage-free categorical encoding for
+    model training. One window (sum+count over the category) — no
+    per-row subquery. Exact integer-safe arithmetic: sums ride
+    DECIMAL, the final divide is double, rounded to 6."""
+    from pyspark.sql import Window
+
+    ev = _tp(spark, sf, "events")
+    dec = "decimal(18,2)"
+    w = Window.partitionBy("event_type")
+    vs = F.sum(F.col("value").cast(dec)).over(w)
+    n = F.count(F.lit(1)).over(w)
+    loo = F.when(
+        n > 1,
+        F.round(
+            (vs - F.col("value").cast(dec)).cast("double") / (n - 1), 6
+        ),
+    )
+    return ev.select("event_id", "event_type", loo.alias("loo_mean"))
+
+
+_register(
+    "target_encoding",
+    _target_encoding,
+    """
+SELECT event_id, event_type,
+       CASE WHEN count(*) OVER w > 1 THEN
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                    - CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+               / (count(*) OVER w - 1), 6)
+       END AS loo_mean
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+""",
+)
