@@ -32,6 +32,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 1 MB min-partition floor serializes tiny-input /
+        # huge-output stages (LSH bucket self-joins: ~100 KB of band
+        # keys explode into millions of candidate pairs inside ONE
+        # post-shuffle partition). 16k keeps coalescing's
+        # small-files benefits for byte-heavy shuffles while letting
+        # parallelism-first sizing fan CPU-dense stages across cores —
+        # measured 1.3-1.8x on the near-dup family at local[2]/[8]
+        # (BENCH/BASELINE.md, shuffle-heavy pair).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
