@@ -137,8 +137,20 @@ def lsh_candidate_pairs(
     buckets above the threshold — the standard recall/cost trade at
     10^12-document scale. Default None keeps exact LSH semantics
     (required by the oracle-checked query).
+
+    Parallelism note: the bucket frame is BYTE-tiny but its self-join
+    output is quadratic per bucket, so AQE's byte-based coalescing
+    would run the whole pair explosion in one post-shuffle partition.
+    The explicit-N repartition on the bucket key (N = the session's
+    shuffle parallelism) pins the fan-out — AQE never coalesces
+    user-numbered repartitions — measured 2× at local[8] on the
+    sf0.1 near-dup family.
     """
     buckets = band_buckets(signatures, bands, id_col)
+    n_part = int(
+        signatures.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    buckets = buckets.repartition(n_part, "bucket")
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -707,8 +719,14 @@ def incremental_minhash_dedup(
         token_set(new_docs, text_col, id_col), num_perm, id_col
     ).localCheckpoint(eager=False)
     corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
-    nb = band_buckets(new_sigs, bands, id_col).select(
-        F.col(id_col).alias("_new"), "bucket"
+    n_part = int(
+        new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # explicit-N fan-out of the bucket probe (see lsh_candidate_pairs)
+    nb = (
+        band_buckets(new_sigs, bands, id_col)
+        .select(F.col(id_col).alias("_new"), "bucket")
+        .repartition(n_part, "bucket")
     )
     ob = band_buckets(corpus_signatures, bands, id_col).select(
         F.col(id_col).alias("_old"), "bucket"

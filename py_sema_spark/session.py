@@ -32,15 +32,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's 1 MB min-partition floor serializes tiny-input /
-        # huge-output stages (LSH bucket self-joins: ~100 KB of band
-        # keys explode into millions of candidate pairs inside ONE
-        # post-shuffle partition). 16k keeps coalescing's
-        # small-files benefits for byte-heavy shuffles while letting
-        # parallelism-first sizing fan CPU-dense stages across cores —
-        # measured 1.3-1.8x on the near-dup family at local[2]/[8]
-        # (BENCH/BASELINE.md, shuffle-heavy pair).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # NOTE on AQE coalescing vs CPU-dense stages: byte-based
+        # coalescing serializes tiny-input/huge-output stages (LSH
+        # bucket self-joins: ~100 KB of band keys explode into
+        # millions of pairs). Globally lowering minPartitionSize fixes
+        # those but floods the tiny iterative-graph loops with empty
+        # tasks (pagerank 4.4->16 s at sf0.1), so the fan-out is done
+        # STRUCTURALLY where it's needed: explicit-N repartition in
+        # dedup.lsh_candidate_pairs / incremental_minhash_dedup
+        # (AQE never coalesces user-numbered repartitions).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
