@@ -979,3 +979,83 @@ def quality_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed unigram
+    bag is, ``log w(x) = Σ_tokens log p_target(b(t)) / p_raw(b(t))``,
+    where ``b`` hashes tokens into ``n_buckets`` and both bucket
+    distributions are add-``alpha`` smoothed. Sampling raw data
+    proportionally to ``w`` approximates sampling from the target
+    domain — the standard pretraining-mixture curation step between
+    dedup and tokenization.
+
+    Returns ``(doc_id, n_tokens, dsir_logweight)`` for every doc in
+    ``docs`` (0-token docs score 0.0). The hash is md5-prefix → int —
+    portable to the ANSI-SQL oracle.
+
+    Scale shape: both distributions are hash aggregates over the
+    token explode with map-side combine into ``n_buckets`` groups; the
+    per-bucket log-ratio table is ≤``n_buckets`` rows → broadcast
+    join onto the scoring explode, then one doc-keyed sum. The raw
+    corpus is scanned twice (estimate + score) — at 10^12 docs the
+    estimate pass would subsample (the distribution needs only a
+    sketch), which changes constants, not shape.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("b")
+    raw_toks = docs.select(
+        F.col(id_col),
+        F.explode(normalized_tokens(F.col(text_col))).alias("token"),
+    ).select(id_col, bucket)
+    tgt_toks = target.select(
+        F.explode(normalized_tokens(F.col(text_col))).alias("token")
+    ).select(bucket)
+    rcnt = raw_toks.groupBy("b").agg(F.count(F.lit(1)).alias("_rc"))
+    tcnt = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("_tc"))
+    rtot = rcnt.agg(F.sum("_rc").alias("_rt"))
+    ttot = tcnt.agg(F.sum("_tc").alias("_tt"))
+    aB = float(alpha) * n_buckets
+    ratios = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("_tc", F.lit(0)) + alpha)
+                    / (F.col("_tt") + aB)
+                )
+                - F.log((F.col("_rc") + alpha) / (F.col("_rt") + aB))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        raw_toks.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_lr"), 6).alias("dsir_logweight"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )

@@ -738,3 +738,65 @@ def weighted_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) over the UNDIRECTED link graph: every node
+    starts in its own community, then each sweep adopts the label most
+    frequent among its neighbours, ties broken by the smallest label —
+    the deterministic synchronous variant (asynchronous/random-order
+    LPA is irreproducible, which is useless under a retried-task
+    execution model). GraphFrames ships the same synchronous form.
+
+    Returns ``(node, label)`` after ``iterations`` sweeps; nodes with
+    no neighbours keep their own label.
+
+    Scale shape (mirrors :func:`weighted_pagerank`): the symmetrized
+    edge list materializes once; each sweep is one join (labels onto
+    edge sources — the per-node label frame is the small side AQE can
+    broadcast) + one (dst, label) count aggregate with map-side
+    partial combine + one per-dst argmax window. Hub destinations are
+    exactly the aggregate's skew case: partial aggregation collapses
+    each (hub, label) group map-side before the exchange.
+    `localCheckpoint` lineage cuts keep plan depth constant.
+    """
+    from pyspark.sql.window import Window
+
+    d = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(F.col("_s") != F.col("_d"))
+    und = (
+        d.unionByName(d.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("_s").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+    for i in range(iterations):
+        counts = (
+            und.join(labels.withColumnRenamed("node", "_s"), "_s")
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        new = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(new, "node", "left")
+            .select("node", F.coalesce("_nl", F.col("label")).alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -4349,3 +4349,102 @@ FROM events
 WINDOW w AS (PARTITION BY event_type)
 """,
 )
+
+
+def _label_propagation(spark, sf):
+    """Synchronous LPA communities on the standard two-edge synthetic
+    graph (same edges as weighted_pagerank, symmetrized inside the
+    operator); oracle unrolls the identical sweeps."""
+    from ..operators.graph import label_propagation
+
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+    edges = e.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
+    ).unionByName(
+        e.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
+        )
+    )
+    return label_propagation(edges, iterations=4)
+
+
+def _label_propagation_oracle(iterations: int = 4) -> str:
+    head = """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS s, (doc_id * 31 + 7) % nc.n AS d FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
+),
+und AS (SELECT DISTINCT s, d FROM (
+  SELECT s, d FROM raw WHERE s <> d
+  UNION ALL SELECT d, s FROM raw WHERE s <> d)),
+nodes AS (SELECT DISTINCT s AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    body = ""
+    for k in range(1, iterations + 1):
+        body += f""",
+c{k} AS (
+  SELECT u.d AS node, l.label, count(*) AS c
+  FROM und u JOIN l{k - 1} l ON u.s = l.node GROUP BY u.d, l.label),
+n{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}) WHERE rn = 1),
+l{k} AS (
+  SELECT l.node, coalesce(n.label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN n{k} n ON l.node = n.node)"""
+    return head + body + f"\nSELECT node, label FROM l{iterations}"
+
+
+_register("label_propagation", _label_propagation, _label_propagation_oracle(4))
+
+
+def _dsir_weights(spark, sf):
+    """DSIR hashed-unigram importance weights: target distribution =
+    the English slice, raw = the whole corpus; every doc scored."""
+    from ..operators.curation import dsir_weights
+
+    docs = _tp(spark, sf, "documents")
+    return dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=64, alpha=1.0
+    )
+
+
+_register(
+    "dsir_weights",
+    _dsir_weights,
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({TOKS}) AS token FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS UBIGINT)
+              AS BIGINT) % 64 AS b
+  FROM toks
+),
+tcnt AS (SELECT b, count(*) AS tc FROM tb WHERE lang = 'en' GROUP BY b),
+rcnt AS (SELECT b, count(*) AS rc FROM tb GROUP BY b),
+ttot AS (SELECT sum(tc) AS tt FROM tcnt),
+rtot AS (SELECT sum(rc) AS rt FROM rcnt),
+ratios AS (
+  SELECT r.b,
+         ln((coalesce(t.tc, 0) + 1.0::DOUBLE) / (ttot.tt + 64.0::DOUBLE))
+         - ln((r.rc + 1.0::DOUBLE) / (rtot.rt + 64.0::DOUBLE)) AS lr
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b, ttot, rtot),
+scored AS (
+  SELECT tb.doc_id, count(*) AS n_tokens, round(sum(ratios.lr), 6) AS w
+  FROM tb JOIN ratios ON tb.b = ratios.b GROUP BY tb.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.w, 0.0::DOUBLE) AS dsir_logweight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+)
