@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "triangle_count",
     "common_neighbors",
     "adamic_adar",
+    "label_propagation",
     "kmv_distinct_tokens",
     "heavy_hitters",
     "ctrl_windows",
@@ -102,6 +103,7 @@ BENCH_QUERIES = [
     "quality_audit",
     "pii_scrub",
     "decontaminate",
+    "dsir_weights",
     "stratified_sample",
     "temperature_rebalance",
     "negative_samples",
