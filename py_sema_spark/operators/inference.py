@@ -1,0 +1,185 @@
+"""RDFS entailment materialization over a distributed triple table.
+
+The reference delegates all reasoning-adjacent work to rdflib's
+in-memory graph (e.g. ``/root/reference/sema/query/__init__.py`` runs
+SPARQL over a fully materialized ``Graph``); at corpus scale the
+forward-chained RDFS closure has to be computed as relational algebra
+instead. This module implements the classic stratified evaluation of
+the ρdf fragment (Muñoz, Pérez & Gutierrez 2009, "Simple and Efficient
+Minimal RDFS"): because the *schema* (subClassOf / subPropertyOf /
+domain / range statements) is minuscule compared to the *instance*
+data, every rule becomes a broadcast join of the huge triple table
+against a driver-sized schema closure — no instance-side self-join
+ever happens, which is what makes the operator viable at 10^11 triples.
+
+Rule order (each feeds the next, a single pass is a fixpoint for
+ρdf as long as the schema does not meta-model the RDFS vocabulary
+itself, i.e. no ``rdfs:subPropertyOf rdfs:subPropertyOf …``):
+
+1. rdfs5   subPropertyOf transitivity        (schema-only closure)
+2. rdfs7   (s p o), p ⊑ q        → (s q o)   (broadcast join)
+3. rdfs2   (s p o), p domain C   → (s a C)   (broadcast join)
+4. rdfs3   (s p o), p range C    → (o a C)   (broadcast join, IRI o)
+5. rdfs11  subClassOf transitivity           (schema-only closure)
+6. rdfs9   (s a C), C ⊑ D        → (s a D)   (broadcast join)
+
+Reflexive entailments (rdfs6/8/10: ``C ⊑ C``) and the axiomatic
+container-membership triples are deliberately out of the fragment —
+they add no information and bloat the output linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+RDF_TYPE = RDF_NS + "type"
+SUBCLASS = RDFS_NS + "subClassOf"
+SUBPROP = RDFS_NS + "subPropertyOf"
+DOMAIN = RDFS_NS + "domain"
+RANGE = RDFS_NS + "range"
+
+
+def _spo(df: DataFrame) -> DataFrame:
+    return df.select("s", "p", "o")
+
+
+def rdfs_entailment(
+    triples: DataFrame,
+    o_kind_col: str = "o_kind",
+) -> DataFrame:
+    """Materialize the RDFS (ρdf) closure of ``triples``.
+
+    ``triples`` needs columns ``(s, p, o)``; when ``o_kind_col`` is
+    present, the range rule (rdfs3) only fires for rows whose object
+    is an IRI (``o_kind = 'iri'``) — literals have no types. Schema
+    statements are read from the same frame, the universal RDF idiom
+    (ontologies ship in-band).
+
+    Returns the DISTINCT entailed graph as ``(s, p, o)`` — input
+    triples, rdfs7-expanded property triples, rdfs2/3 type triples,
+    the rdfs9-propagated types, and the transitive schema closures
+    themselves (rdfs5/11 entail those as triples too).
+
+    Scale shape: the four schema slices are filtered out of the scan
+    in ONE collect and closed driver-side — they are ontology-sized
+    (10²..10⁵ rows), so their closure is trivial and every derived
+    rule table stays broadcastable. Each rule is then
+    ``instance ⋈ broadcast(rule_table)`` — map-side only; the sole
+    instance-wide exchange in the whole operator is the final
+    ``distinct``. At 100 TB you would write the output bucketed by
+    ``s`` so downstream BGP self-joins reuse the layout instead of
+    re-shuffling.
+    """
+    has_kind = o_kind_col in triples.columns
+    # one lineage cut: ``inst`` feeds six plan branches (two schema
+    # closures, domain/range slices, rdfs7 widening, the base union) —
+    # without it Spark recomputes the whole upstream subtree per
+    # consumer. At cluster scale the equivalent is persisting the
+    # normalized triple table once before reasoning over it.
+    inst = triples.select(
+        "s",
+        "p",
+        "o",
+        (F.col(o_kind_col) == F.lit("iri")).alias("_iri")
+        if has_kind
+        else F.lit(True).alias("_iri"),
+    ).localCheckpoint(eager=False)
+
+    # --- schema closures: ONE collect of the four ontology slices,
+    # closed on the driver. This is deliberately not distributed —
+    # schema statements are ontology-sized (10²..10⁵ rows, KBs even
+    # for giant vocabularies) while the instance data is the 100-TB
+    # side, so a BFS in Python beats ~2×max_depth tiny Spark jobs of
+    # iterated-join closure. The instance path below never collects.
+    schema_rows = (
+        inst.where(F.col("p").isin(SUBPROP, SUBCLASS, DOMAIN, RANGE))
+        .select("s", "p", "o")
+        .collect()
+    )
+
+    def close_pairs(pred: str) -> list:
+        adj: dict = {}
+        for r in schema_rows:
+            if r["p"] == pred:
+                adj.setdefault(r["s"], set()).add(r["o"])
+        out = []
+        for start in adj:
+            seen, stack = set(), list(adj[start])
+            while stack:
+                nxt = stack.pop()
+                if nxt in seen:
+                    continue
+                seen.add(nxt)
+                stack.extend(adj.get(nxt, ()))
+            out.extend((start, sup) for sup in seen)
+        return out
+
+    spark = triples.sparkSession
+    pair_schema = "sub string, sup string"
+
+    def pairs_df(rows: list, schema: str) -> DataFrame:
+        return spark.createDataFrame(rows, schema)
+
+    sp = pairs_df(close_pairs(SUBPROP), pair_schema)
+    sc = pairs_df(close_pairs(SUBCLASS), pair_schema)
+    dom = pairs_df(
+        [(r["s"], r["o"]) for r in schema_rows if r["p"] == DOMAIN],
+        "_p string, _cls string",
+    )
+    rng = pairs_df(
+        [(r["s"], r["o"]) for r in schema_rows if r["p"] == RANGE],
+        "_p string, _cls string",
+    )
+
+    # rdfs7: property widening over the transitive subPropertyOf closure
+    widened = inst.join(
+        F.broadcast(sp), inst["p"] == sp["sub"]
+    ).select("s", F.col("sup").alias("p"), "o", "_iri")
+    # inst1 feeds three rule branches plus the output union — cut once
+    inst1 = inst.unionByName(widened).localCheckpoint(eager=False)
+
+    # rdfs2 / rdfs3: domain and range type assertions over inst1
+    dom_types = inst1.join(F.broadcast(dom), inst1["p"] == dom["_p"]).select(
+        "s", F.lit(RDF_TYPE).alias("p"), F.col("_cls").alias("o")
+    )
+    rng_types = (
+        inst1.where(F.col("_iri"))
+        .join(F.broadcast(rng), inst1["p"] == rng["_p"])
+        .select(
+            F.col("o").alias("s"),
+            F.lit(RDF_TYPE).alias("p"),
+            F.col("_cls").alias("o"),
+        )
+    )
+
+    # rdfs9/11: propagate every type assertion up the subClassOf closure
+    types0 = (
+        inst1.where(F.col("p") == RDF_TYPE)
+        .select("s", "p", "o")
+        .unionByName(dom_types)
+        .unionByName(rng_types)
+    )
+    up_types = types0.join(F.broadcast(sc), types0["o"] == sc["sub"]).select(
+        types0["s"], F.lit(RDF_TYPE).alias("p"), F.col("sup").alias("o")
+    )
+
+    # rdfs5/11 as entailed triples
+    sp_triples = sp.select(
+        F.col("sub").alias("s"), F.lit(SUBPROP).alias("p"), F.col("sup").alias("o")
+    )
+    sc_triples = sc.select(
+        F.col("sub").alias("s"), F.lit(SUBCLASS).alias("p"), F.col("sup").alias("o")
+    )
+
+    return (
+        _spo(inst1)
+        .unionByName(types0)
+        .unionByName(up_types)
+        .unionByName(sp_triples)
+        .unionByName(sc_triples)
+        .distinct()
+    )

@@ -4448,3 +4448,95 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """,
 )
+
+
+# ---- RDFS entailment (ρdf forward chaining; the reference reasons
+# in-memory via rdflib graphs, /root/reference/sema/query/__init__.py;
+# here it is broadcast-join relational algebra) ----
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+_ENT_SCHEMA = [
+    # two-level subPropertyOf chain (exercises rdfs5 transitivity)
+    (SKOS + "prefLabel", RDFS + "subPropertyOf", "urn:p:label"),
+    ("urn:p:label", RDFS + "subPropertyOf", "urn:p:annotation"),
+    (DC + "title", RDFS + "subPropertyOf", "urn:p:label"),
+    # two-level subClassOf chain (rdfs11) + parallel branches
+    (SKOS + "Collection", RDFS + "subClassOf", "urn:cls:Grouping"),
+    ("urn:cls:Grouping", RDFS + "subClassOf", "urn:cls:Resource"),
+    (SKOS + "Concept", RDFS + "subClassOf", "urn:cls:Resource"),
+    (EX + "Customer", RDFS + "subClassOf", "urn:cls:Agent"),
+    # domain over the hub predicate, range over the closure predicate
+    (SKOS + "member", RDFS + "domain", "urn:cls:Grouping"),
+    (SKOS + "broader", RDFS + "range", "urn:cls:Broadened"),
+]
+
+
+def _rdfs_entailment(spark, sf):
+    """RDFS closure of the SKOS concept scheme with an in-band
+    ontology: property widening via a 2-level subPropertyOf chain,
+    domain/range typing of the member/broader slices, and subclass
+    propagation of every type assertion."""
+    from ..operators.inference import rdfs_entailment
+
+    schema = spark.createDataFrame(
+        [(s, p, o, "iri", None, None) for s, p, o in _ENT_SCHEMA],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    )
+    return rdfs_entailment(kg_triples(spark, sf).unionByName(schema))
+
+
+_ENT_VALUES = ",\n    ".join(
+    f"('{s}', '{p}', '{o}', 'iri')" for s, p, o in _ENT_SCHEMA
+)
+
+_register(
+    "rdfs_entailment",
+    _rdfs_entailment,
+    KG_SQL.replace("WITH triples", "WITH RECURSIVE triples", 1)
+    + f""",
+alltr(s, p, o, o_kind) AS (
+  SELECT s, p, o, o_kind FROM triples
+  UNION ALL
+  SELECT * FROM (VALUES
+    {_ENT_VALUES}
+  ) AS v(s, p, o, o_kind)
+),
+sp(sub, sup) AS (
+  SELECT s, o FROM alltr WHERE p = '{RDFS}subPropertyOf'
+  UNION
+  SELECT sp.sub, t.o FROM sp
+  JOIN alltr t ON t.s = sp.sup AND t.p = '{RDFS}subPropertyOf'
+),
+sc(sub, sup) AS (
+  SELECT s, o FROM alltr WHERE p = '{RDFS}subClassOf'
+  UNION
+  SELECT sc.sub, t.o FROM sc
+  JOIN alltr t ON t.s = sc.sup AND t.p = '{RDFS}subClassOf'
+),
+inst1(s, p, o, o_kind) AS (
+  SELECT s, p, o, o_kind FROM alltr
+  UNION ALL
+  SELECT t.s, sp.sup, t.o, t.o_kind FROM alltr t JOIN sp ON t.p = sp.sub
+),
+types0(s, o) AS (
+  SELECT s, o FROM inst1 WHERE p = '{RDF}type'
+  UNION ALL
+  SELECT t.s, d.o FROM inst1 t
+  JOIN alltr d ON d.p = '{RDFS}domain' AND t.p = d.s
+  UNION ALL
+  SELECT t.o, r.o FROM inst1 t
+  JOIN alltr r ON r.p = '{RDFS}range' AND t.p = r.s
+  WHERE t.o_kind = 'iri'
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM inst1
+  UNION ALL SELECT s, '{RDF}type', o FROM types0
+  UNION ALL SELECT t.s, '{RDF}type', sc.sup FROM types0 t
+            JOIN sc ON t.o = sc.sub
+  UNION ALL SELECT sub, '{RDFS}subPropertyOf', sup FROM sp
+  UNION ALL SELECT sub, '{RDFS}subClassOf', sup FROM sc
+)
+""",
+)

@@ -1,0 +1,99 @@
+"""RDFS entailment (operators/inference.py) against hand-computed
+closures. The reference reasons via rdflib in-memory graphs
+(/root/reference/sema/query/__init__.py); the semantics mirrored here
+are the ρdf fragment rules rdfs2/3/5/7/9/11."""
+
+import pytest
+
+from py_sema_spark.operators.inference import (
+    RDF_TYPE,
+    SUBCLASS,
+    SUBPROP,
+    DOMAIN,
+    RANGE,
+    rdfs_entailment,
+)
+
+EX = "urn:ex:"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rows = [
+        # ontology (in-band)
+        (EX + "name", SUBPROP, EX + "label", "iri"),
+        (EX + "label", SUBPROP, EX + "annotation", "iri"),
+        (EX + "Dog", SUBCLASS, EX + "Mammal", "iri"),
+        (EX + "Mammal", SUBCLASS, EX + "Animal", "iri"),
+        (EX + "hasOwner", DOMAIN, EX + "Pet", "iri"),
+        (EX + "hasOwner", RANGE, EX + "Person", "iri"),
+        # instance data
+        (EX + "rex", RDF_TYPE, EX + "Dog", "iri"),
+        (EX + "rex", EX + "name", "Rex", "literal"),
+        (EX + "rex", EX + "hasOwner", EX + "ann", "iri"),
+        # literal object for a ranged property: rdfs3 must NOT fire
+        (EX + "rex", EX + "note", "a note", "literal"),
+        (EX + "note", RANGE, EX + "Text", "iri"),
+    ]
+    return spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+
+
+class TestRdfsEntailment:
+    @pytest.fixture(scope="class")
+    def out(self, graph):
+        return {
+            (r["s"], r["p"], r["o"])
+            for r in rdfs_entailment(graph).collect()
+        }
+
+    def test_input_preserved(self, graph, out):
+        for r in graph.select("s", "p", "o").collect():
+            assert (r["s"], r["p"], r["o"]) in out
+
+    def test_subproperty_widening_transitive(self, out):
+        assert (EX + "rex", EX + "label", "Rex") in out
+        # rdfs5 chain: name ⊑ label ⊑ annotation
+        assert (EX + "rex", EX + "annotation", "Rex") in out
+        assert (EX + "name", SUBPROP, EX + "annotation") in out
+
+    def test_domain_range_types(self, out):
+        assert (EX + "rex", RDF_TYPE, EX + "Pet") in out
+        assert (EX + "ann", RDF_TYPE, EX + "Person") in out
+
+    def test_range_skips_literals(self, out):
+        assert ("a note", RDF_TYPE, EX + "Text") not in out
+
+    def test_subclass_propagation_transitive(self, out):
+        assert (EX + "rex", RDF_TYPE, EX + "Mammal") in out
+        assert (EX + "rex", RDF_TYPE, EX + "Animal") in out
+        assert (EX + "Dog", SUBCLASS, EX + "Animal") in out
+
+    def test_exact_closure(self, graph, out):
+        base = {
+            (r["s"], r["p"], r["o"])
+            for r in graph.select("s", "p", "o").collect()
+        }
+        expected = base | {
+            (EX + "rex", EX + "label", "Rex"),
+            (EX + "rex", EX + "annotation", "Rex"),
+            (EX + "name", SUBPROP, EX + "annotation"),
+            (EX + "Dog", SUBCLASS, EX + "Animal"),
+            (EX + "rex", RDF_TYPE, EX + "Pet"),
+            (EX + "rex", RDF_TYPE, EX + "Mammal"),
+            (EX + "rex", RDF_TYPE, EX + "Animal"),
+            (EX + "ann", RDF_TYPE, EX + "Person"),
+        }
+        assert out == expected
+
+    def test_no_kind_column_treats_objects_as_iris(self, spark):
+        g = spark.createDataFrame(
+            [
+                (EX + "p", RANGE, EX + "C"),
+                (EX + "x", EX + "p", EX + "y"),
+            ],
+            ["s", "p", "o"],
+        )
+        out = {
+            (r["s"], r["p"], r["o"]) for r in rdfs_entailment(g).collect()
+        }
+        assert (EX + "y", RDF_TYPE, EX + "C") in out
