@@ -248,3 +248,109 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("content"),
         meta.alias("meta"),
     )
+
+
+def phash(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Perceptual hash per media item: decode → ``dim`` luminance
+    samples → bit *i* set iff sample *i* is above the per-item mean
+    (the thresholding step every pHash variant shares; a production
+    decoder feeds DCT coefficients through the identical contract).
+    Decode uses the real codec when importable, else the deterministic
+    sha256 stub — same hook as :func:`decode_stats`.
+
+    Output: ``(media_id, phash)`` with ``phash`` a ``dim``-bit long.
+    Map-side only (one Arrow-batched ``mapInPandas``, no shuffle).
+    """
+    schema = "media_id long, phash long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _try_real_image_decoder()
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                px = None
+                if real is not None:
+                    try:
+                        px = real(data)
+                    except Exception:
+                        px = None
+                if px is None:
+                    px = _fake_pixels(data, dim)
+                px = (px * ((dim // len(px)) + 1))[:dim]
+                mean = sum(px) / len(px)
+                h = 0
+                for i, v in enumerate(px):
+                    if v > mean:
+                        h |= 1 << i
+                rows.append((int(mid), h))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def phash_neardup(
+    media: DataFrame,
+    max_hamming: int = 2,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance,
+    WITHOUT an all-pairs comparison: the ``dim``-bit hash is split into
+    ``max_hamming + 1`` bands — by pigeonhole, any pair within
+    ``max_hamming`` bit flips agrees exactly on at least one band — so
+    candidates come from an equi-join on ``(band, band_value)`` and
+    only candidates pay the exact ``bit_count(xor)`` verify.
+
+    Output: ``(a, b, hamming)`` with ``a < b``, one row per pair at
+    Hamming distance ≤ ``max_hamming``.
+
+    Scale shape: identical to MinHash-LSH banding (operators/dedup.py)
+    — explode ``n_bands`` rows per item, shuffle once on the band key,
+    per-bucket pair generation, verify on the candidate set only. A
+    degenerate band value (e.g. all-black thumbnails hashing to band 0)
+    is the usual LSH skew case; at corpus scale cap bucket sizes the
+    same way ``minhash_neardup`` does.
+    """
+    n_bands = max_hamming + 1
+    band_bits = -(-dim // n_bands)  # ceil
+    hashes = phash(media, dim)
+
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        # band value via floor-div/mod (portable to the SQL oracle;
+        # shiftright needs a literal count)
+        "bv",
+        F.pmod(
+            F.floor(
+                F.col("phash")
+                / F.pow(F.lit(2.0), F.col("band") * F.lit(band_bits))
+            ),
+            F.lit(2 ** band_bits),
+        ).cast("long"),
+    )
+    left = bands.select(
+        F.col("band"),
+        F.col("bv"),
+        F.col("media_id").alias("a"),
+        F.col("phash").alias("ha"),
+    )
+    right = bands.select(
+        F.col("band"),
+        F.col("bv"),
+        F.col("media_id").alias("b"),
+        F.col("phash").alias("hb"),
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "a",
+        "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -4540,3 +4540,45 @@ SELECT DISTINCT s, p, o FROM (
 )
 """,
 )
+
+
+def _phash_neardup(spark, sf):
+    """Perceptual-hash media near-dup: banded Hamming-LSH pairs at
+    distance ≤ 2 over the 16-bit stub-decoded pHash; the oracle
+    mirrors the sha256-stub pixels (pixels i and i+8 coincide, so bit
+    i+8 duplicates bit i) and verifies via all-pairs bit_count(xor)
+    at oracle scale."""
+    from ..operators.multimodal import media_from_documents, phash_neardup
+
+    media = media_from_documents(_tp(spark, sf, "documents"))
+    return phash_neardup(media, max_hamming=2)
+
+
+_register(
+    "phash_neardup",
+    _phash_neardup,
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS h FROM documents
+),
+v AS (
+  SELECT media_id, i,
+         SUM((strpos('0123456789abcdef', lower(substr(h, 8*i + j, 1))) - 1)
+             * power(16, 8 - j)) AS val
+  FROM m, range(8) t(i), range(1, 9) u(j)
+  GROUP BY media_id, i
+),
+mn AS (SELECT media_id, avg(val) AS mean FROM v GROUP BY media_id),
+ph AS (
+  SELECT v.media_id,
+         CAST(COALESCE(SUM(CASE WHEN v.val > mn.mean
+              THEN power(2, v.i) + power(2, v.i + 8) END), 0) AS BIGINT)
+           AS phash
+  FROM v JOIN mn ON v.media_id = mn.media_id GROUP BY v.media_id
+)
+SELECT a.media_id AS a, b.media_id AS b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+)

@@ -13,6 +13,8 @@ from py_sema_spark.operators.multimodal import (
     frame_sample,
     media_features,
     media_from_documents,
+    phash,
+    phash_neardup,
     resize_images,
 )
 
@@ -85,6 +87,32 @@ def test_frame_sample_schedule_and_content(media):
     assert capped.groupBy("media_id").count().agg(
         F.max("count")
     ).collect()[0][0] <= 3
+
+
+def test_phash_banding_matches_all_pairs(media):
+    """The (max_hamming+1)-band pigeonhole join must find exactly the
+    pairs an all-pairs Hamming scan finds — banding is a candidate
+    *generator*, never a filter on true pairs."""
+    hashes = {r["media_id"]: r["phash"] for r in phash(media).collect()}
+    ids = sorted(hashes)
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 2
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in phash_neardup(media, max_hamming=2).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_phash_deterministic_and_bounded(media):
+    a = {r["media_id"]: r["phash"] for r in phash(media).collect()}
+    b = {r["media_id"]: r["phash"] for r in phash(media).collect()}
+    assert a == b
+    assert all(0 <= h < 2**FEATURE_DIM for h in a.values())
 
 
 class TestLinkFollow:
