@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "neighbor_agg",
     "k_core",
     "triangle_count",
+    "clustering_coefficient",
+    "sameas_fusion",
+    "taxonomy_rollup",
     "common_neighbors",
     "adamic_adar",
     "label_propagation",
@@ -133,6 +136,7 @@ BENCH_QUERIES = [
     "shacl_validate",
     "frame_sample",
     "media_decode_stats",
+    "phash_neardup",
 ]
 
 

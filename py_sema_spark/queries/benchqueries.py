@@ -1555,6 +1555,66 @@ FROM deg LEFT JOIN pn ON deg.node = pn.node
 )
 
 
+def _clustering_coefficient(spark, sf):
+    """Local clustering coefficient per node over the synthetic link
+    graph — triangle fraction of each node's neighbor pairs; same
+    degree-ordered O(m^1.5) triangle pass as `triangle_count`, plus a
+    free projection (the degree frame already lives inside the pass)."""
+    from ..operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_triangle_edges(spark, sf))
+
+
+_register(
+    "clustering_coefficient",
+    _clustering_coefficient,
+    """
+WITH nc AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+fwd AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS hi
+  FROM und u
+  JOIN deg da ON u.a = da.node
+  JOIN deg db ON u.b = db.node),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM fwd e1 JOIN fwd e2 ON e1.hi = e2.lo
+  WHERE EXISTS (SELECT 1 FROM fwd f
+                WHERE f.lo = e1.lo AND f.hi = e2.hi)),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY node)
+SELECT deg.node,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0::DOUBLE * coalesce(pn.triangles, 0)
+                       / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0::DOUBLE END AS coeff
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+""",
+)
+
+
 def _kmv_distinct_tokens(spark, sf):
     from ..operators.dedup import normalized_tokens
     from ..operators.sketch import kmv_distinct
@@ -4580,5 +4640,86 @@ SELECT a.media_id AS a, b.media_id AS b,
        bit_count(xor(a.phash, b.phash)) AS hamming
 FROM ph a JOIN ph b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+)
+
+
+def _sameas_fusion(spark, sf):
+    """owl:sameAs fusion — the north-rule canonicalization applied to
+    the triple store end-to-end: equivalence edges (deterministic
+    chains over customer IRIs, i↔i+1 within each decade — transitive,
+    so only a real connected-components pass resolves them) →
+    `canonical_map` (pointer-doubled CC, canonical = min IRI) →
+    `rewrite_triples` (broadcast map over s and IRI-kind o) → distinct
+    fused (s,p,o). The oracle uses the closed decade form the chain
+    construction guarantees; the Spark side must reach it via CC."""
+    from ..operators.linkage import canonical_map, rewrite_triples
+
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    mx = F.broadcast(cust.agg(F.max("c_custkey").alias("_mx")))
+    e = cust.crossJoin(mx).where(
+        (F.col("c_custkey") % 10 != 9) & (F.col("c_custkey") < F.col("_mx"))
+    )
+    edges = e.select(
+        F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("urn:cust:"), (F.col("c_custkey") + 1).cast("string")
+        ).alias("dst"),
+    )
+    fused = rewrite_triples(kg_triples(spark, sf), canonical_map(edges))
+    return fused.select("s", "p", "o").distinct()
+
+
+_register(
+    "sameas_fusion",
+    _sameas_fusion,
+    KG_SQL
+    + """
+, canon AS (
+  SELECT 'urn:cust:' || c_custkey AS member,
+         'urn:cust:' || ((c_custkey // 10) * 10) AS canonical
+  FROM customer
+)
+SELECT DISTINCT
+  coalesce(cs.canonical, t.s) AS s,
+  t.p,
+  CASE WHEN t.o_kind = 'iri' THEN coalesce(co.canonical, t.o)
+       ELSE t.o END AS o
+FROM triples t
+LEFT JOIN canon cs ON t.s = cs.member
+LEFT JOIN canon co ON t.o = co.member
+""",
+)
+
+
+def _taxonomy_rollup(spark, sf):
+    """Descendant rollup over the SKOS broader DAG: for every
+    ancestor, the count of distinct transitive descendants and the
+    max depth below it — the 'how big is each subtree' question every
+    taxonomy UI and vocabulary audit asks. One closure pass (O(log
+    diameter) doubling rounds, shared machinery with
+    `transitive_closure`) + one ancestor-keyed aggregate; the hub
+    ancestor (urn:world:0, every concept below it) pre-combines
+    map-side inside the count."""
+    tc = transitive_closure(
+        kg_triples(spark, sf)
+        .where((F.col("p") == SKOS + "broader") & (F.col("o_kind") == "iri"))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    )
+    return tc.groupBy(F.col("dst").alias("ancestor")).agg(
+        F.countDistinct("src").alias("descendants"),
+        F.max("dist").cast("long").alias("max_depth"),
+    )
+
+
+_register(
+    "taxonomy_rollup",
+    _taxonomy_rollup,
+    CLOSURE_SQL
+    + """
+SELECT dst AS ancestor,
+       count(DISTINCT src) AS descendants,
+       CAST(max(dist) AS BIGINT) AS max_depth
+FROM closure GROUP BY dst
 """,
 )

@@ -579,6 +579,78 @@ class TestTriangleCount:
         assert out == {n: 3 for n in nodes}
 
 
+class TestClusteringCoefficient:
+    def test_triangle_with_pendant(self, spark):
+        """Hand-computed fixed point: triangle a-b-c plus pendant d on
+        a. c(a)=2·1/(3·2)=0.333333, c(b)=c(c)=1.0, c(d)=0 (deg 1)."""
+        from py_sema_spark.operators.graph import clustering_coefficient
+
+        g = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+            "src string, dst string",
+        )
+        out = {
+            r.node: (r.degree, r.triangles, r.coeff)
+            for r in clustering_coefficient(g).collect()
+        }
+        assert out == {
+            "a": (3, 1, 0.333333),
+            "b": (2, 1, 1.0),
+            "c": (2, 1, 1.0),
+            "d": (1, 0, 0.0),
+        }
+
+    def test_square_all_zero(self, spark):
+        from py_sema_spark.operators.graph import clustering_coefficient
+
+        square = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string",
+        )
+        assert all(
+            r.coeff == 0.0 and r.degree == 2
+            for r in clustering_coefficient(square).collect()
+        )
+
+
+class TestSameasFusion:
+    def test_chain_rewrites_and_dedups(self, spark):
+        """sameAs chain x↔y↔z (transitive — needs real CC): all three
+        subjects collapse onto the min IRI and the duplicated type
+        triples fuse to one; literal objects are never rewritten even
+        when their text equals a member IRI."""
+        from py_sema_spark.operators.linkage import (
+            canonical_map,
+            rewrite_triples,
+        )
+
+        triples = spark.createDataFrame(
+            [
+                ("urn:x", "rdf:type", "ex:Thing", "iri", None, None),
+                ("urn:y", "rdf:type", "ex:Thing", "iri", None, None),
+                ("urn:z", "rdf:type", "ex:Thing", "iri", None, None),
+                ("urn:a", "ex:knows", "urn:z", "iri", None, None),
+                ("urn:a", "ex:note", "urn:z", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        edges = spark.createDataFrame(
+            [("urn:x", "urn:y"), ("urn:y", "urn:z")], "src string, dst string"
+        )
+        fused = (
+            rewrite_triples(triples, canonical_map(edges))
+            .select("s", "p", "o")
+            .distinct()
+        )
+        got = {(r.s, r.p, r.o) for r in fused.collect()}
+        assert got == {
+            ("urn:x", "rdf:type", "ex:Thing"),
+            ("urn:a", "ex:knows", "urn:x"),
+            ("urn:a", "ex:note", "urn:z"),
+        }
+
+
 class TestKmvSketch:
     def test_small_groups_exact(self, spark):
         from py_sema_spark.operators.sketch import kmv_distinct
