@@ -145,6 +145,10 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
+    # deg feeds three plan branches (both orientation joins + the
+    # output frame): cut the lineage once — |V| rows — instead of
+    # recomputing the edge-dedup+degree subtree per consumer
+    deg = deg.localCheckpoint(eager=False)
     # orient by (degree, node): lower endpoint first
     ranked = (
         undirected.join(deg.withColumnRenamed("node", a), a)
