@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "random_projection",
     "centroid_similarity",
     "cosine_topk",
+    "kmeans_embeddings",
     "quantized_cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

@@ -568,3 +568,91 @@ def signed_random_projection(
         .groupBy(id_col, "j")
         .agg(F.round(F.sum(F.col("_v") * F.col("_s")), 6).alias("proj"))
     )
+
+
+def squared_l2(a: Column, b: Column) -> Column:
+    """Elementwise (a−b)² folded in array order — deterministic
+    summation order, unlike a shuffled aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding column — the SemDeDup-style
+    clustering step (cluster, then near-dedup within clusters) and the
+    IVF coarse quantizer trained in-engine rather than imported.
+
+    Deterministic by construction so an exact SQL oracle can replay
+    the trajectory: seeding = the k lowest-id vectors (TakeOrdered,
+    no RNG), every centroid coordinate and every distance rounds to 6
+    decimals per iteration (pins cross-engine float drift), argmin
+    tie-breaks on cluster id via one struct-min aggregate.
+
+    Scale shape per iteration: corpus ⋈ broadcast(centroids) → n×k
+    narrow rows → struct-min argmin (map-side combining, one exchange
+    on the id) → (cluster, dim)-keyed mean (posexplode, second
+    exchange) — the corpus itself never reshuffles, and centroid
+    frames are k rows with lineage cut each round so plan depth stays
+    constant across iterations.
+
+    Returns (id, cluster, dist) with dist = squared L2 to the final
+    assignment's centroid, rounded to 6.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    w0 = Window.orderBy("_id")
+    cent = (
+        emb.orderBy("_id")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(w0) - 1)
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.transform("_v", lambda x: F.round(x, 6)).alias("_c"),
+        )
+    )
+    assign = None
+    for it in range(iterations):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "_id",
+            "cid",
+            F.round(squared_l2(F.col("_v"), F.col("_c")), 6).alias("_d"),
+        )
+        assign = (
+            scored.groupBy("_id")
+            .agg(F.min(F.struct("_d", "cid")).alias("m"))
+            .select("_id", F.col("m.cid").alias("cid"), F.col("m._d").alias("_d"))
+        )
+        if it == iterations - 1:
+            break
+        members = emb.join(assign.select("_id", "cid"), "_id")
+        means = (
+            members.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+        )
+        cent = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s.mv,
+                ).alias("_c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign.select(
+        F.col("_id").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("_d").alias("dist"),
+    )

@@ -4723,3 +4723,62 @@ SELECT dst AS ancestor,
 FROM closure GROUP BY dst
 """,
 )
+
+
+def _kmeans_embeddings(spark, sf):
+    """Deterministic Lloyd k-means (k=4, 2 iterations) over the
+    embeddings table — seeding, rounding, and tie-breaks pinned so the
+    DuckDB oracle replays the identical trajectory (centroids and
+    distances round to 6 each step; argmin ties break on cluster id)."""
+    from ..operators.similarity import kmeans_assign
+
+    return kmeans_assign(_tp(spark, sf, "embeddings"), k=4, iterations=2)
+
+
+_register(
+    "kmeans_embeddings",
+    _kmeans_embeddings,
+    """
+WITH ev AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) t(i)
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+c0v AS (
+  SELECT c0.cid, ev.pos, round(ev.val, 6) AS cv
+  FROM c0 JOIN ev ON c0.vec_id = ev.vec_id
+),
+d1 AS (
+  SELECT ev.vec_id, c.cid,
+         round(sum((ev.val - c.cv) * (ev.val - c.cv)), 6) AS d
+  FROM ev JOIN c0v c ON ev.pos = c.pos
+  GROUP BY ev.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d1
+),
+c1 AS (
+  SELECT a1.cid, ev.pos, round(avg(ev.val), 6) AS cv
+  FROM a1 JOIN ev ON a1.vec_id = ev.vec_id AND a1.rn = 1
+  GROUP BY a1.cid, ev.pos
+),
+d2 AS (
+  SELECT ev.vec_id, c.cid,
+         round(sum((ev.val - c.cv) * (ev.val - c.cv)), 6) AS d
+  FROM ev JOIN c1 c ON ev.pos = c.pos
+  GROUP BY ev.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d2
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
+FROM a2 WHERE rn = 1
+""",
+)

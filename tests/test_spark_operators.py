@@ -1531,6 +1531,50 @@ class TestFunnelCounts:
         assert got == {"signup": 1, "click": 1, "purchase": 0}
 
 
+class TestKmeansAssign:
+    def test_two_obvious_clusters(self, spark):
+        """Points packed around (0,0) and (10,10), with the two
+        lowest ids (= the seeds) one in each blob, must split exactly
+        by location after one Lloyd round."""
+        from py_sema_spark.operators.similarity import kmeans_assign
+
+        pts = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+        pts += [(2 + i, [0.1 + i * 0.01, 0.1 - i * 0.01]) for i in range(4)]
+        pts += [(10 + i, [9.9 + i * 0.01, 9.9 - i * 0.01]) for i in range(4)]
+        df = spark.createDataFrame(
+            pts, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_assign(df, k=2, iterations=3).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert sorted(map(sorted, by_cluster.values())) == [
+            [0, 2, 3, 4, 5],
+            [1, 10, 11, 12, 13],
+        ]
+        assert all(r.dist < 1.0 for r in out)
+
+    def test_deterministic_under_repartition(self, spark):
+        from py_sema_spark.operators.similarity import kmeans_assign
+
+        pts = [
+            (i, [float((i * 37) % 11), float((i * 53) % 13)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        a = sorted(
+            (r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(df, k=3, iterations=2).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(
+                df.repartition(7), k=3, iterations=2
+            ).collect()
+        )
+        assert a == b
+
+
 class TestSignedRandomProjection:
     def test_deterministic_and_linear(self, spark):
         from py_sema_spark.operators.similarity import (
