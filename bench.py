@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "centroid_similarity",
     "cosine_topk",
     "kmeans_embeddings",
+    "semantic_neardup",
     "quantized_cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

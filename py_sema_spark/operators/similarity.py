@@ -656,3 +656,48 @@ def kmeans_assign(
         F.col("cid").alias("cluster"),
         F.col("_d").alias("dist"),
     )
+
+
+def semantic_neardup(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means the embeddings with
+    :func:`kmeans_assign`, then compute exact cosine near-dup pairs
+    *within* clusters only.
+
+    This is the scale answer to all-pairs embedding dedup: the
+    quadratic pair join is keyed on the cluster id, so the work is
+    Σ|cluster|² instead of n² — with k grown proportionally to the
+    corpus, cluster populations (and hence per-key fan-out) stay
+    bounded. A runaway cluster is the same skew case as a hot LSH
+    bucket; cap or re-split it the way ``minhash_neardup`` caps
+    buckets. Cross-cluster near-dups are sacrificed by design (the
+    SemDeDup trade); the exact twin `embedding_neardup` measures what
+    that costs on a given corpus.
+
+    Returns (cluster, a, b, cos) with a < b and cos ≥ ``threshold``,
+    cos rounded to 6 after the (unrounded) threshold gate — same
+    convention as `embedding_neardup_pairs`.
+    """
+    assign = kmeans_assign(embeddings, k, iterations, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).join(assign.select(id_col, "cluster"), id_col)
+    a = e.select(
+        "cluster", F.col(id_col).alias("a"), F.col("_v").alias("_va")
+    )
+    b = e.select(
+        "cluster", F.col(id_col).alias("b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, ["cluster"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos") >= threshold)
+        .select("cluster", "a", "b", F.round("cos", 6).alias("cos"))
+    )

@@ -4735,10 +4735,7 @@ def _kmeans_embeddings(spark, sf):
     return kmeans_assign(_tp(spark, sf, "embeddings"), k=4, iterations=2)
 
 
-_register(
-    "kmeans_embeddings",
-    _kmeans_embeddings,
-    """
+_KMEANS_CTE = """
 WITH ev AS (
   SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, range(1, 65) t(i)
@@ -4780,5 +4777,48 @@ a2 AS (
 )
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d AS dist
 FROM a2 WHERE rn = 1
+"""
+
+# the WITH block alone (everything up to the final projection), for
+# queries composing on the k-means assignment
+_KMEANS_WITH = _KMEANS_CTE[: _KMEANS_CTE.rindex("SELECT vec_id")]
+
+_register(
+    "kmeans_embeddings",
+    _kmeans_embeddings,
+    _KMEANS_CTE,
+)
+
+
+def _semantic_neardup(spark, sf):
+    """SemDeDup: k-means cluster the embeddings, then exact cosine
+    near-dup pairs WITHIN clusters only — all-pairs work bounded by
+    the largest cluster, never the corpus (k scales with corpus size
+    at 100 TB so cluster populations stay bounded)."""
+    from ..operators.similarity import semantic_neardup
+
+    return semantic_neardup(
+        _tp(spark, sf, "embeddings"), k=4, iterations=2, threshold=0.35
+    )
+
+
+_register(
+    "semantic_neardup",
+    _semantic_neardup,
+    _KMEANS_WITH
+    + """,
+asgn AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2 WHERE rn = 1),
+e AS (
+  SELECT asgn.cluster, emb.vec_id, CAST(emb.embedding AS DOUBLE[]) AS v
+  FROM embeddings emb JOIN asgn ON emb.vec_id = asgn.vec_id
+)
+SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v)
+      / (sqrt(list_dot_product(x.v, x.v))
+         * sqrt(list_dot_product(y.v, y.v))) >= 0.35
 """,
 )

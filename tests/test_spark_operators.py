@@ -1575,6 +1575,30 @@ class TestKmeansAssign:
         assert a == b
 
 
+class TestSemanticNeardup:
+    def test_subset_of_exact_and_recall(self, spark, sf_dir):
+        """Every within-cluster pair must appear in the exact all-pairs
+        result with the identical cosine (SemDeDup only *drops*
+        cross-cluster pairs, never invents or rescores), and on the
+        fixture corpus the cluster constraint must retain a meaningful
+        fraction of true pairs — the premise that near-dups co-cluster."""
+        from py_sema_spark.operators.similarity import semantic_neardup
+        from py_sema_spark.queries.benchqueries import QUERIES
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {
+            (r.a, r.b): r.cos
+            for r in QUERIES["embedding_neardup"](spark, sf_dir).collect()
+        }
+        sem = {
+            (r.a, r.b): r.cos
+            for r in semantic_neardup(emb, k=4, iterations=2).collect()
+        }
+        assert set(sem) <= set(exact)
+        assert all(exact[p] == c for p, c in sem.items())
+        assert len(sem) >= 0.25 * len(exact) > 0
+
+
 class TestSignedRandomProjection:
     def test_deterministic_and_linear(self, spark):
         from py_sema_spark.operators.similarity import (
