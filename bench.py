@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "minhash_neardup_shingle",
     "neardup_clusters",
     "ngram_jaccard",
+    "sorted_neighborhood",
     "simhash",
     "lang_id",
     "token_counts",

@@ -761,3 +761,71 @@ def incremental_minhash_dedup(
             F.round("_est", 6).alias("est_jaccard"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    key_chars: int = 24,
+    block_chars: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): candidates
+    are pairs within ``window`` positions of each other in the
+    (normalized-prefix, id) sort order — the third blocking family
+    next to MinHash-LSH banding and FastSS deletion neighborhoods,
+    and the cheapest when near-dups share a common prefix (title
+    variants, boilerplate headers).
+
+    Scale shape: the sort is never global — rows shuffle once on the
+    ``block_chars``-char key prefix (bounded key space), the rank
+    window runs *within* blocks, and the candidate join is an
+    equi-join on the block key plus a rank-distance filter. Pairs
+    whose keys straddle a block boundary are sacrificed, the standard
+    SN trade (multi-pass with a second key recovers them; at corpus
+    scale run two passes with rotated keys). A hot block (shared
+    boilerplate prefix) is the usual skew case — cap it like an LSH
+    bucket.
+
+    Output: (a, b, jaccard) with a < b — exact distinct-token Jaccard
+    computed on the candidate set only, rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " ")
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(norm, 1, key_chars).alias("_key"),
+        F.substring(norm, 1, block_chars).alias("_blk"),
+        F.array_distinct(normalized_tokens(F.col(text_col))).alias("_toks"),
+    )
+    w = Window.partitionBy("_blk").orderBy("_key", "_id")
+    ranked = base.withColumn("_rnk", F.row_number().over(w))
+    left = ranked.select(
+        F.col("_blk"),
+        F.col("_rnk").alias("_ra"),
+        F.col("_id").alias("a"),
+        F.col("_toks").alias("_ta"),
+    )
+    right = ranked.select(
+        F.col("_blk"),
+        F.col("_rnk").alias("_rb"),
+        F.col("_id").alias("b"),
+        F.col("_toks").alias("_tb"),
+    )
+    cand = left.join(right, ["_blk"]).where(
+        (F.col("_rb") > F.col("_ra"))
+        & (F.col("_rb") - F.col("_ra") <= window)
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    return cand.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        F.round(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+        ).alias("jaccard"),
+    )

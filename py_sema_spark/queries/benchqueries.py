@@ -4822,3 +4822,43 @@ WHERE list_dot_product(x.v, y.v)
          * sqrt(list_dot_product(y.v, y.v))) >= 0.35
 """,
 )
+
+
+def _sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking dedup: candidates within 3 ranks
+    of each other in (24-char normalized prefix, id) order inside
+    3-char prefix blocks; exact distinct-token Jaccard on candidates
+    only."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_tp(spark, sf, "documents"), window=3)
+
+
+_NORM_PREFIX = (
+    "trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+)
+
+_register(
+    "sorted_neighborhood",
+    _sorted_neighborhood,
+    f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         substr({_NORM_PREFIX}, 1, 24) AS key,
+         substr({_NORM_PREFIX}, 1, 3) AS blk,
+         list_distinct({TOKS}) AS toks
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rnk
+  FROM base
+)
+SELECT least(l.id, r.id) AS a, greatest(l.id, r.id) AS b,
+       round(CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) > 0
+             THEN len(list_intersect(l.toks, r.toks))::DOUBLE
+                  / len(list_distinct(list_concat(l.toks, r.toks)))
+             ELSE 0.0::DOUBLE END, 6) AS jaccard
+FROM ranked l JOIN ranked r
+  ON l.blk = r.blk AND r.rnk > l.rnk AND r.rnk - l.rnk <= 3
+""",
+)

@@ -1406,6 +1406,44 @@ class TestScd2Apply:
         assert cur.groupBy("k").count().where("count > 1").count() == 0
 
 
+class TestSortedNeighborhood:
+    def test_window_and_block_semantics(self, spark):
+        """Docs sharing a prefix rank adjacently and pair up; docs more
+        than `window` ranks apart (or in another prefix block) never
+        become candidates, whatever their true similarity."""
+        from py_sema_spark.operators.dedup import sorted_neighborhood_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma one"),
+                (2, "alpha beta gamma two"),
+                (3, "alpha beta gamma three"),
+                (4, "alpha beta gamma four"),
+                (5, "alpha beta gamma five"),
+                (6, "zeta totally different text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.a, r.b): r.jaccard
+            for r in sorted_neighborhood_pairs(docs, window=2).collect()
+        }
+        # rank order within block 'alp' is by 24-char key:
+        # five(5) < four(4) < one(1) < three(3) < two(2);
+        # candidates = pairs within 2 ranks of each other
+        order = [5, 4, 1, 3, 2]
+        want = {
+            tuple(sorted((order[i], order[j])))
+            for i in range(len(order))
+            for j in range(i + 1, min(i + 3, len(order)))
+        }
+        assert set(out) == want
+        # same 3/4-token overlap for every pair in the clique
+        assert all(abs(j - 3 / 5) < 1e-6 or j > 0 for j in out.values())
+        # doc 6 is alone in its block: no pair mentions it
+        assert all(6 not in p for p in out)
+
+
 class TestIncrementalMinhash:
     def test_ingest_dup_found_via_index_only(self, spark):
         from py_sema_spark.operators.dedup import (
