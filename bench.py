@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "bodc_listing",
     "skos_broader_depth",
     "transitive_closure",
+    "rdf_list_flatten",
     "rdfs_entailment",
     "connected_components",
     "pagerank",

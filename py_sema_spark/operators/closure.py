@@ -187,3 +187,59 @@ def closure_from_triples(
         (F.col("p") == predicate) & (F.col("o_kind") == "iri")
     ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
     return transitive_closure(edges, max_iterations=max_iterations)
+
+
+def rdf_list_flatten(
+    triples: DataFrame,
+    first_p: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+    rest_p: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+    nil: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil",
+) -> DataFrame:
+    """Flatten RDF collections (``rdf:first``/``rdf:rest`` cons
+    chains — what JSON-LD ``@list`` and Turtle ``( … )`` parse to)
+    into ordered rows ``(head, pos, item)``.
+
+    A list is pure linked-list structure, so the position of an item
+    is the rest-hop distance of its cons cell from the head cell:
+    one :func:`transitive_closure` pass over the ``rest`` edge slice
+    (pointer-doubled, O(log length) rounds — a 10⁶-element pathological
+    list costs ~20 rounds, not 10⁶), plus a zero-hop self row per
+    cell, restricted to *proper heads* (cells with no incoming
+    ``rest`` edge — one broadcast anti-join), then joined to the
+    ``first`` slice for the payload. Sub-chains reachable from a head
+    are exactly its tail cells, so every item lands once per list.
+
+    Returns (head, pos, item, item_kind).
+    """
+    rest = (
+        triples.where(
+            (F.col("p") == rest_p)
+            & (F.col("o_kind") == "iri")
+            & (F.col("o") != nil)
+        ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    ).distinct()
+    first = triples.where(F.col("p") == first_p).select(
+        F.col("s").alias("cell"),
+        F.col("o").alias("item"),
+        F.col("o_kind").alias("item_kind"),
+    )
+    reach = transitive_closure(rest).select("src", "dst", "dist")
+    self0 = first.select(
+        F.col("cell").alias("src"),
+        F.col("cell").alias("dst"),
+        F.lit(0).alias("dist"),
+    )
+    heads = first.select(F.col("cell").alias("src")).join(
+        rest.select(F.col("dst").alias("src")), "src", "left_anti"
+    )
+    return (
+        reach.unionByName(self0)
+        .join(heads, "src", "left_semi")
+        .join(first, F.col("dst") == F.col("cell"))
+        .select(
+            F.col("src").alias("head"),
+            F.col("dist").cast("long").alias("pos"),
+            "item",
+            "item_kind",
+        )
+    )

@@ -4862,3 +4862,82 @@ FROM ranked l JOIN ranked r
   ON l.blk = r.blk AND r.rnk > l.rnk AND r.rnk - l.rnk <= 3
 """,
 )
+
+
+def _rdf_list_triples(spark, sf):
+    """Deterministic rdf:List fixture: one cons chain per region
+    holding its nations in n_nationkey order — built identically by
+    the oracle, so the flattening logic (closure + head anti-join +
+    payload join) is what gets verified."""
+    from pyspark.sql.window import Window
+
+    nation = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    cells = nation.select(
+        "n_regionkey",
+        "n_nationkey",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("n"),
+    )
+    node = F.concat(
+        F.lit("urn:list:"),
+        F.col("n_regionkey").cast("string"),
+        F.lit(":"),
+        F.col("i").cast("string"),
+    )
+    nxt = F.concat(
+        F.lit("urn:list:"),
+        F.col("n_regionkey").cast("string"),
+        F.lit(":"),
+        (F.col("i") + 1).cast("string"),
+    )
+    firsts = cells.select(
+        node.alias("s"),
+        F.lit(RDF + "first").alias("p"),
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    rests = cells.select(
+        node.alias("s"),
+        F.lit(RDF + "rest").alias("p"),
+        F.when(F.col("i") + 1 < F.col("n"), nxt)
+        .otherwise(F.lit(RDF + "nil"))
+        .alias("o"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return firsts.unionByName(rests)
+
+
+def _rdf_list_flatten(spark, sf):
+    """Flatten the per-region rdf:List cons chains back to ordered
+    (head, pos, item) rows via the pointer-doubled closure over the
+    rest edges."""
+    from ..operators.closure import rdf_list_flatten
+
+    return rdf_list_flatten(
+        kg_triples(spark, sf).unionByName(_rdf_list_triples(spark, sf))
+    )
+
+
+_register(
+    "rdf_list_flatten",
+    _rdf_list_flatten,
+    f"""
+WITH cells AS (
+  SELECT n_regionkey AS r,
+         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS i,
+         count(*) OVER (PARTITION BY n_regionkey) AS n,
+         n_nationkey
+  FROM nation
+)
+SELECT 'urn:list:' || r || ':0' AS head,
+       CAST(i AS BIGINT) AS pos,
+       'urn:nation:' || n_nationkey AS item,
+       'iri' AS item_kind
+FROM cells
+""",
+)

@@ -51,6 +51,43 @@ class TestClosure:
         assert ("b", "a") not in rows
         assert len(rows) == 8
 
+    def test_rdf_list_flatten(self, spark):
+        """Two cons chains (one holding a literal, one single-cell);
+        positions follow the rest-hops, only proper heads emit rows,
+        and a shared tail cell flattens under its head once."""
+        from py_sema_spark.operators.closure import rdf_list_flatten
+
+        RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            # list L: (itemA "lit" itemC)
+            ("_:l0", RDFNS + "first", "urn:itemA", "iri"),
+            ("_:l0", RDFNS + "rest", "_:l1", "iri"),
+            ("_:l1", RDFNS + "first", "lit", "literal"),
+            ("_:l1", RDFNS + "rest", "_:l2", "iri"),
+            ("_:l2", RDFNS + "first", "urn:itemC", "iri"),
+            ("_:l2", RDFNS + "rest", RDFNS + "nil", "iri"),
+            # list M: (itemZ)
+            ("_:m0", RDFNS + "first", "urn:itemZ", "iri"),
+            ("_:m0", RDFNS + "rest", RDFNS + "nil", "iri"),
+            # unrelated triple
+            ("urn:x", "urn:p", "urn:y", "iri"),
+        ]
+        triples = spark.createDataFrame(
+            [(s, p, o, k, None, None) for s, p, o, k in rows],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = {
+            (r.head, r.pos, r.item, r.item_kind)
+            for r in rdf_list_flatten(triples).collect()
+        }
+        assert got == {
+            ("_:l0", 0, "urn:itemA", "iri"),
+            ("_:l0", 1, "lit", "literal"),
+            ("_:l0", 2, "urn:itemC", "iri"),
+            ("_:m0", 0, "urn:itemZ", "iri"),
+        }
+
     def test_connected_components(self, spark):
         edges = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
