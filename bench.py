@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "transitive_closure",
     "rdf_list_flatten",
     "rdfs_entailment",
+    "owl_entailment",
     "connected_components",
     "pagerank",
     "trustrank",

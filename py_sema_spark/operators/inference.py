@@ -183,3 +183,111 @@ def rdfs_entailment(
         .unionByName(sc_triples)
         .distinct()
     )
+
+
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+INVERSE_OF = OWL_NS + "inverseOf"
+SYMMETRIC = OWL_NS + "SymmetricProperty"
+TRANSITIVE = OWL_NS + "TransitiveProperty"
+
+
+def owl_property_entailment(
+    triples: DataFrame,
+    o_kind_col: str = "o_kind",
+) -> DataFrame:
+    """Materialize the OWL 2 RL *property* rules over ``triples``:
+    prp-trp (TransitiveProperty — per-property closure), prp-symp
+    (SymmetricProperty — flip), prp-inv (inverseOf — flip onto the
+    partner property, both directions). Schema read in-band like
+    :func:`rdfs_entailment`.
+
+    Stratified single pass, trans → sym/inv over the closed frame:
+    a fixpoint whenever no property is declared BOTH symmetric and
+    transitive (that combination needs an undirected-components
+    closure, the same caveat class as rdfs5 meta-modeling). Inverses
+    of transitive properties are complete because flipping commutes
+    with closure.
+
+    Scale shape: symmetric/inverse rules are pure narrow maps gated
+    by a tiny broadcast property set; the transitive rule runs the
+    pointer-doubled :func:`~..operators.closure.transitive_closure`
+    on each declared property's edge slice — O(log diameter) rounds,
+    one shuffle per round, and the schema collect is ontology-sized.
+    Only IRI-object rows flip (a literal can never be a subject).
+
+    Returns the DISTINCT entailed graph as ``(s, p, o)``.
+    """
+    from .closure import transitive_closure
+
+    has_kind = o_kind_col in triples.columns
+    inst = triples.select(
+        "s",
+        "p",
+        "o",
+        (F.col(o_kind_col) == F.lit("iri")).alias("_iri")
+        if has_kind
+        else F.lit(True).alias("_iri"),
+    ).localCheckpoint(eager=False)
+
+    schema_rows = (
+        inst.where(
+            (F.col("p") == INVERSE_OF)
+            | ((F.col("p") == RDF_TYPE) & F.col("o").isin(SYMMETRIC, TRANSITIVE))
+        )
+        .select("s", "p", "o")
+        .collect()
+    )
+    inv_pairs = [
+        (r["s"], r["o"]) for r in schema_rows if r["p"] == INVERSE_OF
+    ]
+    inv_pairs += [(b, a) for a, b in inv_pairs if (b, a) not in inv_pairs]
+    sym_props = sorted(
+        r["s"] for r in schema_rows if r["o"] == SYMMETRIC
+    )
+    trans_props = sorted(
+        r["s"] for r in schema_rows if r["o"] == TRANSITIVE
+    )
+
+    # prp-trp: per declared property, the pointer-doubled closure of
+    # its (IRI-object) edge slice, re-labelled as entailed triples
+    closed_parts = []
+    for p in trans_props:
+        edges = inst.where((F.col("p") == p) & F.col("_iri")).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+        closed_parts.append(
+            transitive_closure(edges).select(
+                F.col("src").alias("s"),
+                F.lit(p).alias("p"),
+                F.col("dst").alias("o"),
+                F.lit(True).alias("_iri"),
+            )
+        )
+    inst1 = inst
+    for part in closed_parts:
+        inst1 = inst1.unionByName(part)
+    # inst1 feeds the sym rule, the inv rule, and the output union
+    inst1 = inst1.localCheckpoint(eager=False)
+
+    spark = triples.sparkSession
+    out = inst1.select("s", "p", "o")
+    if sym_props:
+        out = out.unionByName(
+            inst1.where(F.col("p").isin(sym_props) & F.col("_iri")).select(
+                F.col("o").alias("s"), "p", F.col("s").alias("o")
+            )
+        )
+    if inv_pairs:
+        inv_df = F.broadcast(
+            spark.createDataFrame(inv_pairs, "_p string, _q string")
+        )
+        out = out.unionByName(
+            inst1.where(F.col("_iri"))
+            .join(inv_df, inst1["p"] == F.col("_p"))
+            .select(
+                F.col("o").alias("s"),
+                F.col("_q").alias("p"),
+                F.col("s").alias("o"),
+            )
+        )
+    return out.distinct()

@@ -4941,3 +4941,87 @@ SELECT 'urn:list:' || r || ':0' AS head,
 FROM cells
 """,
 )
+
+
+def _owl_adjacency(spark, sf):
+    """Deterministic symmetric-rule fixture: each nation adjacentTo
+    its successor within the region (lead over the region window) —
+    mirrored verbatim by the oracle."""
+    from pyspark.sql.window import Window
+
+    nation = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    return (
+        nation.select(
+            "n_nationkey",
+            F.lead("n_nationkey").over(w).alias("_nxt"),
+        )
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("s"),
+            F.lit(EX + "adjacentTo").alias("p"),
+            F.concat(F.lit("urn:nation:"), F.col("_nxt").cast("string")).alias("o"),
+            F.lit("iri").alias("o_kind"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        )
+    )
+
+
+def _owl_entailment(spark, sf):
+    """OWL 2 RL property rules over the SKOS scheme with an in-band
+    ontology: skos:broader declared transitive (per-property
+    pointer-doubled closure), skos:narrower its inverse (flip of the
+    closed slice), ex:adjacentTo symmetric (flip of the lead-chain
+    fixture)."""
+    from ..operators.inference import owl_property_entailment
+
+    schema = spark.createDataFrame(
+        [
+            (SKOS + "broader", RDF + "type", OWL + "TransitiveProperty"),
+            (SKOS + "narrower", OWL + "inverseOf", SKOS + "broader"),
+            (EX + "adjacentTo", RDF + "type", OWL + "SymmetricProperty"),
+        ],
+        "s string, p string, o string",
+    ).select(
+        "s",
+        "p",
+        "o",
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    base = kg_triples(spark, sf).unionByName(schema).unionByName(
+        _owl_adjacency(spark, sf)
+    )
+    return owl_property_entailment(base)
+
+
+_register(
+    "owl_entailment",
+    _owl_entailment,
+    CLOSURE_SQL
+    + f""",
+adj AS (
+  SELECT 'urn:nation:' || n_nationkey AS s,
+         '{EX}adjacentTo' AS p,
+         'urn:nation:' || nxt AS o
+  FROM (SELECT n_nationkey,
+               lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_nationkey) AS nxt
+        FROM nation)
+  WHERE nxt IS NOT NULL
+),
+onto(s, p, o) AS (
+  VALUES ('{SKOS}broader', '{RDF}type', '{OWL}TransitiveProperty'),
+         ('{SKOS}narrower', '{OWL}inverseOf', '{SKOS}broader'),
+         ('{EX}adjacentTo', '{RDF}type', '{OWL}SymmetricProperty')
+)
+SELECT s, p, o FROM triples
+UNION SELECT s, p, o FROM adj
+UNION SELECT o AS s, p, s AS o FROM adj
+UNION SELECT s, p, o FROM onto
+UNION SELECT src AS s, '{SKOS}broader' AS p, dst AS o FROM closure
+UNION SELECT dst AS s, '{SKOS}narrower' AS p, src AS o FROM closure
+""",
+)

@@ -97,3 +97,45 @@ class TestRdfsEntailment:
             (r["s"], r["p"], r["o"]) for r in rdfs_entailment(g).collect()
         }
         assert (EX + "y", RDF_TYPE, EX + "C") in out
+
+
+class TestOwlPropertyEntailment:
+    def test_all_three_rules_and_literal_gate(self, spark):
+        from py_sema_spark.operators.inference import (
+            INVERSE_OF,
+            SYMMETRIC,
+            TRANSITIVE,
+            owl_property_entailment,
+        )
+
+        rows = [
+            # ontology
+            (EX + "part", RDF_TYPE, TRANSITIVE, "iri"),
+            (EX + "whole", INVERSE_OF, EX + "part", "iri"),
+            (EX + "near", RDF_TYPE, SYMMETRIC, "iri"),
+            # chain a part b part c  → a part c; inverses all flipped
+            (EX + "a", EX + "part", EX + "b", "iri"),
+            (EX + "b", EX + "part", EX + "c", "iri"),
+            # symmetric pair + a literal that must NOT flip
+            (EX + "p", EX + "near", EX + "q", "iri"),
+            (EX + "p", EX + "near", "close by", "literal"),
+            # inverse declared the other way round still fires
+            (EX + "x", EX + "whole", EX + "y", "iri"),
+        ]
+        g = spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+        out = {
+            (r["s"], r["p"], r["o"])
+            for r in owl_property_entailment(g).collect()
+        }
+        # prp-trp
+        assert (EX + "a", EX + "part", EX + "c") in out
+        # prp-inv over base AND closed triples, both directions
+        assert (EX + "b", EX + "whole", EX + "a") in out
+        assert (EX + "c", EX + "whole", EX + "a") in out
+        assert (EX + "y", EX + "part", EX + "x") in out
+        # prp-symp
+        assert (EX + "q", EX + "near", EX + "p") in out
+        # the literal object never becomes a subject
+        assert not any(s == "close by" for s, _, _ in out)
+        # inputs preserved
+        assert (EX + "p", EX + "near", "close by") in out
