@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "dsir_weights",
     "stratified_sample",
+    "weighted_sample",
     "temperature_rebalance",
     "negative_samples",
     "token_budget_pack",

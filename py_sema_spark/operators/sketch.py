@@ -170,3 +170,49 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 100) -> DataFrame:
         .where(F.col("cnt") * k > F.col("_n"))
         .select("item", "cnt")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    group_cols: Optional[Sequence[str]] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row gets key ``ln(u)/w`` with ``u`` uniform from the
+    portable md5 hash of its id, and the k largest keys per group are
+    the sample — inclusion probability proportional to weight, no
+    driver-side pass, no rejection loop.
+
+    The md5-derived ``u`` makes the draw *deterministic and
+    engine-independent* (same property as :func:`kmv_distinct`):
+    reruns, repartitions, and the DuckDB oracle all pick the identical
+    sample. Selection is one rank window per group —
+    WindowGroupLimit pushes the top-k down, so per-group shipping is
+    bounded by k, the exact shape of ``topk_per_group``. Rows with
+    non-positive weight are excluded (they have probability 0).
+
+    Returns (*group_cols, id, weight, key, rank), key rounded to 6.
+    """
+    groups = list(group_cols or [])
+    u = (kmv_hash(F.col(id_col).cast("string")) + 1).cast(
+        "double"
+    ) / F.lit(float(2**52))
+    part = groups if groups else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.desc("_key"), F.asc(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_key", F.log(u) / F.col(weight_col))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            *groups,
+            id_col,
+            F.col(weight_col).cast("long").alias("weight"),
+            F.round("_key", 6).alias("key"),
+            "rank",
+        )
+    )

@@ -5025,3 +5025,40 @@ UNION SELECT src AS s, '{SKOS}broader' AS p, dst AS o FROM closure
 UNION SELECT dst AS s, '{SKOS}narrower' AS p, src AS o FROM closure
 """,
 )
+
+
+def _weighted_sample(spark, sf):
+    """Per-language weighted sample (k=20) with inclusion odds
+    proportional to document length — deterministic A-ES exponential
+    keys over the portable md5 hash, so the oracle draws the identical
+    sample."""
+    from ..operators.sketch import weighted_sample
+
+    docs = _tp(spark, sf, "documents").select(
+        "lang", "doc_id", F.length("text").alias("w")
+    )
+    return weighted_sample(docs, "w", k=20, group_cols=["lang"])
+
+
+_register(
+    "weighted_sample",
+    _weighted_sample,
+    """
+WITH base AS (
+  SELECT lang, doc_id, length(text) AS w,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             + 1)::DOUBLE / 4503599627370496::DOUBLE)
+           / length(text) AS k
+  FROM documents
+  WHERE length(text) > 0
+),
+r AS (
+  SELECT lang, doc_id, w, k,
+         row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+  FROM base
+)
+SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
+       round(k, 6) AS key, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+""",
+)

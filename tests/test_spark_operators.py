@@ -688,6 +688,36 @@ class TestSameasFusion:
         }
 
 
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, spark):
+        """Same draw under repartition; a 100×-weighted stratum must
+        dominate a k=30 sample from a 50/50 id split."""
+        from py_sema_spark.operators.sketch import weighted_sample
+
+        rows = [(i, 1000 if i < 50 else 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = sorted(
+            (r.doc_id, r.rank)
+            for r in weighted_sample(df, "w", k=30).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.rank)
+            for r in weighted_sample(df.repartition(7), "w", k=30).collect()
+        )
+        assert a == b and len(a) == 30
+        heavy = sum(1 for doc_id, _ in a if doc_id < 50)
+        assert heavy >= 24  # 100× weight ⇒ heavy stratum dominates
+
+    def test_zero_weight_excluded(self, spark):
+        from py_sema_spark.operators.sketch import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 5), (3, -2)], "doc_id long, w long"
+        )
+        got = {r.doc_id for r in weighted_sample(df, "w", k=10).collect()}
+        assert got == {2}
+
+
 class TestKmvSketch:
     def test_small_groups_exact(self, spark):
         from py_sema_spark.operators.sketch import kmv_distinct
