@@ -65,20 +65,31 @@ def transitive_closure(
     paths = e.withColumn("dist", F.lit(1))
     frontier = paths
     for _ in range(max_iterations):
+        # path doubling: extend the NEW pairs of the previous round by
+        # every known path (not just base edges), so reachable distance
+        # doubles per round — a depth-D chain closes in O(log D) rounds,
+        # not D. Exact min-dist is preserved: any minimal path splits
+        # into a prefix that was new last round and an already-known
+        # suffix (both halves minimal), and the per-round min() below
+        # picks that decomposition the first round the pair appears.
         grown = (
             frontier.alias("f")
-            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .join(paths.alias("p"), F.col("f.dst") == F.col("p.src"))
             .select(
                 F.col("f.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                (F.col("f.dist") + 1).alias("dist"),
+                F.col("p.dst").alias("dst"),
+                (F.col("f.dist") + F.col("p.dist")).alias("dist"),
             )
         )
         # keep only genuinely new pairs (anti-join beats a full dedup of
         # the accumulated set: the frontier is small after few rounds)
-        new = grown.join(
-            paths.select("src", "dst"), ["src", "dst"], "left_anti"
-        ).dropDuplicates(["src", "dst"])
+        new = (
+            grown.join(
+                paths.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+        )
         new = new.transform(_materialize)
         if new.isEmpty():
             break

@@ -201,19 +201,23 @@ def owl_property_entailment(
     partner property, both directions). Schema read in-band like
     :func:`rdfs_entailment`.
 
-    Stratified single pass, trans → sym/inv over the closed frame:
-    a fixpoint whenever no property is declared BOTH symmetric and
-    transitive (that combination needs an undirected-components
-    closure, the same caveat class as rdfs5 meta-modeling). Inverses
-    of transitive properties are complete because flipping commutes
-    with closure.
+    Stratified pass: flips → per-property closure → flips again.
+    Pre-closure flips land triples asserted on a transitive
+    property's inverse (or symmetric mirror) into the slice the
+    closure runs on; post-closure flips export the closed pairs back
+    through inverse/symmetric partners. This is a fixpoint whenever
+    no property is declared BOTH symmetric and transitive — that
+    combination makes the relation undirected and its closure a
+    connected-components problem, the same caveat class as rdfs5
+    meta-modeling (use `connected_components` + a pair expansion for
+    that profile).
 
     Scale shape: symmetric/inverse rules are pure narrow maps gated
-    by a tiny broadcast property set; the transitive rule runs the
-    pointer-doubled :func:`~..operators.closure.transitive_closure`
-    on each declared property's edge slice — O(log diameter) rounds,
-    one shuffle per round, and the schema collect is ontology-sized.
-    Only IRI-object rows flip (a literal can never be a subject).
+    by a tiny broadcast property set; the transitive rule runs
+    :func:`~..operators.closure.transitive_closure` on each declared
+    property's edge slice (one bounded shuffle per round), and the
+    schema collect is ontology-sized. Only IRI-object rows flip (a
+    literal can never be a subject).
 
     Returns the DISTINCT entailed graph as ``(s, p, o)``.
     """
@@ -241,53 +245,84 @@ def owl_property_entailment(
         (r["s"], r["o"]) for r in schema_rows if r["p"] == INVERSE_OF
     ]
     inv_pairs += [(b, a) for a, b in inv_pairs if (b, a) not in inv_pairs]
+    # classification requires the rdf:type predicate — an
+    # owl:inverseOf row whose OBJECT happens to be the SymmetricProperty
+    # IRI must not flag its subject as symmetric (meta-modeling guard)
     sym_props = sorted(
-        r["s"] for r in schema_rows if r["o"] == SYMMETRIC
+        r["s"]
+        for r in schema_rows
+        if r["p"] == RDF_TYPE and r["o"] == SYMMETRIC
     )
     trans_props = sorted(
-        r["s"] for r in schema_rows if r["o"] == TRANSITIVE
+        r["s"]
+        for r in schema_rows
+        if r["p"] == RDF_TYPE and r["o"] == TRANSITIVE
     )
 
-    # prp-trp: per declared property, the pointer-doubled closure of
-    # its (IRI-object) edge slice, re-labelled as entailed triples
-    closed_parts = []
-    for p in trans_props:
-        edges = inst.where((F.col("p") == p) & F.col("_iri")).select(
-            F.col("s").alias("src"), F.col("o").alias("dst")
-        )
-        closed_parts.append(
-            transitive_closure(edges).select(
-                F.col("src").alias("s"),
-                F.lit(p).alias("p"),
-                F.col("dst").alias("o"),
-                F.lit(True).alias("_iri"),
+    spark = triples.sparkSession
+    inv_df = (
+        F.broadcast(spark.createDataFrame(inv_pairs, "_p string, _q string"))
+        if inv_pairs
+        else None
+    )
+
+    def flips(frame: DataFrame) -> DataFrame:
+        """prp-symp + prp-inv expansion of one (s,p,o,_iri) frame."""
+        parts = []
+        if sym_props:
+            parts.append(
+                frame.where(
+                    F.col("p").isin(sym_props) & F.col("_iri")
+                ).select(
+                    F.col("o").alias("s"), "p", F.col("s").alias("o"),
+                    F.lit(True).alias("_iri"),
+                )
             )
-        )
-    inst1 = inst
-    for part in closed_parts:
-        inst1 = inst1.unionByName(part)
-    # inst1 feeds the sym rule, the inv rule, and the output union
+        if inv_df is not None:
+            parts.append(
+                frame.where(F.col("_iri"))
+                .join(inv_df, frame["p"] == F.col("_p"))
+                .select(
+                    F.col("o").alias("s"),
+                    F.col("_q").alias("p"),
+                    F.col("s").alias("o"),
+                    F.lit(True).alias("_iri"),
+                )
+            )
+        out = None
+        for part in parts:
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # pre-closure flips: triples asserted on a transitive property's
+    # inverse (or symmetric mirror) must join its closure slice
+    pre = flips(inst)
+    inst1 = inst if pre is None else inst.unionByName(pre)
     inst1 = inst1.localCheckpoint(eager=False)
 
-    spark = triples.sparkSession
-    out = inst1.select("s", "p", "o")
-    if sym_props:
-        out = out.unionByName(
-            inst1.where(F.col("p").isin(sym_props) & F.col("_iri")).select(
-                F.col("o").alias("s"), "p", F.col("s").alias("o")
-            )
+    # prp-trp: per declared property, the transitive closure of its
+    # (IRI-object) edge slice, re-labelled as entailed triples
+    closed = None
+    for p in trans_props:
+        edges = inst1.where((F.col("p") == p) & F.col("_iri")).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
         )
-    if inv_pairs:
-        inv_df = F.broadcast(
-            spark.createDataFrame(inv_pairs, "_p string, _q string")
+        part = transitive_closure(edges).select(
+            F.col("src").alias("s"),
+            F.lit(p).alias("p"),
+            F.col("dst").alias("o"),
+            F.lit(True).alias("_iri"),
         )
-        out = out.unionByName(
-            inst1.where(F.col("_iri"))
-            .join(inv_df, inst1["p"] == F.col("_p"))
-            .select(
-                F.col("o").alias("s"),
-                F.col("_q").alias("p"),
-                F.col("s").alias("o"),
-            )
-        )
-    return out.distinct()
+        closed = part if closed is None else closed.unionByName(part)
+
+    out = inst1
+    if closed is not None:
+        closed = closed.localCheckpoint(eager=False)
+        out = out.unionByName(closed)
+        # post-closure flips: export closed pairs through inverse /
+        # symmetric partners (inv∘closure == closure∘inv, so this
+        # completes the inverse of every transitive property)
+        post = flips(closed)
+        if post is not None:
+            out = out.unionByName(post)
+    return out.select("s", "p", "o").distinct()

@@ -260,7 +260,14 @@ def phash(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     Output: ``(media_id, phash)`` with ``phash`` a ``dim``-bit long.
     Map-side only (one Arrow-batched ``mapInPandas``, no shuffle).
+
+    ``dim`` is capped at 52: bit 63 would overflow the signed-long
+    column, and the band extraction in :func:`phash_neardup` runs in
+    double space (exact only below 2^53). Wider hashes should ship as
+    ``binary`` with per-band substrings instead.
     """
+    if not 1 <= dim <= 52:
+        raise ValueError("phash dim must be in [1, 52]")
     schema = "media_id long, phash long"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -595,7 +595,14 @@ def kmeans_assign(
     the trajectory: seeding = the k lowest-id vectors (TakeOrdered,
     no RNG), every centroid coordinate and every distance rounds to 6
     decimals per iteration (pins cross-engine float drift), argmin
-    tie-breaks on cluster id via one struct-min aggregate.
+    tie-breaks on cluster id via one struct-min aggregate. One honest
+    caveat: the centroid mean itself is a shuffled double `avg`, so
+    its pre-round value is summation-order-dependent; round-to-6
+    absorbs that drift unless the true mean sits within ~1 ulp·n of a
+    5e-7 rounding boundary — possible in principle, never observed,
+    and shared by the DuckDB oracle's own avg. A fully order-free
+    update would sum fixed-point decimals at real cost; this operator
+    deliberately takes the cheap pin.
 
     Scale shape per iteration: corpus ⋈ broadcast(centroids) → n×k
     narrow rows → struct-min argmin (map-side combining, one exchange
@@ -621,6 +628,8 @@ def kmeans_assign(
             F.transform("_v", lambda x: F.round(x, 6)).alias("_c"),
         )
     )
+    if iterations < 1:
+        raise ValueError("kmeans_assign needs iterations >= 1")
     assign = None
     for it in range(iterations):
         scored = emb.crossJoin(F.broadcast(cent)).select(

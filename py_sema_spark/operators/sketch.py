@@ -211,7 +211,9 @@ def weighted_sample(
         .select(
             *groups,
             id_col,
-            F.col(weight_col).cast("long").alias("weight"),
+            # native type preserved — fractional weights must not
+            # truncate in the report even though only the key uses them
+            F.col(weight_col).alias("weight"),
             F.round("_key", 6).alias("key"),
             "rank",
         )

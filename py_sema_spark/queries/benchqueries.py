@@ -1511,10 +1511,9 @@ LIMIT 50
 )
 
 
-_register(
-    "triangle_count",
-    _triangle_count,
-    """
+# shared WITH block for the triangle-pass oracles (triangle_count and
+# clustering_coefficient project different columns off the same CTEs)
+_TRI_WITH = """
 WITH nc AS (SELECT count(*) AS n FROM documents),
 raw AS (
   SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
@@ -1549,6 +1548,13 @@ pn AS (
     UNION ALL SELECT y FROM tri
     UNION ALL SELECT z FROM tri)
   GROUP BY node)
+"""
+
+_register(
+    "triangle_count",
+    _triangle_count,
+    _TRI_WITH
+    + """
 SELECT deg.node, CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles
 FROM deg LEFT JOIN pn ON deg.node = pn.node
 """,
@@ -1568,41 +1574,8 @@ def _clustering_coefficient(spark, sf):
 _register(
     "clustering_coefficient",
     _clustering_coefficient,
-    """
-WITH nc AS (SELECT count(*) AS n FROM documents),
-raw AS (
-  SELECT doc_id AS src, (doc_id + 1) % nc.n AS dst FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id + 2) % nc.n FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id * 31 + 7) % nc.n FROM documents, nc
-),
-und AS (
-  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM raw WHERE src <> dst),
-deg AS (
-  SELECT node, count(*) AS d FROM (
-    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
-  GROUP BY node),
-fwd AS (
-  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
-              THEN u.a ELSE u.b END AS lo,
-         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
-              THEN u.b ELSE u.a END AS hi
-  FROM und u
-  JOIN deg da ON u.a = da.node
-  JOIN deg db ON u.b = db.node),
-tri AS (
-  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
-  FROM fwd e1 JOIN fwd e2 ON e1.hi = e2.lo
-  WHERE EXISTS (SELECT 1 FROM fwd f
-                WHERE f.lo = e1.lo AND f.hi = e2.hi)),
-pn AS (
-  SELECT node, count(*) AS triangles FROM (
-    SELECT x AS node FROM tri
-    UNION ALL SELECT y FROM tri
-    UNION ALL SELECT z FROM tri)
-  GROUP BY node)
+    _TRI_WITH
+    + """
 SELECT deg.node,
        CAST(deg.d AS BIGINT) AS degree,
        CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
@@ -5035,7 +5008,7 @@ def _weighted_sample(spark, sf):
     from ..operators.sketch import weighted_sample
 
     docs = _tp(spark, sf, "documents").select(
-        "lang", "doc_id", F.length("text").alias("w")
+        "lang", "doc_id", F.length("text").cast("long").alias("w")
     )
     return weighted_sample(docs, "w", k=20, group_cols=["lang"])
 

@@ -139,3 +139,53 @@ class TestOwlPropertyEntailment:
         assert not any(s == "close by" for s, _, _ in out)
         # inputs preserved
         assert (EX + "p", EX + "near", "close by") in out
+
+    def test_inverse_of_transitive_property_closes(self, spark):
+        """Triples asserted only on the INVERSE of a transitive
+        property must still reach the closure: {p transitive,
+        q = inverseOf(p), a q b, b q c} entails (c p a) and (a q c)."""
+        from py_sema_spark.operators.inference import (
+            INVERSE_OF,
+            TRANSITIVE,
+            owl_property_entailment,
+        )
+
+        rows = [
+            (EX + "p", RDF_TYPE, TRANSITIVE, "iri"),
+            (EX + "q", INVERSE_OF, EX + "p", "iri"),
+            (EX + "a", EX + "q", EX + "b", "iri"),
+            (EX + "b", EX + "q", EX + "c", "iri"),
+        ]
+        g = spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+        out = {
+            (r["s"], r["p"], r["o"])
+            for r in owl_property_entailment(g).collect()
+        }
+        assert (EX + "c", EX + "p", EX + "a") in out
+        assert (EX + "a", EX + "q", EX + "c") in out
+        # and the flipped base pairs themselves
+        assert (EX + "b", EX + "p", EX + "a") in out
+
+    def test_meta_modeling_object_guard(self, spark):
+        """(X owl:inverseOf owl:SymmetricProperty) must NOT classify X
+        as symmetric — classification requires the rdf:type predicate."""
+        from py_sema_spark.operators.inference import (
+            INVERSE_OF,
+            SYMMETRIC,
+            owl_property_entailment,
+        )
+
+        rows = [
+            (EX + "x", INVERSE_OF, SYMMETRIC, "iri"),
+            (EX + "s", EX + "x", EX + "o", "iri"),
+        ]
+        g = spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+        out = {
+            (r["s"], r["p"], r["o"])
+            for r in owl_property_entailment(g).collect()
+        }
+        # no symmetric flip of the x triple...
+        assert (EX + "o", EX + "x", EX + "s") not in out
+        # ...but the inverse pair (x, SymmetricProperty-as-IRI) DOES
+        # flip the x triple onto the partner "property"
+        assert (EX + "o", SYMMETRIC, EX + "s") in out

@@ -1505,8 +1505,9 @@ class TestSortedNeighborhood:
             for j in range(i + 1, min(i + 3, len(order)))
         }
         assert set(out) == want
-        # same 3/4-token overlap for every pair in the clique
-        assert all(abs(j - 3 / 5) < 1e-6 or j > 0 for j in out.values())
+        # every pair shares exactly {alpha, beta, gamma} of 5 distinct
+        # tokens → jaccard 3/5, verifying the similarity math itself
+        assert all(abs(j - 0.6) < 1e-9 for j in out.values())
         # doc 6 is alone in its block: no pair mentions it
         assert all(6 not in p for p in out)
 
