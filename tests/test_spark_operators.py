@@ -88,6 +88,23 @@ class TestClosure:
             ("_:m0", 0, "urn:itemZ", "iri"),
         }
 
+    def test_deep_chain_closes_within_log_rounds(self, spark):
+        """A 120-hop chain must close completely under the default
+        25-round cap — only possible with per-round distance doubling
+        (single-hop growth would need 119 rounds) — with exact min
+        hop counts."""
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(120)],
+            ["src", "dst"],
+        )
+        rows = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in transitive_closure(edges).collect()
+        }
+        assert len(rows) == 121 * 120 // 2
+        assert rows[("n000", "n120")] == 120
+        assert rows[("n007", "n101")] == 94
+
     def test_connected_components(self, spark):
         edges = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
