@@ -222,17 +222,25 @@ def rdf_list_flatten(
 
     Returns (head, pos, item, item_kind).
     """
+    # both slices feed multiple consumers (rest: the closure loop AND
+    # the head anti-join; first: self0, heads, and the payload join) —
+    # materialize once so the full triple scan isn't re-run per branch
+    # and per closure round
     rest = (
         triples.where(
             (F.col("p") == rest_p)
             & (F.col("o_kind") == "iri")
             & (F.col("o") != nil)
         ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
-    ).distinct()
-    first = triples.where(F.col("p") == first_p).select(
-        F.col("s").alias("cell"),
-        F.col("o").alias("item"),
-        F.col("o_kind").alias("item_kind"),
+    ).distinct().transform(_materialize)
+    first = (
+        triples.where(F.col("p") == first_p)
+        .select(
+            F.col("s").alias("cell"),
+            F.col("o").alias("item"),
+            F.col("o_kind").alias("item_kind"),
+        )
+        .transform(_materialize)
     )
     reach = transitive_closure(rest).select("src", "dst", "dist")
     self0 = first.select(
