@@ -83,9 +83,12 @@ def _split_ops(text: str) -> List[str]:
             if j != -1 and not any(c.isspace() for c in text[i + 1:j]):
                 i = j
         elif ch == '"':
+            # scan with explicit escape skipping: "C:\\" ends at the
+            # real closing quote (looking back one char misreads an
+            # escaped backslash as escaping the quote)
             j = i + 1
-            while j < n and (text[j] != '"' or text[j - 1] == "\\"):
-                j += 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
             i = j
         elif ch == ";" and depth == 0:
             ops.append(text[start:i])
@@ -200,11 +203,7 @@ def _ground_triples(text: str, pfx: Dict[str, str]) -> List[tuple]:
                 raise ValueError(
                     f"variable ?{term.value} is illegal in a DATA block"
                 )
-        out.append((
-            s.value, p.value, o.value,
-            o.kind if o.kind != "var" else "literal",
-            o.dt, o.lang,
-        ))
+        out.append((s.value, p.value, o.value, o.kind, o.dt, o.lang))
     return out
 
 
@@ -249,10 +248,28 @@ def apply_update(
 ) -> DataFrame:
     """Apply a SPARQL Update request to a triples (or quads) DataFrame
     and return the updated frame — same columns, set semantics
-    preserved. ``default_graph`` names the graph that graph-less
-    INSERT rows land in when the table carries a ``g`` column."""
+    preserved. ``default_graph`` names the graph identity of the
+    frame: on a quads table, the graph that graph-less INSERT rows
+    land in; on a g-less (single-graph) table, the IRI this frame IS,
+    so graph-targeted DELETE/CLEAR ops apply only when they name it
+    (a ``DELETE DATA { GRAPH <other> … }`` routed to graph A must not
+    mutate A)."""
     pfx, ops = parse_update(update, prefixes)
     has_g = "g" in triples.columns
+
+    def _this_graph(g: Optional[str]) -> bool:
+        """On a g-less frame: does a graph-targeted quad address us?"""
+        return g is None or (default_graph is not None and g == default_graph)
+
+    # set-dedup is deferred: anti-joins are duplicate-insensitive, so
+    # consecutive INSERT/DELETE ops share ONE dedup exchange — but a
+    # modify op's WHERE counts solutions, so the frame must be a set
+    # before any BGP evaluation (and before returning)
+    dirty = False
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(_TRIPLE_KEY + (["g"] if has_g else []))
+
     out = triples
     for op in ops:
         if op["kind"] == "insert_data":
@@ -261,16 +278,19 @@ def apply_update(
                 for g, t in op["quads"]
             ], has_g)
             out = out.unionByName(add, allowMissingColumns=True)
-            out = out.dropDuplicates(
-                _TRIPLE_KEY + (["g"] if has_g else [])
-            )
+            dirty = True
         elif op["kind"] == "delete_data":
-            out = _anti(out, _quads_frame(out, op["quads"], has_g))
+            quads = op["quads"]
+            if not has_g and default_graph is not None:
+                quads = [(g, t) for g, t in quads if _this_graph(g)]
+            out = _anti(out, _quads_frame(out, quads, has_g))
         elif op["kind"] == "modify":
             # SPARQL Update §3.1.3: WHERE is evaluated once against the
             # state at the start of THIS operation; both templates
             # instantiate from the SAME solution frame (compiled once,
             # lazily checkpointed so delete + insert don't recompute it)
+            if dirty:
+                out, dirty = _dedup(out), False
             pre = out
             tpl_del = (
                 parse_template(op["delete_tpl"], pfx)
@@ -303,16 +323,31 @@ def apply_update(
                 if has_g and default_graph is not None:
                     ins_set = ins_set.withColumn("g", F.lit(default_graph))
                 out = out.unionByName(ins_set, allowMissingColumns=True)
-                out = out.dropDuplicates(
-                    _TRIPLE_KEY + (["g"] if has_g else [])
-                )
+                dirty = True
         elif op["kind"] == "clear":
-            if op["graph"] is not None and has_g:
-                out = out.where(
-                    ~F.col("g").eqNullSafe(F.lit(op["graph"]))
-                )
-            elif op["all"] or not has_g:
+            if op["all"]:
                 out = out.limit(0)
-            else:  # CLEAR DEFAULT on a quads table
-                out = out.where(F.col("g").isNotNull())
-    return out
+            elif op["graph"] is not None:
+                if has_g:
+                    out = out.where(
+                        ~F.col("g").eqNullSafe(F.lit(op["graph"]))
+                    )
+                elif _this_graph(op["graph"]) and default_graph is not None:
+                    out = out.limit(0)
+                # else: a g-less frame cannot address other named
+                # graphs — CLEAR GRAPH <other> is a no-op here, never
+                # a wipe of THIS graph's data
+            elif not has_g:
+                # CLEAR DEFAULT: a g-less frame IS the default graph
+                # only when it carries no named identity
+                if default_graph is None:
+                    out = out.limit(0)
+            else:
+                # quads table: the default graph is the g-NULL rows
+                # plus, when the store materializes it under an IRI,
+                # that graph's rows too
+                cond = F.col("g").isNotNull()
+                if default_graph is not None:
+                    cond = cond & (F.col("g") != F.lit(default_graph))
+                out = out.where(cond)
+    return _dedup(out) if dirty else out

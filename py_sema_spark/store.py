@@ -137,8 +137,12 @@ class ParquetTripleStore:
         cols = [f.name for f in TRIPLE_SCHEMA.fields]
         if named_graph is not None:
             key = self.mapper.ng_to_key(named_graph)
+            # default_graph declares the frame's identity so
+            # graph-targeted DELETE/CLEAR ops inside the request apply
+            # only when they actually name THIS graph
             new = apply_update(
-                self.graph_for_key(key), update_str
+                self.graph_for_key(key), update_str,
+                default_graph=named_graph,
             ).select(*cols)
             self._overwrite_graph(key, new)
             self.registry.touch([named_graph])

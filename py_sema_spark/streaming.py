@@ -10,7 +10,7 @@ stops — the batch-compatible mode the survey prescribes; leaving
 
 The extraction stage is stateless ``mapInPandas``, so the same
 `extract_structured` code serves batch and stream unchanged. The
-watermarked per-window predicate counts (:func:`windowed_triple_counts`)
+watermarked per-window page counts (:func:`windowed_page_counts`)
 are the T1-style freshness rollup — late pages beyond the watermark
 are dropped deterministically.
 """
@@ -40,6 +40,28 @@ def stream_extract_triples(corpus_stream: DataFrame) -> DataFrame:
     return skolemize(triples_of(extract_structured(corpus_stream)))
 
 
+def _start_parquet_sink(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool,
+    timeout_s: Optional[float],
+):
+    """Shared append-parquet sink: AvailableNow drains the backlog and
+    blocks up to ``timeout_s``; otherwise runs continuously."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_s)
+        return query
+    return writer.start()
+
+
 def run_extraction_stream(
     spark: SparkSession,
     corpus_dir: str,
@@ -52,17 +74,9 @@ def run_extraction_stream(
     streaming checkpoint (the stream-shaped variant of the pipeline's
     stage markers)."""
     triples = stream_extract_triples(stream_corpus(spark, corpus_dir))
-    writer = (
-        triples.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return _start_parquet_sink(
+        triples, out_dir, checkpoint_dir, available_now, timeout_s
     )
-    if available_now:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_s)
-        return query
-    return writer.start()
 
 
 def run_kg_stream(
@@ -93,17 +107,9 @@ def run_kg_stream(
         ["s", "p", "o", "o_kind", "o_datatype", "o_lang"],
         state_timeout_s=dedup_ttl_s,
     )
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return _start_parquet_sink(
+        deduped, out_dir, checkpoint_dir, available_now, timeout_s
     )
-    if available_now:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_s)
-        return query
-    return writer.start()
 
 
 def windowed_page_counts(
@@ -196,6 +202,7 @@ def run_curation_stream(
     dedup_ttl_s: Optional[int] = None,
     min_words: int = 5,
     min_stop_hits: int = 0,
+    schema=None,
 ):
     """Streaming corpus curation: documents file stream → Gopher-rule
     quality gate → **stateful cross-batch exact dedup** on the content
@@ -213,7 +220,10 @@ def run_curation_stream(
     """
     from .functions.text import gopher_pass
 
-    schema = spark.read.parquet(docs_dir).schema
+    # a fixed schema lets the stream start before any file has landed
+    # (the normal deploy order); inference needs at least one file
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
@@ -227,17 +237,9 @@ def run_curation_stream(
     deduped = stream_unique_filter(
         passed, ["content_hash"], state_timeout_s=dedup_ttl_s
     )
-    writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    return _start_parquet_sink(
+        deduped, out_dir, checkpoint_dir, available_now, timeout_s
     )
-    if available_now:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_s)
-        return query
-    return writer.start()
 
 
 def stream_sessionize(
@@ -245,6 +247,7 @@ def stream_sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    id_col: str = "event_id",
 ):
     """Streaming gap-based sessionization — the stateful twin of
     :func:`..operators.windows.sessionize`: per-key state carries
@@ -289,7 +292,14 @@ def stream_sessionize(
         if not chunks:
             yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
             return
-        batch = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
+        # tie-break equal timestamps on the id column (when present)
+        # so batch parity holds: operators/windows.sessionize orders
+        # by (ts, event_id), and micro-batch arrival order is not
+        # deterministic for same-ts rows
+        sort_cols = [ts_col] + (
+            [id_col] if id_col in chunks[0].columns else []
+        )
+        batch = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
         last_us, sess = state.get if state.exists else (None, 0)
         us = (
             batch[ts_col].astype("datetime64[us]").astype("int64").tolist()

@@ -198,3 +198,42 @@ def test_parse_ops_split():
     assert [o["kind"] for o in ops] == ["insert_data", "clear"]
     # the ';' inside the literal did not split the op
     assert ops[0]["quads"][0][1][2] == "x;y"
+
+
+def test_graph_scoped_ops_on_gless_frame(triples):
+    """A g-less frame carrying a declared identity (default_graph):
+    graph-targeted CLEAR/DELETE apply only when they name THAT graph —
+    a request routed to graph A must never mutate A on behalf of B."""
+    me = "urn:g:me"
+    n = triples.count()
+    # CLEAR GRAPH <other> is a no-op, not a wipe
+    assert apply_update(
+        triples, "CLEAR GRAPH <urn:g:other>", default_graph=me
+    ).count() == n
+    # CLEAR GRAPH <me> clears this frame
+    assert apply_update(
+        triples, f"CLEAR GRAPH <{me}>", default_graph=me
+    ).count() == 0
+    # CLEAR DEFAULT on a named frame is a no-op; without identity it
+    # clears (the frame IS the default graph)
+    assert apply_update(
+        triples, "CLEAR DEFAULT", default_graph=me
+    ).count() == n
+    assert apply_update(triples, "CLEAR DEFAULT").count() == 0
+    # DELETE DATA aimed at another graph deletes nothing here
+    out = apply_update(
+        triples,
+        'DELETE DATA { GRAPH <urn:g:other> { <urn:c:2> '
+        "<http://www.w3.org/2004/02/skos/core#broader> <urn:c:1> } }",
+        default_graph=me,
+    )
+    assert out.count() == n
+
+
+def test_split_ops_escaped_backslash():
+    r"""A literal ending in an escaped backslash ("C:\\") must not
+    swallow the following ';' separator."""
+    _, ops = parse_update(
+        'INSERT DATA { <urn:a> <urn:p> "C:\\\\" } ; CLEAR ALL'
+    )
+    assert [o["kind"] for o in ops] == ["insert_data", "clear"]
