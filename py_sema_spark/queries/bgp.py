@@ -59,7 +59,8 @@ from .sparql_expr import Resolver, parse_expr
 _TERM_RE = re.compile(
     r"""\?(?P<var>[A-Za-z_][A-Za-z0-9_]*)
       | <(?P<iri>[^>]*)>
-      | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z-]+)|\^\^(?P<dt>\S+))?
+      | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z-]+)
+          |\^\^(?P<dt><[^>\s]*>|[A-Za-z_][\w.-]*:(?:[\w%-]|\.(?=[\w%-]))*))?
       | (?P<a>\ba\b)
       | (?P<curie>[A-Za-z_][\w.-]*:[\w.%-]*)
     """,
@@ -268,6 +269,43 @@ def _parse_term(tok: re.Match, prefixes: Dict[str, str]) -> Term:
     return Term("iri", _expand(tok.group("curie"), prefixes))
 
 
+_VALUES_EXTRA_RE = re.compile(
+    r"(?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<bool>true|false)|(?P<undef>UNDEF)",
+    re.IGNORECASE,
+)
+
+
+def _values_row_terms(text: str, prefixes: Dict[str, str]) -> List[str]:
+    """Tokenize one VALUES row: RDF terms plus the bare numeric /
+    boolean shorthands the grammar allows (previously these were
+    silently skipped, turning ``VALUES ?x { 1 2 3 }`` into zero rows).
+    UNDEF is rejected explicitly — partial bindings need outer-join
+    semantics this engine doesn't model."""
+    out: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        m = _TERM_RE.match(text, i)
+        if m and m.end() > i:
+            out.append(_parse_term(m, prefixes).value)
+            i = m.end()
+            continue
+        m = _VALUES_EXTRA_RE.match(text, i)
+        if m:
+            if m.group("undef"):
+                raise ValueError("UNDEF in VALUES is not supported")
+            out.append(
+                m.group(0).lower() if m.group("bool") else m.group(0)
+            )
+            i = m.end()
+            continue
+        raise ValueError(f"unsupported VALUES token at {text[i:]!r}")
+    return out
+
+
 _PATH_OPS = set("/|^+*?()!")
 
 
@@ -395,9 +433,9 @@ class AggItem:
             c = None  # only COUNT supports DISTINCT here
             raise ValueError(f"DISTINCT not supported inside {self.fn}")
         if self.fn == "SUM":
-            return F.sum(c.cast("double")).alias(self.alias)
+            return F.sum(c.try_cast("double")).alias(self.alias)
         if self.fn == "AVG":
-            return F.avg(c.cast("double")).alias(self.alias)
+            return F.avg(c.try_cast("double")).alias(self.alias)
         if self.fn == "MIN" or self.fn == "SAMPLE":
             return F.min(c).alias(self.alias)
         if self.fn == "MAX":
@@ -610,16 +648,12 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         vbody = vm.group("body")
         if head.startswith("("):
             for rm in re.finditer(r"\(([^()]*)\)", vbody):
-                row = [
-                    _parse_term(t, prefixes)
-                    for t in _TERM_RE.finditer(rm.group(1))
-                ]
+                row = _values_row_terms(rm.group(1), prefixes)
                 if len(row) != len(values_vars):
                     raise ValueError(f"VALUES row arity mismatch: {rm.group(0)!r}")
-                values_rows.append([t.value for t in row])
+                values_rows.append(row)
         else:
-            for t in _TERM_RE.finditer(vbody):
-                values_rows.append([_parse_term(t, prefixes).value])
+            values_rows = [[v] for v in _values_row_terms(vbody, prefixes)]
         where = where.replace(vm.group(0), " ")
 
     # BIND(expr AS ?v)
@@ -654,6 +688,20 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         for gterm, _ in graphs:
             if gterm.kind == "var" and gterm.value not in seen:
                 seen.append(gterm.value)
+        # SELECT * also projects vars bound outside triple patterns:
+        # VALUES bindings, BIND aliases, and sub-SELECT projections
+        for v in values_vars:
+            if v not in seen:
+                seen.append(v)
+        for _, _, _, alias in binds:
+            if alias not in seen:
+                seen.append(alias)
+        for sub_sparql in subselects:
+            sm = re.match(r"(?is)\s*SELECT\s+(?P<p>.+?)\s+WHERE", sub_sparql)
+            if sm:
+                for v in re.findall(r"\?(\w+)", sm.group("p")):
+                    if v not in seen:
+                        seen.append(v)
         proj, aggs, proj_exprs = seen, [], []
     else:
         proj, aggs, proj_exprs = _parse_select_items(proj_raw)
@@ -696,14 +744,17 @@ def _compile_patterns(
     needs: Dict[str, set],
     tag: str = "",
     extra: Optional[List] = None,
+    gvar: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """``extra``: Columns appended to every pattern's projection (the
     GRAPH ?g binding) — shared across patterns, so in-block joins also
-    key on it (same-graph semantics for free)."""
+    key on it (same-graph semantics for free). ``gvar``: the GRAPH
+    variable's name when the block is ``GRAPH ?g`` — property-path
+    patterns need it to keep their closure per-graph."""
     plan = None
     for i, (s, p, o) in enumerate(patterns):
         if isinstance(p, Path) and not p.is_simple_iri:
-            part = _compile_path_pattern(triples, s, p, o)
+            part = _compile_path_pattern(triples, s, p, o, gvar)
         else:
             pred = Term("iri", p.args) if isinstance(p, Path) else p
             part = _compile_triple(
@@ -712,16 +763,77 @@ def _compile_patterns(
         if plan is None:
             plan = part
         elif part is not None:
-            shared = [c for c in plan.columns if c in part.columns]
-            plan = plan.join(part, shared) if shared else plan.crossJoin(part)
+            plan = _join_shared(plan, part)
     return plan
 
 
-def _compile_path_pattern(
-    triples: DataFrame, s: Term, path: Path, o: Term
+def _join_shared(
+    plan: DataFrame, part: DataFrame, how: str = "inner"
 ) -> DataFrame:
+    """Join two pattern frames on their shared variables.
+
+    Base variable columns are never NULL → plain equi-join keys. The
+    ``__lang``/``__dt``/``__kind`` companion columns ARE legitimately
+    NULL (a plain literal's datatype, an IRI's language), so they join
+    null-SAFELY — a null-unsafe key there silently empties every join
+    whose shared var carries NULL metadata on either side. Used for
+    every solution-frame combination: pattern chains, GRAPH blocks,
+    sub-SELECTs, OPTIONAL (left), MINUS / (NOT) EXISTS (anti/semi)."""
+    shared = [c for c in plan.columns if c in part.columns]
+    if not shared:
+        if how == "inner":
+            return plan.crossJoin(part)
+        return plan.join(part, F.lit(True), how)
+    comp = [c for c in shared if "__" in c]
+    if not comp:
+        return plan.join(part, shared, how)
+    renames = {c: f"__rhs_{c}" for c in shared}
+    right = part
+    for c, rc in renames.items():
+        right = right.withColumnRenamed(c, rc)
+    cond = None
+    for c in shared:
+        e = (
+            plan[c].eqNullSafe(right[renames[c]])
+            if c in comp
+            else plan[c] == right[renames[c]]
+        )
+        cond = e if cond is None else cond & e
+    out = plan.join(right, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out
+    return out.drop(*renames.values())
+
+
+def _compile_path_pattern(
+    triples: DataFrame,
+    s: Term,
+    path: Path,
+    o: Term,
+    gvar: Optional[str] = None,
+) -> DataFrame:
+    """``gvar``: inside a ``GRAPH ?g`` block the path must stay
+    per-graph — nodes become (g, value) structs so every path join
+    (sequence composition, transitive closure) keys on the graph for
+    free, then the binding decomposes back out. Without it a GRAPH-var
+    path would close across all graphs and never bind ?g."""
+    if gvar is not None:
+        triples = triples.select(
+            F.struct(F.col("g").alias("g"), F.col("s").alias("v")).alias("s"),
+            "p",
+            F.struct(F.col("g").alias("g"), F.col("o").alias("v")).alias("o"),
+        )
     pairs = _compile_path(triples, path)
     cols = []
+    if gvar is not None:
+        # src.g == dst.g by construction (every path join matched the
+        # whole struct), so either side carries the binding
+        pairs = pairs.select(
+            F.col("src.g").alias(gvar),
+            F.col("src.v").alias("src"),
+            F.col("dst.v").alias("dst"),
+        )
+        cols.append(F.col(gvar))
     if s.kind == "var":
         cols.append(F.col("src").alias(s.value))
     else:
@@ -737,6 +849,7 @@ def _compile_path_pattern(
     if not cols:
         return pairs.limit(1).select(F.lit(1).alias("_pmatch"))
     return pairs.select(*cols)
+
 
 
 def _compile_triple(
@@ -805,6 +918,10 @@ def _compile_triple(
         cols = list(extra or []) + [
             F.col(pos).alias(var) for var, pos in pos_of.items()
         ]
+        # re-attach the companion columns the rebuild just discarded
+        # (FILTERs on the repeated var reference them downstream)
+        for var, pos in pos_of.items():
+            companions(var, pos)
     # fully-bound pattern = existence gate: empty slice → empty
     # result, non-empty → no row multiplication
     if not cols:
@@ -1061,6 +1178,13 @@ def instantiate_template(
                 & F.col("o").isNotNull()
             )
         )
+    if not parts:
+        # CONSTRUCT { } WHERE { … } is legal: empty result graph
+        return sol.sparkSession.createDataFrame(
+            [],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
@@ -1231,8 +1355,7 @@ def bgp_select(
         if plan is None:
             plan = sub
         else:
-            shared = [c for c in plan.columns if c in sub.columns]
-            plan = plan.join(sub, shared) if shared else plan.crossJoin(sub)
+            plan = _join_shared(plan, sub)
 
     for k, (gterm, gpatterns) in enumerate(q["graphs"]):
         if "g" not in triples.columns:
@@ -1245,12 +1368,14 @@ def bgp_select(
         else:
             gbase = triples
             gextra = [F.col("g").alias(gterm.value)]
-        sub = _compile_patterns(gbase, gpatterns, needs, tag=f"g{k}", extra=gextra)
+        sub = _compile_patterns(
+            gbase, gpatterns, needs, tag=f"g{k}", extra=gextra,
+            gvar=gterm.value if gterm.kind == "var" else None,
+        )
         if plan is None:
             plan = sub
         elif sub is not None:
-            shared = [c for c in plan.columns if c in sub.columns]
-            plan = plan.join(sub, shared) if shared else plan.crossJoin(sub)
+            plan = _join_shared(plan, sub)
 
     if q["unions"]:
         branches = [
@@ -1298,17 +1423,18 @@ def bgp_select(
 
     for group in q["optionals"]:
         sub = _compile_patterns(triples, group, needs, tag="o")
-        shared = [c for c in plan.columns if c in sub.columns]
-        if not shared:
+        if not any(c in plan.columns for c in sub.columns):
             raise ValueError("OPTIONAL group shares no variable with base")
-        plan = plan.join(sub, shared, "left")
+        plan = _join_shared(plan, sub, "left")
 
     for group in q["minuses"]:
         sub = _compile_patterns(triples, group, needs, tag="m")
         shared = [c for c in plan.columns if c in sub.columns]
         # SPARQL §8.3: MINUS with disjoint domains removes nothing
         if shared:
-            plan = plan.join(sub.select(*shared).distinct(), shared, "left_anti")
+            plan = _join_shared(
+                plan, sub.select(*shared).distinct(), "left_anti"
+            )
 
     resolver = Resolver()
     for e, _needs, _evars, alias in q["binds"]:
@@ -1326,7 +1452,7 @@ def bgp_select(
             if not shared:
                 raise ValueError("EXISTS group shares no variable with base")
             how = "left_semi" if f.kind == "exists" else "left_anti"
-            plan = plan.join(sub.select(*shared).distinct(), shared, how)
+            plan = _join_shared(plan, sub.select(*shared).distinct(), how)
 
     aggs: List[AggItem] = q["aggs"]
     if aggs or q["group_by"] or having_aggs:
@@ -1337,7 +1463,23 @@ def bgp_select(
         grouped = plan.groupBy(*group_cols).agg(*agg_cols)
         if having_expr is not None:
             grouped = grouped.where(having_expr.col(resolver))
-        proj_cols = [v for v in q["proj"]] + [a.alias for a in aggs]
+        # non-aggregate SELECT expressions evaluate over the grouped
+        # frame (they may reference GROUP BY vars and agg aliases) —
+        # previously they were silently dropped from the projection
+        for body, alias in q["proj_exprs"]:
+            e, _e_needs, evars = parse_expr(body, q["prefixes"])
+            missing = [v for v in evars if v not in grouped.columns]
+            if missing:
+                raise ValueError(
+                    "SELECT expression over aggregates references "
+                    f"non-grouped vars: {missing}"
+                )
+            grouped = grouped.withColumn(alias, e.col(resolver))
+        proj_cols = (
+            [v for v in q["proj"]]
+            + [a.alias for a in aggs]
+            + [alias for _, alias in q["proj_exprs"]]
+        )
         missing = [v for v in proj_cols if v not in grouped.columns]
         if missing:
             raise ValueError(

@@ -52,7 +52,7 @@ XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<iri><[^>]*>)
+        (?P<iri><[^>\s]*>)
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<string>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^(?P<dt>\S+?(?=[,)\s]|$)))?
       | (?P<number>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
@@ -138,8 +138,12 @@ class Expr:
 
 
 def _num(e: Expr, r: Resolver) -> Column:
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+    # cast of a non-numeric literal throws CAST_INVALID_INPUT and
+    # kills the job; SPARQL semantics make it a per-row type error
+    # (the row filters out / the expression yields NULL)
     c = e.col(r)
-    return c if e.hint == "num" else c.cast("double")
+    return c if e.hint == "num" else c.try_cast("double")
 
 
 class _Parser:

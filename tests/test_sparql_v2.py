@@ -684,3 +684,108 @@ class TestExprBuiltinsV3:
             )
         )
         assert r == [(2024, 3, 5, 7, 8, 9)]
+
+
+class TestReviewRegressions:
+    """Pins for engine bugs found by adversarial review: null-safe
+    companion joins, ANSI-safe numeric coercion, tokenizer/term-regex
+    greediness, SELECT * completeness, numeric VALUES, per-graph
+    paths, aggregate-frame SELECT expressions."""
+
+    def test_shared_var_with_dt_filter_across_patterns(self, spark):
+        t = spark.createDataFrame(
+            [
+                ("urn:a", "http://ex/p", "hello", "literal", None, None),
+                ("urn:b", "http://ex/q", "hello", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = bgp_select(
+            t,
+            "SELECT ?o WHERE { ?a <http://ex/p> ?o . ?b <http://ex/q> ?o ."
+            " FILTER(DATATYPE(?o) = <http://www.w3.org/2001/XMLSchema#string>) }",
+        ).collect()
+        # plain literals carry NULL o_datatype: the companion columns
+        # must join null-safely or this valid solution vanishes
+        assert [r.o for r in got] == ["hello"]
+
+    def test_numeric_filter_skips_non_numeric_rows(self, triples):
+        # a non-numeric literal in the table must not crash the job
+        # under ANSI mode; SPARQL treats it as a per-row type error
+        got = bgp_select(
+            triples, "SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > 1) }"
+        ).collect()
+        assert got == []
+
+    def test_range_filter_lt_gt(self, spark):
+        t = spark.createDataFrame(
+            [("urn:a", "http://ex/v", "12", "literal", None, None)],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = bgp_select(
+            t,
+            "SELECT ?s WHERE { ?s <http://ex/v> ?x ."
+            " FILTER(?x < 20 && ?x > 3) }",
+        ).collect()
+        assert [r.s for r in got] == ["urn:a"]
+
+    def test_select_star_includes_bind_and_values(self, triples):
+        q = parse_select(
+            "SELECT * WHERE { ?s <" + SKOS + "prefLabel> ?o ."
+            " BIND(STRLEN(?o) AS ?len) }"
+        )
+        assert "len" in q["proj"]
+        q2 = parse_select("SELECT * WHERE { VALUES ?x { 1 2 } ?s ?p ?x }")
+        assert "x" in q2["proj"]
+
+    def test_numeric_values_rows(self, spark):
+        t = spark.createDataFrame(
+            [("urn:a", "http://ex/v", "12", "literal", None, None)],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = bgp_select(
+            t, "SELECT ?x WHERE { VALUES ?x { 12 13 } ?s <http://ex/v> ?x }"
+        ).collect()
+        assert [r.x for r in got] == ["12"]
+
+    def test_datatype_dot_separator(self, triples):
+        # "5"^^<…#int>. ?s … — the dt capture must not swallow the dot
+        got = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s <' + DC + 'identifier> "G3" . '
+            "?s <" + SKOS + "prefLabel> ?o }",
+        ).collect()
+        assert [r.s for r in got] == ["urn:c:3"]
+
+    def test_graph_var_path_stays_per_graph(self, spark):
+        quads = spark.createDataFrame(
+            [
+                ("urn:g1", "urn:a", "http://ex/b", "urn:b", "iri", None, None),
+                ("urn:g1", "urn:b", "http://ex/b", "urn:c", "iri", None, None),
+                ("urn:g2", "urn:b", "http://ex/b", "urn:d", "iri", None, None),
+            ],
+            "g string, s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = sorted(
+            (r.g, r.x)
+            for r in bgp_select(
+                quads,
+                "SELECT ?g ?x WHERE { GRAPH ?g { <urn:a> <http://ex/b>+ ?x } }",
+            ).collect()
+        )
+        # the closure must not leak into g2 (b→d lives there)
+        assert got == [("urn:g1", "urn:b"), ("urn:g1", "urn:c")]
+
+    def test_select_expr_over_aggregates(self, triples):
+        got = bgp_select(
+            triples,
+            "SELECT ?p (COUNT(?s) AS ?c) (STRLEN(?p) AS ?l)"
+            " WHERE { ?s ?p ?o } GROUP BY ?p",
+        )
+        assert got.columns == ["p", "c", "l"]
+        r = {row.p: (row.c, row.l) for row in got.collect()}
+        assert r[SKOS + "member"] == (2, len(SKOS + "member"))
