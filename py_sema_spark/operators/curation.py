@@ -135,13 +135,21 @@ def stratified_sample(
     stable under corpus re-partitioning because the key depends only on
     row identity.
     """
+    def _bound_str(n: int) -> str:
+        # 16/16 must keep EVERY row: format(16,'x') is the two-char
+        # '10', which lexicographically keeps only keys starting '0';
+        # 'g' sorts above every hex char, so `key < 'g'` is always true
+        return "g" if n >= 16 else format(n, "x")
+
+    if not 0 <= default_sixteenths <= 16:
+        raise ValueError(f"rate out of range: default={default_sixteenths}")
     key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
-    bound = F.lit(format(default_sixteenths, "x"))
+    bound = F.lit(_bound_str(default_sixteenths))
     for stratum, sixteenths in sorted(rates_sixteenths.items()):
         if not 0 <= sixteenths <= 16:
             raise ValueError(f"rate out of range: {stratum}={sixteenths}")
         bound = F.when(
-            F.col(stratum_col) == stratum, F.lit(format(sixteenths, "x"))
+            F.col(stratum_col) == stratum, F.lit(_bound_str(sixteenths))
         ).otherwise(bound)
     return docs.where(key < bound)
 
@@ -427,7 +435,9 @@ def lm_buckets(
     # reuse this frame, and without the lineage cut Catalyst re-executes
     # the full bigram-model subtree (two explodes + three joins) for
     # every window branch — measured 12× slower at sf0.01
-    scored = lm_score(docs, train, k, text_col, id_col).localCheckpoint()
+    scored = lm_score(docs, train, k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     strata = docs.select(id_col, stratum_col).join(scored, id_col)
     counts = (
         strata.where(F.col("lm_logprob").isNotNull())
@@ -483,10 +493,20 @@ def token_budget_pack(
 
     Returns (doc_id, n_tokens, shard_id).
     """
+    # chunk key must respect the id ORDER (chunk boundaries are range
+    # boundaries): numeric ids bucket by value; string ids bucket by
+    # a 2-char prefix, which respects lexicographic order. A numeric
+    # division on a string id would cast to NULL and the offsets
+    # equi-join would silently return zero rows.
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type in ("string", "binary"):
+        chunk_key = F.substring(F.col(id_col).cast("string"), 1, 2)
+    else:
+        chunk_key = (F.col(id_col) / chunk).cast("bigint")
     toks = docs.select(
         F.col(id_col),
         F.size(normalized_tokens(F.col(text_col))).alias("n_tokens"),
-        (F.col(id_col) / chunk).cast("bigint").alias("_chunk"),
+        chunk_key.alias("_chunk"),
     )
     in_chunk = Window.partitionBy("_chunk").orderBy(id_col)
     local = toks.withColumn(
@@ -656,8 +676,6 @@ def inverted_index(
     salting model.py applies to hub subjects); here the list stays
     whole because the fixture vocabulary is bounded.
     """
-    from ..operators.dedup import normalized_tokens
-
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -717,8 +735,6 @@ def bm25_score(
     from the materialized inverted index instead of a corpus pass —
     same expression, precomputed inputs.
     """
-    from ..operators.dedup import normalized_tokens
-
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         normalized_tokens(F.col(text_col)).alias("_toks"),
@@ -850,8 +866,17 @@ def temperature_rebalance(
         ).cast("double")
         / F.lit(4503599627370496.0)  # 2^52
     )
-    return docs.join(rates, group_col).where(u < F.col("_rate")).select(
-        *docs.columns
+    # null-safe join: a NULL group (e.g. language-ID abstained) is a
+    # group like any other — groupBy already counted it, and a plain
+    # equi-join would silently drop every NULL-group row while its
+    # count could still set n_min and deflate all real groups' rates
+    r = rates.withColumnRenamed(group_col, "_rg")
+    return (
+        docs.join(
+            F.broadcast(r), F.col(group_col).eqNullSafe(F.col("_rg"))
+        )
+        .where(u < F.col("_rate"))
+        .select(*docs.columns)
     )
 
 
@@ -952,11 +977,18 @@ def quality_audit(
     violation — an unknown value never silently passes), then a tiny
     unpivot. pass_rate is rounded to 6.
     """
+    if not rules:
+        raise ValueError("quality_audit needs at least one rule")
     aggs = []
     for name, col in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(col, F.lit(False)), 0).otherwise(1)
+            # coalesce(sum, 0): over an EMPTY frame sum is NULL, and a
+            # NULL violation count would read as "no violations"
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(col, F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).alias(f"_v_{name}")
         )
     aggs.append(F.count(F.lit(1)).alias("_total"))
@@ -969,8 +1001,11 @@ def quality_audit(
                 F.col(f"_v_{name}").alias("violations"),
                 F.col("_total").alias("total"),
                 F.round(
-                    (F.col("_total") - F.col(f"_v_{name}"))
-                    / F.col("_total"),
+                    F.when(
+                        F.col("_total") > 0,
+                        (F.col("_total") - F.col(f"_v_{name}"))
+                        / F.col("_total"),
+                    ).otherwise(F.lit(1.0)),
                     6,
                 ).alias("pass_rate"),
             )

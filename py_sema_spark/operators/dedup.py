@@ -18,8 +18,21 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _shuffle_partitions(spark) -> int:
+    """Session shuffle parallelism as an int — the conf can be 'auto'
+    on AQE-managed platforms, where defaultParallelism is the sane
+    explicit-N stand-in."""
+    v = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def normalized_tokens(text_col: Column) -> Column:
@@ -147,9 +160,7 @@ def lsh_candidate_pairs(
     sf0.1 near-dup family.
     """
     buckets = band_buckets(signatures, bands, id_col)
-    n_part = int(
-        signatures.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = _shuffle_partitions(signatures.sparkSession)
     buckets = buckets.repartition(n_part, "bucket")
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -295,15 +306,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    join_on_prefix: int = 2,
+    join_on_prefix: Optional[int] = None,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup detection without LSH: blocks on
-    shared n-grams directly (inverted-index join). ``join_on_prefix``
-    caps the inverted index to each doc's lexicographically smallest
-    k n-grams (prefix filtering) — the standard bound that any pair
-    with Jaccard ≥ t must share one of the first
-    ``⌊(1−t)·|set|⌋+1`` grams; k=2 is exact for t ≥ 0.5 on small sets
-    and a high-recall block at scale."""
+    shared n-grams directly (inverted-index join) with PPJoin-style
+    prefix filtering. By default each doc indexes its
+    ``⌊(1−t)·|set|⌋+1`` lexicographically smallest grams — the exact
+    bound: any pair with Jaccard ≥ t MUST share one of those, so the
+    default finds every qualifying pair (a fixed global cap cannot:
+    two size-6 sets at J=0.5 can have disjoint 2-prefixes).
+    ``join_on_prefix`` optionally caps the per-doc prefix anyway —
+    a cheaper high-RECALL block for low thresholds, no longer exact."""
     # materialize the token array once per row — slicing a column
     # reference is O(1) per gram; inlining normalized_tokens into the
     # lambda would re-tokenize the document at every index (O(n²))
@@ -329,9 +342,17 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("gram")
+    prefix_len = (
+        F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+        if join_on_prefix is None
+        else F.lit(join_on_prefix)
+    )
     idx = (
         grams.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= join_on_prefix)
+        .withColumn(
+            "_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        .where(F.col("rn") <= prefix_len)
         .select(id_col, "gram")
     )
     pairs = (
@@ -354,7 +375,13 @@ def simhash(
 
     Implemented as explode(token) × explode(bit) → groupBy — two
     narrow explodes feeding one aggregation; no Python.
+
+    ``bits`` is capped at 32 — the token hash is the first 8 md5 hex
+    chars (32 bits), so any wider fingerprint would carry constant
+    zeros above bit 31 and silently add no discrimination.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError("simhash bits must be in [1, 32]")
     toks = token_set(docs, text_col, id_col)
     # token hash = first 8 hex chars of md5 → 32-bit int
     toks = toks.withColumn(
@@ -690,10 +717,16 @@ def incremental_minhash_dedup(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "word",
+    shingle_n: int = 8,
 ) -> DataFrame:
     """Near-dup detection for a FRESH INGEST against an existing
     corpus, touching only the corpus's minhash-signature index —
-    never its text. The production ingest loop at 10^12 docs: the
+    never its text. ``tokenizer``/``shingle_n`` MUST match whatever
+    built the corpus index (``'word'`` → :func:`token_set`,
+    ``'shingle'`` → :func:`shingle_set`): signatures from different
+    tokenizations never band-collide, so a mismatch silently reports
+    every new doc as novel. The production ingest loop at 10^12 docs: the
     accumulated corpus exists as a (doc_id, perm, sig) table (an
     Iceberg table appended per batch, bucketed on doc_id); each new
     crawl batch signs itself, joins bucket-to-bucket against the
@@ -715,13 +748,17 @@ def incremental_minhash_dedup(
     # both signature frames feed two plan branches (banding + the
     # estimator join): materialize each once, per the audited reuse
     # pattern (PLANS.md common_neighbors / dup_span_removal)
+    if tokenizer == "word":
+        new_sets = token_set(new_docs, text_col, id_col)
+    elif tokenizer == "shingle":
+        new_sets = shingle_set(new_docs, shingle_n, text_col, id_col)
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     new_sigs = minhash_signatures(
-        token_set(new_docs, text_col, id_col), num_perm, id_col
+        new_sets, num_perm, id_col
     ).localCheckpoint(eager=False)
     corpus_signatures = corpus_signatures.localCheckpoint(eager=False)
-    n_part = int(
-        new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = _shuffle_partitions(new_docs.sparkSession)
     # explicit-N fan-out of the bucket probe (see lsh_candidate_pairs)
     nb = (
         band_buckets(new_sigs, bands, id_col)

@@ -718,8 +718,12 @@ WHERE i.i / (sa.sz + sb.sz - i.i) >= 0.7
 
 _register(
     "ngram_jaccard",
+    # join_on_prefix=2 is the explicit high-recall CAP (mirrored by
+    # the oracle's rn <= 2): at t=0.05 the exact PPJoin prefix is
+    # nearly the whole gram set, so the capped block is the scale
+    # config; the exact default is covered by unit tests
     lambda spark, sf: ngram_jaccard_pairs(
-        _tp(spark, sf, "documents"), n=3, threshold=0.05
+        _tp(spark, sf, "documents"), n=3, threshold=0.05, join_on_prefix=2
     ),
     f"""
 WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),

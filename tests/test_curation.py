@@ -89,6 +89,43 @@ class TestStratifiedSample:
     def test_rate_bounds_validated(self, spark, docs):
         with pytest.raises(ValueError):
             stratified_sample(docs, {"en": 17})
+        with pytest.raises(ValueError):
+            stratified_sample(docs, {"en": 8}, default_sixteenths=17)
+
+    def test_sixteen_keeps_everything(self, spark):
+        """16/16 must keep EVERY row — the old lexicographic bound
+        format(16,'x')='10' silently kept only keys starting '0'."""
+        big = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        assert stratified_sample(big, {"en": 16}).count() == 500
+
+    def test_null_group_survives_rebalance(self, spark):
+        """A NULL group (language-ID abstained) is a group like any
+        other: at temperature 1.0 every row must survive, including
+        the NULL-lang ones the old equi-join silently dropped."""
+        from py_sema_spark.operators.curation import temperature_rebalance
+
+        rows = [(i, "t", "en" if i % 3 else None) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = temperature_rebalance(df, temperature=1.0)
+        assert out.count() == 60
+        assert out.where(F.col("lang").isNull()).count() == 20
+
+    def test_token_budget_pack_string_ids(self, spark):
+        """String doc ids must pack (the numeric division would cast
+        to NULL and the offsets join silently returned zero rows)."""
+        from py_sema_spark.operators.curation import token_budget_pack
+
+        rows = [(f"doc-{i:04d}", "one two three") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = token_budget_pack(df, budget=30).collect()
+        assert len(out) == 40
+        # 3 tokens/doc, budget 30 → 10 docs per shard in id order
+        shard_of = {r.doc_id: r.shard_id for r in out}
+        assert shard_of["doc-0000"] == 0 and shard_of["doc-0039"] == 3
 
 
 class TestRepetitionMetrics:

@@ -144,6 +144,28 @@ class TestDedup:
         # 4/5 share the normalized token set entirely
         assert (4, 5) in pairs
 
+    def test_ngram_prefix_filter_is_exact_by_default(self, spark):
+        """Two size-6 gram sets at J=0.5 whose two smallest grams are
+        disjoint: the fixed k=2 prefix cap missed this pair; the
+        default per-doc PPJoin bound ⌊(1−t)·|set|⌋+1 must find it."""
+        # unigrams (n=1) keep the sets easy to control
+        a = "a1 a2 s1 s2 s3 s4"
+        b = "b1 b2 s1 s2 s3 s4"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+        }
+        assert got == {(1, 2): 0.5}
+        # the explicit cap is the documented high-recall block — it
+        # may miss exactly this pair
+        capped = ngram_jaccard_pairs(
+            docs, n=1, threshold=0.5, join_on_prefix=2
+        ).collect()
+        assert capped == []
+
     def test_ngram_jaccard(self, docs):
         pairs = {
             (r["a"], r["b"]): r["jaccard"]
