@@ -257,9 +257,14 @@ def common_neighbors(
     discriminative common-neighbor evidence, and a 10^6-degree hub
     would alone emit 10^12 wedges). Remaining wedges hash-aggregate
     with map-side combine on the (a, b) pair; the adjacency anti-join
-    keys on the same pair; degrees join back from the *uncapped* graph
-    so scores stay exact for every surviving pair. Final top-k is a
-    TakeOrdered (no global sort).
+    keys on the same pair; degrees join back from the *uncapped* graph.
+    Scoring caveat under capping: a pair whose shared neighbors include
+    a dropped super-hub gets its `common` (and hence jaccard numerator)
+    from sub-cap centers only while the denominators stay uncapped —
+    scores are exact iff none of the pair's shared neighbors was
+    capped, and systematically understated otherwise (conservative:
+    capping never inflates a score). Final top-k is a TakeOrdered (no
+    global sort).
     """
     a, b = "_ca", "_cb"
     # the deduped edge set feeds four consumers (both wedge sides via
@@ -350,13 +355,12 @@ def adamic_adar(
         und.select(F.col(b).alias("c"), F.col(a).alias("n"))
     )
     cdeg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
+    cap = max_degree if max_degree is not None else (1 << 62)
+    # no broadcast hint: cdeg is O(|V|) rows (per-node degrees, nearly
+    # all under the cap on a real graph) — let AQE decide, exactly as
+    # common_neighbors does for the identical join
     centers = sym.join(
-        F.broadcast(
-            cdeg.where(
-                F.col("_cd") <= (max_degree or (1 << 62))
-            )
-        ),
-        "c",
+        cdeg.where(F.col("_cd") <= cap), "c"
     ).localCheckpoint(eager=False)
     wedges = (
         centers.alias("x")
@@ -543,6 +547,10 @@ def trustrank(
         .join(nodes, "node", "left_semi")
         .localCheckpoint()
     )
+    if seed_nodes.isEmpty():
+        # |S| = 0 would silently divide the teleport mass by zero and
+        # return all-NULL ranks (or throw mid-job under ANSI)
+        raise ValueError("trustrank: no seed appears in the graph")
     s_df = F.broadcast(seed_nodes.agg(F.count(F.lit(1)).alias("_s")))
     deg = out_degrees(edges, src_col, dst_col)
     edges_deg = (

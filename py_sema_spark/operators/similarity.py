@@ -690,8 +690,9 @@ def semantic_neardup(
     that costs on a given corpus.
 
     Returns (cluster, a, b, cos) with a < b and cos ≥ ``threshold``,
-    cos rounded to 6 after the (unrounded) threshold gate — same
-    convention as `embedding_neardup_pairs`.
+    cos rounded to 6 after the (unrounded) threshold gate — the same
+    gate-then-round the `embedding_neardup_pairs` call sites apply
+    (that operator returns raw cos and rounds at the query layer).
     """
     assign = kmeans_assign(embeddings, k, iterations, id_col, vec_col)
     e = embeddings.select(

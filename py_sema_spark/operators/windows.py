@@ -40,9 +40,11 @@ def with_ctrl(
         else Window.orderBy(*order_by)
     )
     idx = F.row_number().over(w) - 1
-    # lookahead queue: no next row <=> last (lead of a non-null order
-    # key is null exactly on the final row)
-    is_last = F.lead(F.col(order_by[-1])).over(w).isNull()
+    # lookahead on a CONSTANT, not the order key: lead(key) is also
+    # NULL when the next row's key value is NULL, which would flag
+    # arbitrary mid-stream rows as last; lead(1) is NULL exactly when
+    # no next row exists
+    is_last = F.lead(F.lit(1)).over(w).isNull()
     return df.withColumns(
         {
             "idx": idx,
@@ -79,7 +81,20 @@ def unique_pattern_key_col(pattern: str) -> F.Column:
     as a pure column expression: literals → lit, ``{var}`` → the
     column, ``{var:n}`` → substring(col, 1, n). Key *equality* is what
     matters for dedup, so pct-encoding is skipped (equal inputs expand
-    equal either way)."""
+    equal either way). Key safety: a NULL expansion is encoded
+    distinctly from an empty string (``concat_ws`` silently SKIPS
+    nulls, which would collide (NULL,'B') with ('B',NULL)), and any
+    separator byte inside a value is escaped so ('A\\x1fB','C') can't
+    collide with ('A','B\\x1fC')."""
+
+    def _safe(col: F.Column) -> F.Column:
+        return F.when(col.isNull(), F.lit("\x00N")).otherwise(
+            F.concat(
+                F.lit("\x00V"),
+                F.regexp_replace(col, "\x1f", "\x1f\x1f"),
+            )
+        )
+
     parts = []
     pos = 0
     for m in _UPAT_RE.finditer(pattern):
@@ -90,7 +105,9 @@ def unique_pattern_key_col(pattern: str) -> F.Column:
         if not name or not trunc.isdigit():
             name, trunc = spec, ""
         col = F.col(name).cast("string")
-        parts.append(F.substring(col, 1, int(trunc)) if trunc else col)
+        parts.append(
+            _safe(F.substring(col, 1, int(trunc)) if trunc else col)
+        )
         pos = m.end()
     if pos < len(pattern):
         parts.append(F.lit(pattern[pos:]))
@@ -217,6 +234,11 @@ def asof_join(
             for v in value_cols
         ],
     )
+    # a right row with no timestamp can never be "the most recent at
+    # or before" anything — NULLs sort first ascending and would
+    # otherwise carry forward into every left row (merge_asof rejects
+    # null keys outright)
+    right = right.where(F.col(ts_col).isNotNull())
     u_r = right.select(
         *[
             F.col(c) if c in right.columns else F.lit(None).alias(c)

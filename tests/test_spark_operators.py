@@ -975,6 +975,65 @@ class TestDupSpanOverlap:
         assert out[3]["n_tokens"] == 11 and out[3]["n_removed"] == 10
 
 
+class TestWindowsNullSafety:
+    def test_unique_pattern_null_vs_swap_no_collision(self, spark):
+        """(NULL,'B'), ('B',NULL) and separator-embedded values must
+        produce distinct keys — concat_ws silently skips NULLs."""
+        from py_sema_spark.operators.windows import unique_pattern_key_col
+
+        df = spark.createDataFrame(
+            [
+                (1, None, "B"),
+                (2, "B", None),
+                (3, "A\x1fB", "C"),
+                (4, "A", "B\x1fC"),
+            ],
+            "i long, x string, y string",
+        )
+        keys = [
+            r.k
+            for r in df.select(
+                unique_pattern_key_col("{x}{y}").alias("k")
+            ).collect()
+        ]
+        assert len(set(keys)) == 4
+
+    def test_is_last_with_null_order_values(self, spark):
+        """A NULL in the order column must not flag mid-stream rows
+        as last (lead(key) is NULL for them too; lead(1) is not)."""
+        from py_sema_spark.operators.windows import with_ctrl
+
+        df = spark.createDataFrame(
+            [("u", None, 1), ("u", None, 2), ("u", 5, 3)],
+            "user string, ts int, event_id int",
+        )
+        out = {
+            r.event_id: r.is_last
+            for r in with_ctrl(df, ["user"], ["ts", "event_id"]).collect()
+        }
+        assert out == {1: False, 2: False, 3: True}
+
+    def test_asof_ignores_null_right_timestamps(self, spark):
+        from py_sema_spark.operators.windows import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100)], "k long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, None, 99)], "k long, ts long, v long"
+        )
+        out = asof_join(left, right, on="k", ts_col="ts", value_cols=["v"]).collect()
+        assert len(out) == 1 and out[0]["v_asof"] is None
+
+    def test_trustrank_empty_seed_guard(self, spark):
+        from py_sema_spark.operators.graph import trustrank
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zzz",)], "node string")
+        with pytest.raises(ValueError, match="no seed"):
+            trustrank(edges, seeds)
+
+
 class TestAsofJoin:
     def test_at_or_before_semantics(self, spark):
         import datetime as dt
