@@ -131,7 +131,7 @@ class HarvestConfig:
                 subjects_literal=[
                     str(s) for s in (subjects.get("literal") or [])
                 ],
-                subjects_sparql=subjects.get("SPARQL") or subjects.get("sparql"),
+                subjects_sparql=subjects.get("SPARQL"),
                 paths=[
                     compile_ppath(str(p), prefixes)
                     for p in (block.get("paths") or [])
@@ -245,8 +245,18 @@ class Harvester:
         # pages present in the corpus but yielding 0 triples still count
         # as downloads (the reference logs failed derefs in the report)
         zero = pages.select("url").join(dl.select("url"), "url", "left_anti")
+        # dereferenceable URLs absent from the corpus are FAILED
+        # downloads — without a row here the report silently omits
+        # them and operators can't see which URL failed
+        missing = (
+            fresh.where(F.col("url").rlike(r"^https?://"))
+            .join(pages.select("url"), "url", "left_anti")
+            .select("url")
+        )
         dl = dl.unionByName(
-            zero.withColumn("triple_count", F.lit(0))
+            zero.unionByName(missing).withColumn(
+                "triple_count", F.lit(0)
+            )
         )
         return (
             new_triples,
@@ -268,7 +278,12 @@ class Harvester:
                 [("snoozed", config.name, -1, None, None, None, True, 0, 0)],
                 self.REPORT_SCHEMA,
             )
-            return self._empty.withColumn("g", F.lit(ng)), report
+            return (
+                self._empty.select(
+                    "*", F.lit(None).cast("string").alias("src_url")
+                ).withColumn("g", F.lit(ng)),
+                report,
+            )
 
         store = self._empty.select(
             "*", F.lit(None).cast("string").alias("src_url")
@@ -312,7 +327,14 @@ class Harvester:
                 for depth in range(len(path) + 1):
                     # frontier = nodes reachable via path[:depth]
                     frontier = _reachable(store, subjects, path[:depth])
-                    urls = frontier.select(F.col("node").alias("url"))
+                    # only dereferenceable nodes enter the round:
+                    # literals / urns / skolem IRIs would run an empty
+                    # extraction job AND bloat the checkpointed
+                    # downloaded set forever (same filter as the
+                    # ends-deref below)
+                    urls = frontier.where(
+                        F.col("node").rlike(r"^https?://")
+                    ).select(F.col("node").alias("url"))
                     new, dl, downloaded = self._deref(urls, downloaded)
                     if not new.isEmpty():
                         store = store.unionByName(new).localCheckpoint(

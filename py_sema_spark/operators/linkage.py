@@ -41,11 +41,20 @@ def detect_mentions(
 
     ``dictionary``: (entity, label) — labels are normalized with the
     same tokenizer as the text so matching is case/punct-insensitive.
+    ``max_gram`` is widened automatically to the longest dictionary
+    label (one tiny aggregate over the broadcast-sized dictionary) —
+    a fixed cap shorter than some label would silently make that
+    entity undetectable even when its exact surface form appears.
     """
     dict_norm = dictionary.select(
         F.col(entity_col).alias("entity"),
         F.concat_ws(" ", normalized_tokens(F.col(label_col))).alias("gram"),
     ).where(F.length("gram") > 0)
+    longest = dict_norm.select(
+        F.max(F.size(F.split(F.col("gram"), " "))).alias("m")
+    ).collect()[0]["m"]
+    if longest is not None:
+        max_gram = max(max_gram, int(longest))
 
     toks = docs.select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("toks"))
     grams = None
@@ -269,7 +278,13 @@ def entity_cooccurrence(
                 F.log(
                     F.col("n_ab").cast("double")
                     * F.col("_N")
-                    / (F.col("n_a") * F.col("n_b"))
+                    # double BEFORE multiplying: two ~3e9-doc entities
+                    # overflow the bigint product silently (non-ANSI
+                    # wraps negative → garbage PMI with no error)
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
                 ),
                 6,
             ).alias("pmi"),

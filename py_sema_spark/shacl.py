@@ -119,7 +119,21 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
         )
         for pnode in props.get(SH + "property", []):
             p = pnode.value
-            ps = PropertyShape(path=one(p, SH + "path").value)
+            path_t = one(p, SH + "path")
+            if path_t is None:
+                raise ValueError(
+                    f"property shape {p} has no sh:path"
+                )
+            if path_t.value.startswith("_:"):
+                # blank-node path = a path expression (sh:inversePath /
+                # sequence / alternative) — treating the bnode label as
+                # a predicate IRI would silently match nothing and
+                # report every focus node as a minCount violation
+                raise NotImplementedError(
+                    "SHACL path expressions (sh:inversePath / sequence "
+                    f"paths) are not supported: {p}"
+                )
+            ps = PropertyShape(path=path_t.value)
             for attr, pred, conv in (
                 ("datatype", "datatype", lambda o: o.value),
                 ("max_count", "maxCount", lambda o: int(o.value)),
@@ -163,10 +177,20 @@ def _viol(df: DataFrame, shape: str, path: str, constraint: str, msg: str,
 
 
 def _effective_datatype():
-    """RDF 1.1: a plain literal's datatype is xsd:string."""
+    """RDF 1.1: a plain literal's datatype is xsd:string, but a
+    LANG-TAGGED literal's is rdf:langString (terms.py nulls the
+    datatype when a lang tag is present, so coalescing straight to
+    xsd:string would both miss real langString matches and silently
+    pass "x"@en for sh:datatype xsd:string)."""
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     return F.when(
         F.col("o_kind") == "literal",
-        F.coalesce(F.col("o_datatype"), F.lit(XSD + "string")),
+        F.coalesce(
+            F.col("o_datatype"),
+            F.when(
+                F.col("o_lang").isNotNull(), F.lit(rdf_ns + "langString")
+            ).otherwise(F.lit(XSD + "string")),
+        ),
     )
 
 
@@ -206,7 +230,10 @@ def validate(
             continue  # shape only reachable via sh:node
 
         focus_s = focus.select(F.col("focus").alias("s"))
-        shape_triples = triples.join(F.broadcast(focus_s), "s", "left_semi")
+        # no broadcast hint: a targetClass focus set is DATA-sized (every
+        # instance of the class) — let the optimizer pick; a forced
+        # broadcast caps out at the 8 GB table limit on a real corpus
+        shape_triples = triples.join(focus_s, "s", "left_semi")
 
         for ps in shape.properties:
             vals = shape_triples.where(F.col("p") == ps.path)

@@ -278,3 +278,46 @@ def test_class_accepts_literal_violation_and_iri_instance(spark, core_shapes):
     )
     viols = validate(df, core_shapes).collect()
     assert "class" in {v["constraint"] for v in viols}
+
+
+def test_langstring_datatype_semantics(spark):
+    """RDF 1.1: "x"@en has datatype rdf:langString, not xsd:string —
+    sh:datatype xsd:string must flag it, sh:datatype rdf:langString
+    must accept it."""
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    data = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:label "hello"@en .
+"""
+    shapes_str = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:Shape a sh:NodeShape ;
+  sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:label ; sh:datatype xsd:string ] .
+"""
+    df = triples_df(spark, data)
+    viols = validate(df, parse_shapes_ttl(shapes_str)).collect()
+    assert {v["constraint"] for v in viols} == {"datatype"}
+    ok_shapes = parse_shapes_ttl(
+        shapes_str.replace(
+            "sh:datatype xsd:string",
+            f"sh:datatype <{RDFNS}langString>",
+        )
+    )
+    assert validate(df, ok_shapes).collect() == []
+
+
+def test_path_expression_rejected_not_silent(spark):
+    """A blank-node sh:path (inversePath etc.) must raise, not match
+    nothing and report phantom minCount violations."""
+    shapes_str = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:Shape a sh:NodeShape ;
+  sh:targetClass ex:Thing ;
+  sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:minCount 1 ] .
+"""
+    with pytest.raises(NotImplementedError, match="path expressions"):
+        parse_shapes_ttl(shapes_str)

@@ -363,6 +363,24 @@ class TestLinkage:
         got = {(r["doc_id"], r["entity"]) for r in m.collect()}
         assert got == {(1, "http://e/belcoast"), (1, "http://e/harbor")}
 
+        # a label LONGER than max_gram must still match — the gram
+        # fan-out auto-widens to the longest dictionary label
+        long_dict = spark.createDataFrame(
+            [("http://e/nyse", "New York Stock Exchange")],
+            ["entity", "label"],
+        )
+        long_docs = spark.createDataFrame(
+            [(9, "trading on the New York Stock Exchange today")],
+            ["doc_id", "text"],
+        )
+        got2 = {
+            (r["doc_id"], r["entity"])
+            for r in detect_mentions(
+                long_docs, long_dict, max_gram=3
+            ).collect()
+        }
+        assert got2 == {(9, "http://e/nyse")}
+
         edges = spark.createDataFrame(
             [("http://e/belcoast", "http://e/belgian-coast")], ["src", "dst"]
         )
