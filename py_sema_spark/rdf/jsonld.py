@@ -15,9 +15,12 @@ reference fixtures (e.g.
 - scalars: str → xsd:string, bool → xsd:boolean, int → xsd:integer,
   float → xsd:double (JSON-LD value-to-RDF rules).
 
-No remote-context fetching (contexts referenced by URL are ignored) —
-batch pipelines cannot dereference at parse time; the reference's
-rdflib parser in an offline test run behaves the same.
+No remote-context fetching — batch pipelines cannot dereference at
+parse time. Remote contexts resolve through an offline cache instead:
+bundled defaults (KNOWN_REMOTE_CONTEXTS) plus a configurable local
+context directory (``load_context_directory`` /
+``PY_SEMA_SPARK_CONTEXT_DIR``); unknown URLs degrade to the active
+@vocab/prefix mappings, matching an offline rdflib run.
 """
 
 from __future__ import annotations
@@ -70,6 +73,85 @@ KNOWN_REMOTE_CONTEXTS: Dict[str, dict] = {
     "https://w3id.org/ro/crate/1.1/context": _SCHEMA_VOCAB,
     "https://w3id.org/ro/crate/1.2/context": _SCHEMA_VOCAB,
 }
+
+# The reference resolves any remote @context URL at parse time via
+# rdflib's json-ld loader (/root/reference/sema/discovery/discovery.py
+# guess_format + rdflib parse).  A batch corpus job cannot dereference
+# URLs per row, so the equivalent here is an offline context cache: a
+# directory of pre-fetched context documents registered before the job
+# starts (ship it to executors with ``spark-submit --files`` /
+# ``--archives``; loading is idempotent so each Python worker can call
+# it).  Two ways to populate it:
+#
+# - ``register_remote_context(url, ctx)`` — programmatic;
+# - ``load_context_directory(path)`` — reads every ``*.json`` /
+#   ``*.jsonld`` file in ``path``.  A file maps to its URL via a
+#   top-level ``"@id"`` key, or via an ``index.json`` manifest
+#   ``{"<url>": "<filename>", ...}`` in the same directory.
+#   The registered value is the file's ``"@context"`` entry.
+#
+# ``PY_SEMA_SPARK_CONTEXT_DIR`` (path) is honoured lazily on first
+# parse, so executors pick the cache up from the environment without
+# driver-side wiring.  Unknown URLs still degrade to the active
+# @vocab/prefix mappings (pinned by tests), matching an offline rdflib
+# run where the fetch fails.
+_ENV_CONTEXT_DIR = "PY_SEMA_SPARK_CONTEXT_DIR"
+_env_dir_loaded: Optional[str] = None
+
+
+def register_remote_context(url: str, context: Any) -> None:
+    """Register an offline copy of a remote @context document."""
+    KNOWN_REMOTE_CONTEXTS[url.rstrip("/")] = context
+
+
+def load_context_directory(path: str) -> int:
+    """Register every context document found in ``path``; returns the
+    number of URLs registered.  See module comment for the file format."""
+    import os
+
+    if not os.path.isdir(path):
+        raise JsonLdError(f"context directory not found: {path}")
+    manifest: Dict[str, str] = {}
+    idx = os.path.join(path, "index.json")
+    if os.path.isfile(idx):
+        with open(idx, encoding="utf-8") as fh:
+            raw = json.load(fh)
+        if isinstance(raw, dict):
+            manifest = {
+                str(u): str(f) for u, f in raw.items() if isinstance(f, str)
+            }
+    by_file = {fname: url for url, fname in manifest.items()}
+    n = 0
+    for fname in sorted(os.listdir(path)):
+        if fname == "index.json" or not fname.endswith((".json", ".jsonld")):
+            continue
+        try:
+            with open(os.path.join(path, fname), encoding="utf-8") as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue  # a broken cache entry must not kill the job
+        if not isinstance(doc, dict) or "@context" not in doc:
+            continue
+        url = by_file.get(fname) or (
+            doc.get("@id") if isinstance(doc.get("@id"), str) else None
+        )
+        if url:
+            register_remote_context(url, doc["@context"])
+            n += 1
+    return n
+
+
+def _maybe_load_env_dir() -> None:
+    global _env_dir_loaded
+    import os
+
+    path = os.environ.get(_ENV_CONTEXT_DIR)
+    if path and path != _env_dir_loaded:
+        _env_dir_loaded = path
+        try:
+            load_context_directory(path)
+        except JsonLdError:
+            pass  # missing dir on a node: degrade, don't crash the stage
 
 
 class _Ctx:
@@ -314,6 +396,7 @@ def _scalar_lex(val: Any) -> tuple[str, str]:
 
 def parse_jsonld(text: str, base: str = "") -> List[Triple]:
     """Parse a JSON-LD document (string) into triples."""
+    _maybe_load_env_dir()
     try:
         doc = json.loads(text)
     except json.JSONDecodeError as e:

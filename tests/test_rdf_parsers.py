@@ -135,6 +135,100 @@ class TestJsonLd:
         assert {t.s.value for t in ts} == {"http://base/x", "http://base/y"}
 
 
+class TestRemoteContextRegistry:
+    """Offline remote-@context cache (the reference fetches contexts via
+    rdflib at parse time — sema/discovery/discovery.py; a batch job
+    resolves them from a pre-fetched local registry instead)."""
+
+    UNKNOWN = """{
+      "@context": "https://w3id.org/example/never-bundled/context",
+      "@id": "http://e/1",
+      "@type": "Dataset",
+      "name": "n",
+      "http://abs/p": "kept"
+    }"""
+
+    def test_unknown_context_degrades_to_vocabless(self):
+        # Pinned fallback: with no registered copy and no active @vocab,
+        # plain terms are dropped (JSON-LD keyword-less keys that don't
+        # expand to an absolute IRI emit nothing); @type and absolute-IRI
+        # predicates survive.
+        ts = parse_jsonld(self.UNKNOWN)
+        preds = {t.p.value for t in ts}
+        assert preds == {
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://abs/p",
+        }
+        # @type's object stays the bare token — recorded divergence from
+        # a successful online fetch, identical to an offline rdflib run.
+        types = [t.o.value for t in ts if t.p.value.endswith("#type")]
+        assert types == ["Dataset"]
+
+    def test_registered_context_resolves(self):
+        from py_sema_spark.rdf import jsonld as jmod
+
+        url = "https://w3id.org/example/never-bundled/context"
+        jmod.register_remote_context(
+            url, {"@vocab": "http://myvocab/", "name": "http://myvocab/label"}
+        )
+        try:
+            ts = parse_jsonld(self.UNKNOWN)
+            preds = {t.p.value for t in ts}
+            assert "http://myvocab/label" in preds
+            types = [t.o.value for t in ts if t.p.value.endswith("#type")]
+            assert types == ["http://myvocab/Dataset"]
+        finally:
+            del jmod.KNOWN_REMOTE_CONTEXTS[url]
+
+    def test_load_context_directory_both_formats(self, tmp_path):
+        from py_sema_spark.rdf import jsonld as jmod
+
+        # format 1: file carries its own "@id"
+        (tmp_path / "a.jsonld").write_text(
+            '{"@id": "https://ctx.example/a",'
+            ' "@context": {"@vocab": "http://va/"}}'
+        )
+        # format 2: index.json manifest maps url -> filename
+        (tmp_path / "b.json").write_text('{"@context": {"@vocab": "http://vb/"}}')
+        (tmp_path / "index.json").write_text(
+            '{"https://ctx.example/b": "b.json"}'
+        )
+        # a broken cache entry is skipped, not fatal
+        (tmp_path / "broken.json").write_text("{not json")
+        n = jmod.load_context_directory(str(tmp_path))
+        try:
+            assert n == 2
+            for url, vocab in [
+                ("https://ctx.example/a", "http://va/"),
+                ("https://ctx.example/b", "http://vb/"),
+            ]:
+                ts = parse_jsonld(
+                    '{"@context": "%s", "@id": "http://s", "x": 1}' % url
+                )
+                assert {t.p.value for t in ts} == {vocab + "x"}
+        finally:
+            del jmod.KNOWN_REMOTE_CONTEXTS["https://ctx.example/a"]
+            del jmod.KNOWN_REMOTE_CONTEXTS["https://ctx.example/b"]
+
+    def test_env_dir_loaded_lazily(self, tmp_path, monkeypatch):
+        from py_sema_spark.rdf import jsonld as jmod
+
+        (tmp_path / "c.jsonld").write_text(
+            '{"@id": "https://ctx.example/env",'
+            ' "@context": {"@vocab": "http://venv/"}}'
+        )
+        monkeypatch.setenv(jmod._ENV_CONTEXT_DIR, str(tmp_path))
+        monkeypatch.setattr(jmod, "_env_dir_loaded", None)
+        try:
+            ts = parse_jsonld(
+                '{"@context": "https://ctx.example/env",'
+                ' "@id": "http://s", "x": 1}'
+            )
+            assert {t.p.value for t in ts} == {"http://venv/x"}
+        finally:
+            jmod.KNOWN_REMOTE_CONTEXTS.pop("https://ctx.example/env", None)
+
+
 class TestFallbackChain:
     def test_turtle_wins(self):
         ts, fmt = parse_rdf_auto("<http://s> <http://p> <http://o> .")
