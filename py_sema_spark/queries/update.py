@@ -61,6 +61,8 @@ _VERB_RE = re.compile(
     r"(?is)^\s*(?P<verb>INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE"
     r"|INSERT|DELETE|CLEAR|DROP)\b"
 )
+_WITH_RE = re.compile(r"(?is)^\s*WITH\s*<(?P<iri>[^>]*)>\s*")
+_GRAPH_WRAP_RE = re.compile(r"(?is)^\s*GRAPH\s*<(?P<iri>[^>]*)>\s*(?=\{)")
 _GRAPH_TGT_RE = re.compile(
     r"(?is)^\s*(?:SILENT\s+)?(?:GRAPH\s*<(?P<iri>[^>]*)>|(?P<all>ALL)"
     r"|(?P<default>DEFAULT))\s*$"
@@ -98,6 +100,18 @@ def _split_ops(text: str) -> List[str]:
     return [op for op in ops if op.strip()]
 
 
+def _strip_graph_wrapper(block: str):
+    """If ``block`` is exactly one ``GRAPH <iri> { … }`` group (plus
+    whitespace), return ``(iri, inner)``; else ``(None, block)``."""
+    m = _GRAPH_WRAP_RE.match(block)
+    if not m:
+        return None, block
+    inner, after = _balanced_block(block, block.index("{", m.end() - 1))
+    if block[after:].strip():
+        return None, block  # trailing patterns outside the wrapper
+    return m.group("iri"), inner
+
+
 def parse_update(
     text: str, prefixes: Optional[Dict[str, str]] = None
 ) -> Tuple[Dict[str, str], List[dict]]:
@@ -111,6 +125,11 @@ def parse_update(
     body = _PREFIX_RE.sub("", text)
     ops: List[dict] = []
     for op_text in _split_ops(body):
+        with_graph = None
+        wm = _WITH_RE.match(op_text)
+        if wm:  # WITH <g> DELETE/INSERT … (SPARQL Update §3.1.3)
+            with_graph = wm.group("iri")
+            op_text = op_text[wm.end():]
         m = _VERB_RE.match(op_text)
         if not m:
             raise ValueError(f"unsupported update operation: {op_text!r}")
@@ -124,11 +143,13 @@ def parse_update(
             })
         elif verb == "DELETE WHERE":
             inner, _ = _balanced_block(rest, rest.index("{"))
+            g_scope, inner = _strip_graph_wrapper(inner)
             ops.append({
                 "kind": "modify",
                 "delete_tpl": inner,
                 "insert_tpl": None,
                 "where": inner,
+                "graph": g_scope if g_scope is not None else with_graph,
             })
         elif verb in ("INSERT", "DELETE"):
             first, after = _balanced_block(rest, rest.index("{"))
@@ -147,11 +168,33 @@ def parse_update(
                     f"{verb} template without WHERE: {op_text!r}"
                 )
             where, _ = _balanced_block(tail, tail.index("{", wm.end() - 1))
+            # a single GRAPH <g> { … } wrapper on every present block
+            # scopes the whole op to that graph (the form rdflib's
+            # SPARQLUpdateStore emits against a quad store); mixed
+            # graphs across blocks are not supported
+            scopes = []
+            parts = []
+            for blk in (delete_tpl, insert_tpl, where):
+                if blk is None:
+                    parts.append(None)
+                    continue
+                g_scope, stripped = _strip_graph_wrapper(blk)
+                scopes.append(g_scope)
+                parts.append(stripped)
+            uniq = set(scopes)
+            if len(uniq) > 1:
+                raise ValueError(
+                    "mixed GRAPH scopes in one DELETE/INSERT op are "
+                    f"not supported: {op_text!r}"
+                )
+            g_scope = uniq.pop() if uniq else None
+            delete_tpl, insert_tpl, where = parts
             ops.append({
                 "kind": "modify",
                 "delete_tpl": delete_tpl,
                 "insert_tpl": insert_tpl,
                 "where": where,
+                "graph": g_scope if g_scope is not None else with_graph,
             })
         else:  # CLEAR / DROP — same effect on a table-backed store
             g = _GRAPH_TGT_RE.match(rest)
@@ -291,7 +334,21 @@ def apply_update(
             # lazily checkpointed so delete + insert don't recompute it)
             if dirty:
                 out, dirty = _dedup(out), False
+            g_scope = op.get("graph")
+            if g_scope is not None and not has_g:
+                # a g-less frame only answers ops addressed to itself;
+                # its own graph-less rows ARE that graph then
+                if not _this_graph(g_scope):
+                    continue
+                g_scope = None
             pre = out
+            # graph-scoped modify: solutions come from that graph's
+            # slice only, and the delete/insert sets land back in it
+            sol_src = (
+                pre.where(F.col("g").eqNullSafe(F.lit(g_scope))).drop("g")
+                if g_scope is not None
+                else pre
+            )
             tpl_del = (
                 parse_template(op["delete_tpl"], pfx)
                 if op["delete_tpl"] is not None
@@ -308,7 +365,7 @@ def apply_update(
                     for v, cols in template_needs(tpl).items():
                         needs.setdefault(v, set()).update(cols)
             sol = bgp_select(
-                pre,
+                sol_src,
                 f"SELECT * WHERE {{ {op['where']} }}",
                 pfx,
                 _extra_needs=needs,
@@ -317,11 +374,16 @@ def apply_update(
             if tpl_del is not None and tpl_ins is not None:
                 sol = sol.localCheckpoint(eager=False)
             if tpl_del is not None:
-                out = _anti(pre, instantiate_template(sol, tpl_del))
+                del_set = instantiate_template(sol, tpl_del)
+                if g_scope is not None:
+                    del_set = del_set.withColumn("g", F.lit(g_scope))
+                out = _anti(pre, del_set)
             if tpl_ins is not None:
                 ins_set = instantiate_template(sol, tpl_ins)
-                if has_g and default_graph is not None:
-                    ins_set = ins_set.withColumn("g", F.lit(default_graph))
+                if has_g and (g_scope or default_graph) is not None:
+                    ins_set = ins_set.withColumn(
+                        "g", F.lit(g_scope or default_graph)
+                    )
                 out = out.unionByName(ins_set, allowMissingColumns=True)
                 dirty = True
         elif op["kind"] == "clear":

@@ -186,6 +186,80 @@ def test_quads_graph_blocks(spark):
     ).count() == 0
 
 
+def _quads(spark):
+    return spark.createDataFrame(
+        [
+            ("urn:g:1", "urn:s:1", EX + "p", "x", "literal", None, None),
+            ("urn:g:1", "urn:s:1", EX + "q", "k", "literal", None, None),
+            ("urn:g:2", "urn:s:1", EX + "p", "x", "literal", None, None),
+        ],
+        "g string, " + SCHEMA,
+    )
+
+
+def test_graph_wrapped_delete_where(spark):
+    """DELETE WHERE { GRAPH <g> { … } } (the form rdflib's
+    SPARQLUpdateStore emits) touches only that graph's slice."""
+    out = apply_update(
+        _quads(spark),
+        "DELETE WHERE { GRAPH <urn:g:1> { <urn:s:1> <http://example.org/p> ?o } }",
+    )
+    assert _set(out.select("g", "p")) == {
+        ("urn:g:1", EX + "q"),
+        ("urn:g:2", EX + "p"),
+    }
+
+
+def test_graph_wrapped_modify(spark):
+    """DELETE {…} INSERT {…} WHERE {…} with every block wrapped in the
+    same GRAPH scopes solutions AND effects to that graph."""
+    out = apply_update(
+        _quads(spark),
+        "DELETE { GRAPH <urn:g:1> { ?s <http://example.org/p> ?o } } "
+        'INSERT { GRAPH <urn:g:1> { ?s <http://example.org/p> "y" } } '
+        "WHERE { GRAPH <urn:g:1> { ?s <http://example.org/p> ?o } }",
+    )
+    assert _set(out.select("g", "o")) == {
+        ("urn:g:1", "y"),
+        ("urn:g:1", "k"),
+        ("urn:g:2", "x"),
+    }
+
+
+def test_with_graph_modify(spark):
+    """WITH <g> DELETE … WHERE … scopes like the GRAPH wrapper."""
+    out = apply_update(
+        _quads(spark),
+        "WITH <urn:g:2> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",
+    )
+    assert _set(out.select("g")) == {("urn:g:1",)}
+
+
+def test_mixed_graph_modify_rejected():
+    with pytest.raises(ValueError, match="mixed GRAPH"):
+        parse_update(
+            "DELETE { GRAPH <urn:g:1> { ?s ?p ?o } } "
+            "WHERE { GRAPH <urn:g:2> { ?s ?p ?o } }"
+        )
+
+
+def test_graph_wrapped_modify_on_gless_frame(triples):
+    """A g-less frame with identity A: a GRAPH <B>-scoped modify is a
+    no-op; a GRAPH <A>-scoped one applies."""
+    me = "urn:g:me"
+    n = triples.count()
+    assert apply_update(
+        triples,
+        "DELETE WHERE { GRAPH <urn:g:other> { ?s ?p ?o } }",
+        default_graph=me,
+    ).count() == n
+    assert apply_update(
+        triples,
+        f"DELETE WHERE {{ GRAPH <{me}> {{ ?s ?p ?o }} }}",
+        default_graph=me,
+    ).count() == 0
+
+
 def test_parse_rejects_vars_in_data():
     with pytest.raises(ValueError, match="illegal"):
         parse_update("INSERT DATA { ?s <urn:p> ?o }")
