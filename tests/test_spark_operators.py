@@ -482,6 +482,81 @@ class TestPipelineResume:
         m = Pipeline(spark, wd).metrics()
         assert m.where(F.col("stage") == "05_materialize").count() > 0
 
+    def test_chunked_stage_partition_resume(self, spark, tmp_path_factory):
+        """Per-chunk commits: a run killed mid-stage re-executes ONLY
+        the unfinished chunks, and the finished chunks' files are not
+        rewritten (north rule: per-partition lineage, resume exactly)."""
+        import os
+
+        import pytest as _pytest
+
+        from py_sema_spark.operators.extract import extract_structured
+        from py_sema_spark.pipeline import Pipeline
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        wd = str(tmp_path_factory.mktemp("pipe_chunk"))
+        corpus = synth_corpus(spark, 80, seed=9)
+
+        calls = []
+
+        def flaky(df):
+            if len(calls) >= 3:  # simulate a kill after 3 chunk commits
+                raise RuntimeError("killed mid-stage")
+            calls.append(1)
+            return extract_structured(df)
+
+        p = Pipeline(spark, wd)
+        with _pytest.raises(RuntimeError, match="killed"):
+            p.chunked_stage("01_extract", corpus, flaky, n_chunks=6)
+
+        sdir = f"{wd}/01_extract"
+        done = sorted(
+            f for f in os.listdir(sdir) if f.startswith("_CHUNK_DONE")
+        )
+        assert len(done) == 3
+        assert not os.path.exists(f"{sdir}/_STAGE_DONE")
+        fingerprint = {}
+        for root, _dirs, files in os.walk(sdir):
+            for f in files:
+                fp = os.path.join(root, f)
+                fingerprint[fp] = (os.path.getsize(fp), os.path.getmtime(fp))
+
+        calls2 = []
+
+        def clean(df):
+            calls2.append(1)
+            return extract_structured(df)
+
+        p2 = Pipeline(spark, wd)
+        out = p2.chunked_stage("01_extract", corpus, clean, n_chunks=6)
+        assert len(calls2) == 3  # only the 3 unfinished chunks re-ran
+        resumed = [
+            e["event"].listargs[0]
+            for e in p2.trace.events
+            if e["event"].name == "chunk" and e["event"].returns == "resumed"
+        ]
+        assert len(resumed) == 3
+        # pre-kill committed files untouched byte-for-byte
+        for fp, (size, mtime) in fingerprint.items():
+            assert os.path.getsize(fp) == size
+            assert os.path.getmtime(fp) == mtime
+
+        # chunked output == unchunked output exactly
+        ref = extract_structured(corpus)
+        assert out.count() == ref.count()
+        cols = [c for c in ref.columns]
+        assert (
+            out.select(cols).exceptAll(ref.select(cols)).count() == 0
+            and ref.select(cols).exceptAll(out.select(cols)).count() == 0
+        )
+        # fully-done stage resumes without touching transform
+        p3 = Pipeline(spark, wd)
+        out3 = p3.chunked_stage(
+            "01_extract", corpus, clean, n_chunks=6
+        )
+        assert len(calls2) == 3
+        assert out3.count() == ref.count()
+
     def test_run_is_traced(self, spark, tmp_path_factory):
         from py_sema_spark.pipeline import Pipeline
         from py_sema_spark.sources.corpus import synth_corpus
