@@ -111,8 +111,32 @@ def skolemize(df: DataFrame, src_col: str = "src_url") -> DataFrame:
     )
 
 
+def hub_subjects(
+    df: DataFrame, n_buckets: int = 256, share: float = 0.25
+) -> DataFrame:
+    """Subjects whose row count exceeds ``share`` × the average bucket
+    size (n / n_buckets) — the keys that would skew a subject-hash
+    layout.  Found with the shuffle-free Misra-Gries two-phase pass
+    (:func:`..operators.sketch.heavy_hitters` with k = n_buckets/share:
+    freq > n/k ⇔ freq > share·n/n_buckets), so detection never pays a
+    full distinct-subject exchange.  Returns ``(s, cnt)``; by
+    construction ≤ n_buckets/share rows → always broadcastable.
+    """
+    import math
+
+    from .operators.sketch import heavy_hitters
+
+    k = max(2, math.ceil(n_buckets / share))
+    return heavy_hitters(df, "s", k=k).select(
+        F.col("item").alias("s"), "cnt"
+    )
+
+
 def with_subject_bucket(
-    df: DataFrame, n_buckets: int = 256, hub_salt: int = 16
+    df: DataFrame,
+    n_buckets: int = 256,
+    hub_salt: int = 16,
+    hub_share: Optional[float] = None,
 ) -> DataFrame:
     """Add the physical-partitioning columns for the final materialize.
 
@@ -122,14 +146,34 @@ def with_subject_bucket(
       (one ``s`` with millions of rows — the ``skos:member`` shape)
       over ``hub_salt`` sub-partitions. Readers that group by subject
       aggregate partials across salts; everyone else ignores it.
+
+    ``hub_share`` switches salting from blanket to DEGREE-TRIGGERED:
+    only subjects detected by :func:`hub_subjects` (row count >
+    hub_share × average bucket size) get a non-zero salt; every other
+    subject keeps ``salt = 0`` so its rows stay contiguous in one
+    sub-partition (per-subject locality preserved, skew still
+    bounded).  The hub set joins broadcast.  Note ``df`` feeds two
+    plan branches then — pass a checkpointed/scan-backed frame, not a
+    long lazy chain.
     """
-    return df.withColumns(
-        {
-            "s_bucket": F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int"),
-            "salt": F.pmod(F.xxhash64(F.col("p"), F.col("o")), F.lit(hub_salt)).cast(
-                "int"
-            ),
-        }
+    bucket = F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int")
+    salt = F.pmod(F.xxhash64(F.col("p"), F.col("o")), F.lit(hub_salt)).cast(
+        "int"
+    )
+    if hub_share is None:
+        return df.withColumns({"s_bucket": bucket, "salt": salt})
+    hubs = hub_subjects(df, n_buckets, hub_share).select(
+        "s", F.lit(True).alias("_is_hub")
+    )
+    return (
+        df.join(F.broadcast(hubs), "s", "left")
+        .withColumns(
+            {
+                "s_bucket": bucket,
+                "salt": F.when(F.col("_is_hub"), salt).otherwise(F.lit(0)),
+            }
+        )
+        .drop("_is_hub")
     )
 
 
@@ -139,14 +183,17 @@ def materialize_triples(
     n_buckets: int = 256,
     hub_salt: int = 16,
     mode: str = "overwrite",
+    hub_share: Optional[float] = 0.25,
 ) -> None:
     """Final write: dedup → bucket/salt → parquet partitioned by bucket.
 
     One shuffle total: the repartition by (s_bucket, salt) both
     performs the global dedup exchange and lays data out for the
-    partitioned write.
+    partitioned write.  Salting is degree-triggered by default
+    (``hub_share``; see :func:`with_subject_bucket`) — only detected
+    hub subjects split across salts, everyone else stays contiguous.
     """
-    out = with_subject_bucket(df, n_buckets, hub_salt)
+    out = with_subject_bucket(df, n_buckets, hub_salt, hub_share)
     out = out.repartition(F.col("s_bucket"), F.col("salt"))
     out = out.dropDuplicates(
         [c for c in out.columns if c in set(TRIPLE_FIELDS + ["g"])]

@@ -191,6 +191,7 @@ class Pipeline:
         graph: str = "urn:kg:corpus",
         n_buckets: int = 64,
         hub_salt: int = 8,
+        hub_share: Optional[float] = 0.25,
         curate: bool = False,
         extract_chunks: int = 0,
     ) -> DataFrame:
@@ -278,10 +279,13 @@ class Pipeline:
         canonical = self.stage("04_canonicalize", _canon)
 
         def _final() -> DataFrame:
+            # degree-triggered hub salting (hub_share): canonical is a
+            # checkpoint scan, so the heavy-hitter pass re-reads parquet,
+            # not the upstream plan
             out = canonical.withColumn("g", F.lit(graph))
             from .model import with_subject_bucket
 
-            out = with_subject_bucket(out, n_buckets, hub_salt)
+            out = with_subject_bucket(out, n_buckets, hub_salt, hub_share)
             out = out.repartition(F.col("s_bucket"), F.col("salt"))
             return out.dropDuplicates(
                 ["s", "p", "o", "o_kind", "o_datatype", "o_lang", "g"]
