@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "uritemplate_expand",
     "subyt_render",
     "shacl_validate",
+    "conneg_audit",
     "frame_sample",
     "media_decode_stats",
     "phash_neardup",

@@ -5039,3 +5039,110 @@ SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
 FROM r WHERE rank <= 20
 """,
 )
+
+
+def _conneg_audit(spark, sf):
+    """Conneg variant-set audit (functions/conneg.py) over a
+    deterministic variant table derived from ``documents``: 50 urls,
+    mime by doc_id%3, every 7th fetch a 404, altr-detected text/xml on
+    every 4th doc — the requested+detected vs found set-difference per
+    url (reference conneg.py FoundVariants semantics, distributed)."""
+    from ..functions.conneg import conneg_audit
+
+    docs = _tp(spark, sf, "documents").select(
+        F.concat(F.lit("urn:site:"), F.col("doc_id") % 50).alias("url"),
+        "doc_id",
+    )
+    base = docs.select(
+        "url",
+        F.element_at(
+            F.array(
+                F.lit("text/html"),
+                F.lit("text/turtle"),
+                F.lit("application/json"),
+            ),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        ).alias("mime_type"),
+        F.lit("").alias("profile"),
+        F.when(F.col("doc_id") % 7 == 0, 404).otherwise(200).alias("status"),
+    )
+    found = base.groupBy("url", "mime_type", "profile").agg(
+        F.min("status").alias("status")
+    )
+    detected = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select(
+            "url",
+            F.lit("text/xml").alias("mime_type"),
+            F.lit("").alias("profile"),
+        )
+        .distinct()
+    )
+    out = conneg_audit(found, [("text/html", "")], detected)
+    return out.select(
+        "url", "mime_type", "profile", "in_requested", "in_detected",
+        "found",
+        F.coalesce("status_ok", F.lit(False)).alias("status_ok"),
+        F.coalesce(F.col("status"), F.lit(-1)).cast("long").alias("status"),
+        "url_success",
+    )
+
+
+_register(
+    "conneg_audit",
+    _conneg_audit,
+    """
+WITH base AS (
+  SELECT 'urn:site:' || (doc_id % 50) AS url,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'text/html'
+           WHEN 1 THEN 'text/turtle'
+           ELSE 'application/json' END AS mime_type,
+         '' AS profile,
+         CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status
+  FROM documents
+),
+found AS (
+  SELECT url, mime_type, profile, MIN(status) AS status
+  FROM base GROUP BY 1, 2, 3
+),
+detected AS (
+  SELECT DISTINCT 'urn:site:' || (doc_id % 50) AS url,
+         'text/xml' AS mime_type, '' AS profile
+  FROM documents WHERE doc_id % 4 = 0
+),
+urls AS (
+  SELECT DISTINCT url FROM found
+  UNION SELECT DISTINCT url FROM detected
+),
+expected AS (
+  SELECT url, mime_type, profile,
+         bool_or(in_requested) AS in_requested,
+         bool_or(in_detected) AS in_detected
+  FROM (
+    SELECT u.url, 'text/html' AS mime_type, '' AS profile,
+           TRUE AS in_requested, FALSE AS in_detected
+    FROM urls u
+    UNION ALL
+    SELECT url, mime_type, profile, FALSE, TRUE FROM detected
+  ) GROUP BY 1, 2, 3
+),
+joined AS (
+  SELECT url, mime_type, profile,
+         COALESCE(e.in_requested, FALSE) AS in_requested,
+         COALESCE(e.in_detected, FALSE) AS in_detected,
+         f.status IS NOT NULL AS found,
+         COALESCE(f.status = 200, FALSE) AS status_ok,
+         COALESCE(f.status, -1) AS status
+  FROM expected e FULL OUTER JOIN found f USING (url, mime_type, profile)
+)
+SELECT url, mime_type, profile, in_requested, in_detected, found,
+       status_ok, CAST(status AS BIGINT) AS status,
+       max(CASE WHEN ((in_requested OR in_detected) AND NOT found)
+                  OR (found AND NOT (in_requested OR in_detected))
+                  OR (found AND NOT status_ok)
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY url) = 0 AS url_success
+FROM joined
+""",
+)
