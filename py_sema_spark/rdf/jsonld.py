@@ -26,24 +26,23 @@ context directory (``load_context_directory`` /
 from __future__ import annotations
 
 import json
+import math
 import re
+from decimal import Decimal
 from typing import Any, Dict, List, Optional
 from urllib.parse import urljoin
 
 from .terms import (
-    RDF_FIRST,
-    RDF_NIL,
-    RDF_REST,
+    ABS_IRI_RE as _ABS_IRI_RE,
     RDF_TYPE,
     XSD,
     Term,
     Triple,
     bnode,
+    build_rdf_list,
     iri,
     literal,
 )
-
-_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _KEYWORDS = {
     "@context", "@id", "@type", "@value", "@language", "@graph",
@@ -308,14 +307,21 @@ class _JsonLdToRdf:
                 continue  # un-expandable key: dropped (JSON-LD spec)
             tdef = self._term_def(ctx, key)
             vals = value if isinstance(value, list) else [value]
+            # @set is plain array semantics (JSON-LD §4.6.1): splice its
+            # items into the value list — one triple per item, not just
+            # the first
+            flat: List[Any] = []
             for v in vals:
+                if isinstance(v, dict) and "@set" in v and "@list" not in v:
+                    items = v["@set"]
+                    flat.extend(items if isinstance(items, list) else [items])
+                else:
+                    flat.append(v)
+            for v in flat:
                 obj = self._to_object(ctx, tdef, v)
                 if obj is not None:
                     self.triples.append(Triple(subj, iri(pred_iri), obj))
                     emitted = True
-        if not emitted and "@id" in node:
-            # bare node reference inside @graph — no triple by itself
-            pass
         return subj
 
     def _to_object(self, ctx: _Ctx, tdef: dict, v: Any) -> Optional[Term]:
@@ -328,18 +334,7 @@ class _JsonLdToRdf:
                     items = [items]
                 objs = [self._to_object(ctx, tdef, it) for it in items]
                 objs = [o for o in objs if o is not None]
-                if not objs:
-                    return iri(RDF_NIL)
-                head = self._fresh_bnode()
-                nodep = head
-                for k, o in enumerate(objs):
-                    self.triples.append(Triple(nodep, iri(RDF_FIRST), o))
-                    nxt = (
-                        self._fresh_bnode() if k + 1 < len(objs) else iri(RDF_NIL)
-                    )
-                    self.triples.append(Triple(nodep, iri(RDF_REST), nxt))
-                    nodep = nxt
-                return head
+                return build_rdf_list(objs, self._fresh_bnode, self.triples)
             if "@value" in v:
                 val = v["@value"]
                 if val is None:
@@ -388,10 +383,25 @@ def _scalar_lex(val: Any) -> tuple[str, str]:
     if isinstance(val, int):
         return (str(val), XSD + "integer")
     if isinstance(val, float):
-        if val == int(val) and abs(val) < 1e15:
-            return (f"{val:.1E}", XSD + "double")
-        return (repr(val).upper().replace("E+", "E"), XSD + "double")
+        return (_canonical_double(val), XSD + "double")
     return (str(val), XSD + "string")
+
+
+def _canonical_double(val: float) -> str:
+    """Canonical xsd:double lexical form (one digit before the point,
+    shortest round-trip mantissa, no exponent '+'): 1999.0 → "1.999E3".
+    Non-finite JSON extensions map to the XSD lexical forms rather than
+    crashing (json.loads accepts Infinity/NaN/1e999)."""
+    if math.isnan(val):
+        return "NaN"
+    if math.isinf(val):
+        return "INF" if val > 0 else "-INF"
+    if val == 0.0:
+        return "-0.0E0" if math.copysign(1.0, val) < 0 else "0.0E0"
+    sign, digits, exp = Decimal(repr(val)).as_tuple()
+    adjusted = exp + len(digits) - 1
+    rest = "".join(map(str, digits[1:])).rstrip("0") or "0"
+    return f"{'-' if sign else ''}{digits[0]}.{rest}E{adjusted}"
 
 
 def parse_jsonld(text: str, base: str = "") -> List[Triple]:

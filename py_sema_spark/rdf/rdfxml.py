@@ -30,15 +30,15 @@ from typing import List, Optional
 from urllib.parse import urljoin
 
 from .terms import (
-    RDF_FIRST,
+    ABS_IRI_RE as _ABS_IRI_RE,
     RDF_NIL,
     RDF_NS,
-    RDF_REST,
     RDF_TYPE,
     XSD,
     Term,
     Triple,
     bnode,
+    build_rdf_list,
     iri,
     literal,
 )
@@ -59,9 +59,6 @@ _SYNTAX_ATTRS = {
 }
 # old-style non-namespaced rdf attrs seen in the wild are NOT honored —
 # rdflib requires the namespace too.
-
-_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
-
 
 class RdfXmlParseError(ValueError):
     pass
@@ -203,14 +200,8 @@ class _RdfXmlParser:
             if not items:
                 self.triples.append(Triple(subj, pred, iri(RDF_NIL)))
                 return
-            head = self._fresh()
+            head = build_rdf_list(items, self._fresh, self.triples)
             self.triples.append(Triple(subj, pred, head))
-            node = head
-            for k, item in enumerate(items):
-                self.triples.append(Triple(node, iri(RDF_FIRST), item))
-                nxt = self._fresh() if k + 1 < len(items) else iri(RDF_NIL)
-                self.triples.append(Triple(node, iri(RDF_REST), nxt))
-                node = nxt
             return
         if ptype is not None:
             raise RdfXmlParseError(f"unsupported parseType {ptype!r}")

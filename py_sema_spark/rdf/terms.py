@@ -13,6 +13,7 @@ content-hash IRI so it is stable across partitions and runs.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import NamedTuple, Optional
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -88,3 +89,24 @@ def n3(term: Term) -> str:
     if term.datatype and term.datatype != XSD + "string":
         return f'"{esc}"^^<{term.datatype}>'
     return f'"{esc}"'
+
+
+# shared across the three hand-written parsers (turtle/jsonld/rdfxml) so a
+# fix in one cannot silently diverge from the others
+ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def build_rdf_list(items, fresh_bnode, sink) -> Term:
+    """Append an rdf:first/rdf:rest chain for ``items`` to ``sink`` (a
+    list of Triples) and return the head term (rdf:nil for an empty
+    list). ``fresh_bnode`` mints the chain's blank nodes."""
+    if not items:
+        return iri(RDF_NIL)
+    head = fresh_bnode()
+    node = head
+    for k, item in enumerate(items):
+        sink.append(Triple(node, iri(RDF_FIRST), item))
+        nxt = fresh_bnode() if k + 1 < len(items) else iri(RDF_NIL)
+        sink.append(Triple(node, iri(RDF_REST), nxt))
+        node = nxt
+    return head

@@ -23,14 +23,12 @@ from typing import Iterator, List, Optional, Tuple
 from urllib.parse import urljoin
 
 from .terms import (
-    RDF_FIRST,
-    RDF_NIL,
-    RDF_REST,
     RDF_TYPE,
     XSD,
     Term,
     Triple,
     bnode,
+    build_rdf_list,
     iri,
     literal,
 )
@@ -57,7 +55,10 @@ _PNAME_RE = re.compile(
     r"([A-Za-z_][\w\-.]*)?:((?:[\w\-.:%~]|\\[_~.\-!$&'()*+,;=/?#@%])*)",
     re.UNICODE,
 )
-_INT_RE = re.compile(r"[+-]?[0-9]+(?![0-9.eE])")
+# a '.' directly after the digits is the statement terminator unless a
+# digit or exponent follows ("1." lexes as INTEGER '1' + '.'; "1.5"/"1.E0"
+# lex as DECIMAL/DOUBLE and are matched by the earlier regexes).
+_INT_RE = re.compile(r"[+-]?[0-9]+(?![0-9eE])(?!\.[0-9eE])")
 _DECIMAL_RE = re.compile(r"[+-]?[0-9]*\.[0-9]+(?![0-9eE])")
 _DOUBLE_RE = re.compile(
     r"[+-]?(?:[0-9]+\.[0-9]*[eE][+-]?[0-9]+|\.?[0-9]+[eE][+-]?[0-9]+)"
@@ -229,9 +230,12 @@ class _TurtleParser:
 
     def _parse_statement(self) -> None:
         t = self.text
-        low = t[self.pos : self.pos + 7].lower()
-        if low.startswith("@prefix") or low.startswith("prefix"):
-            is_sparql = not low.startswith("@")
+        # the bare (SPARQL-style) keywords need a following whitespace so a
+        # statement whose subject pname uses a prefix named "prefix"/"base"
+        # (e.g. ``base:x <p> <o> .``) is not eaten as a directive
+        dm = re.match(r"@prefix|prefix(?=\s)", t[self.pos :], re.IGNORECASE)
+        if dm:
+            is_sparql = not dm.group(0).startswith("@")
             self.pos += 6 if is_sparql else 7
             self._skip_ws()
             m = re.match(r"([A-Za-z_][\w\-.]*)?:", t[self.pos :])
@@ -246,8 +250,9 @@ class _TurtleParser:
             if not is_sparql:
                 self._expect(".")
             return
-        if low.startswith("@base") or low.startswith("base"):
-            is_sparql = not low.startswith("@")
+        dm = re.match(r"@base|base(?=\s)", t[self.pos :], re.IGNORECASE)
+        if dm:
+            is_sparql = not dm.group(0).startswith("@")
             self.pos += 4 if is_sparql else 5
             self._skip_ws()
             self.base = self._parse_iriref()
@@ -309,16 +314,7 @@ class _TurtleParser:
                 self.pos += 1
                 break
             items.append(self._parse_object())
-        if not items:
-            return iri(RDF_NIL)
-        head = self._fresh_bnode()
-        node = head
-        for k, item in enumerate(items):
-            self.triples.append(Triple(node, iri(RDF_FIRST), item))
-            nxt = self._fresh_bnode() if k + 1 < len(items) else iri(RDF_NIL)
-            self.triples.append(Triple(node, iri(RDF_REST), nxt))
-            node = nxt
-        return head
+        return build_rdf_list(items, self._fresh_bnode, self.triples)
 
     def _parse_predicate_object_list(self, subj: Term) -> None:
         while True:

@@ -543,3 +543,48 @@ class TestCorpusWireFormats:
         }
         assert got == want
         assert fmt in ("turtle", "trig", "nquads", "xml")
+
+
+class TestReviewRegressions:
+    """Round-3 adversarial-review fixes: degenerate inputs the fixture
+    corpus never exercised (turtle directive/int lexing, JSON-LD @set
+    and double canonicalization)."""
+
+    def test_turtle_prefix_named_base_is_not_a_directive(self):
+        ts = parse_turtle(
+            "@prefix base: <http://ex.org/> .\n"
+            "base:x <http://e/p> <http://e/o> .\n"
+            "@prefix prefixed: <http://ex.org/q#> .\n"
+            "prefixed:y <http://e/p> base:x ."
+        )
+        assert {t.s.value for t in ts} == {
+            "http://ex.org/x", "http://ex.org/q#y"}
+
+    def test_turtle_integer_object_abutting_terminator(self):
+        ts = parse_turtle("<http://e/s> <http://e/p> 1.")
+        assert ts[0].o.value == "1"
+        assert ts[0].o.datatype == XSD + "integer"
+        # DECIMAL / DOUBLE still win when digits or exponent follow the dot
+        ts = parse_turtle("<http://e/s> <http://e/p> 1.5 .")
+        assert ts[0].o.datatype == XSD + "decimal"
+        ts = parse_turtle("<http://e/s> <http://e/p> 1.5E0 .")
+        assert ts[0].o.datatype == XSD + "double"
+
+    def test_jsonld_set_emits_every_item(self):
+        ts = parse_jsonld(
+            '{"@id": "http://e/x", "http://e/p": {"@set": [1, 2, 3]}}'
+        )
+        assert sorted(t.o.value for t in ts) == ["1", "2", "3"]
+
+    def test_jsonld_double_canonical_form(self):
+        ts = parse_jsonld('{"@id": "http://e/x", "http://e/p": 1999.0}')
+        assert ts[0].o.value == "1.999E3"
+        assert ts[0].o.datatype == XSD + "double"
+        ts = parse_jsonld('{"@id": "http://e/x", "http://e/p": 123456.5}')
+        assert ts[0].o.value == "1.234565E5"
+
+    def test_jsonld_nonfinite_numbers_do_not_crash(self):
+        ts = parse_jsonld('{"@id": "http://e/x", "http://e/p": 1e999}')
+        assert ts[0].o.value == "INF"
+        ts = parse_jsonld('{"@id": "http://e/x", "http://e/p": -1e999}')
+        assert ts[0].o.value == "-INF"
