@@ -2508,8 +2508,11 @@ _register(
     ).ntriples_lines(kg_triples(spark, sf)),
     KG_SQL
     + r"""
-SELECT concat('<', s, '> <', p, '> ',
+SELECT concat(
+  CASE WHEN s LIKE '_:%' THEN s ELSE concat('<', s, '>') END,
+  ' <', p, '> ',
   CASE WHEN o_kind = 'iri' THEN concat('<', o, '>')
+       WHEN o_kind = 'bnode' THEN o
        ELSE concat('"',
                    replace(replace(replace(replace(replace(o,
                      '\', '\\'), '"', '\"'), chr(10), '\n'),

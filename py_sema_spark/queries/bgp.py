@@ -979,13 +979,22 @@ def _balanced_block(text: str, start: int) -> Tuple[str, int]:
     (OPTIONAL/UNION/sub-SELECT) inside a WHERE survive extraction."""
     assert text[start] == "{"
     depth = 0
-    for i in range(start, len(text)):
-        if text[i] == "{":
+    i, n = start, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':
+            # skip quoted literals so a brace inside a string ("a { b")
+            # cannot unbalance the count (escape-aware)
+            i += 1
+            while i < n and text[i] != '"':
+                i += 2 if text[i] == "\\" else 1
+        elif ch == "{":
             depth += 1
-        elif text[i] == "}":
+        elif ch == "}":
             depth -= 1
             if depth == 0:
                 return text[start + 1 : i], i + 1
+        i += 1
     raise ValueError(f"unbalanced braces in {text[start:start+80]!r}")
 
 

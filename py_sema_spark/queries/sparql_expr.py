@@ -126,12 +126,18 @@ class Resolver:
 
 
 class Expr:
-    """(compile, typehint) pair; hint ∈ num|str|bool|any."""
+    """(compile, typehint) pair; hint ∈ num|str|bool|any. ``meta``
+    carries term-level info the column alone can't: ``{'var': name}``
+    for a bare variable, ``{'lang': tag}`` / ``{'dt': iri}`` for a
+    tagged/typed literal constant — =/!= use it for RDF-term equality
+    (value AND language/datatype), not bare lexical equality."""
 
-    __slots__ = ("fn", "hint")
+    __slots__ = ("fn", "hint", "meta")
 
-    def __init__(self, fn: Callable[[Resolver], Column], hint: str):
-        self.fn, self.hint = fn, hint
+    def __init__(
+        self, fn: Callable[[Resolver], Column], hint: str, meta=None
+    ):
+        self.fn, self.hint, self.meta = fn, hint, meta or {}
 
     def col(self, r: Resolver) -> Column:
         return self.fn(r)
@@ -238,13 +244,42 @@ class _Parser:
         right = self.additive()
         numeric = "num" in (left.hint, right.hint)
         l, rr = left, right
+        if op in ("=", "!="):  # flag companion columns the compare reads
+            for var_side, lit_side in ((l, rr), (rr, l)):
+                name = var_side.meta.get("var")
+                if name is None:
+                    continue
+                if "lang" in lit_side.meta:
+                    self._need(name, "lang")
+                elif "dt" in lit_side.meta:
+                    self._need(name, "dt")
+
+        def _term_extra(r: Resolver) -> Column | None:
+            """var =/!= tagged-or-typed literal: RDF-term equality also
+            requires the language tag (case-insensitive) / datatype to
+            match — "chat"@en must not equal plain "chat" or "chat"@fr."""
+            for var_side, lit_side in ((l, rr), (rr, l)):
+                name = var_side.meta.get("var")
+                if name is None:
+                    continue
+                if "lang" in lit_side.meta:
+                    return F.lower(r.lang(name)) == lit_side.meta[
+                        "lang"].lower()
+                if "dt" in lit_side.meta:
+                    return r.dt(name).eqNullSafe(F.lit(lit_side.meta["dt"]))
+            return None
 
         def _cmp(r: Resolver, l=l, rr=rr, op=op, numeric=numeric) -> Column:
             a = _num(l, r) if numeric else l.col(r)
             b = _num(rr, r) if numeric else rr.col(r)
+            if op in ("=", "!="):
+                eq = a == b
+                extra = _term_extra(r)
+                if extra is not None:
+                    eq = eq & extra
+                return eq if op == "=" else ~eq
             return {
-                "=": a == b, "!=": a != b, "<": a < b,
-                ">": a > b, "<=": a <= b, ">=": a >= b,
+                "<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b,
             }[op]
 
         return Expr(_cmp, "bool")
@@ -288,6 +323,15 @@ class _Parser:
             return Expr(lambda r, e=e: -_num(e, r), "num")
         return self.primary()
 
+    def _expand_dt(self, dt: str) -> str:
+        """``^^`` datatype token → full IRI (strip <> or expand CURIE)."""
+        if dt.startswith("<") and dt.endswith(">"):
+            return dt[1:-1]
+        pfx, _, local = dt.partition(":")
+        if self.prefixes and pfx in self.prefixes:
+            return self.prefixes[pfx] + local
+        raise ValueError(f"unknown datatype prefix in {dt!r}")
+
     def primary(self) -> Expr:
         if self.accept_op("("):
             e = self.expr()
@@ -297,9 +341,15 @@ class _Parser:
         if tok.kind == "var":
             self.vars.add(tok.value)
             name = tok.value
-            return Expr(lambda r, name=name: r.var(name), "any")
+            return Expr(lambda r, name=name: r.var(name), "any",
+                        {"var": name})
         if tok.kind == "string":
-            return Expr(lambda r, v=tok.value: F.lit(v), "str")
+            meta = {}
+            if tok.lang:
+                meta["lang"] = tok.lang
+            elif tok.dt:
+                meta["dt"] = self._expand_dt(tok.dt)
+            return Expr(lambda r, v=tok.value: F.lit(v), "str", meta)
         if tok.kind == "number":
             v = float(tok.value) if "." in tok.value or "e" in tok.value.lower() else int(tok.value)
             return Expr(lambda r, v=v: F.lit(v), "num")

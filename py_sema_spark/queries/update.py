@@ -57,6 +57,28 @@ from .bgp import (
 __all__ = ["apply_update", "parse_update"]
 
 _PREFIX_RE = re.compile(r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>")
+
+
+def _mask_strings(text: str) -> str:
+    """Same-length copy of ``text`` with quoted-literal contents
+    blanked, so keyword regexes (PREFIX, GRAPH) can't fire inside a
+    string literal. Span positions in the mask equal positions in the
+    original, so matches found here index into the real text."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                out[j] = " "
+                if text[j] == "\\" and j + 1 < n:
+                    out[j + 1] = " "
+                    j += 2
+                else:
+                    j += 1
+            i = j
+        i += 1
+    return "".join(out)
 _VERB_RE = re.compile(
     r"(?is)^\s*(?P<verb>INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE"
     r"|INSERT|DELETE|CLEAR|DROP)\b"
@@ -120,9 +142,16 @@ def parse_update(
     (``delete_tpl``/``insert_tpl``/``where`` strings), ``clear``
     (``graph``: IRI or ``None`` for ALL)."""
     pfx = dict(prefixes or {})
-    for m in _PREFIX_RE.finditer(text):
+    # match on the string-masked copy so "…PREFIX ex: <u>…" inside a
+    # quoted literal is neither harvested nor stripped from the data
+    masked = _mask_strings(text)
+    parts: List[str] = []
+    last = 0
+    for m in _PREFIX_RE.finditer(masked):
         pfx[m.group(1)] = m.group(2)
-    body = _PREFIX_RE.sub("", text)
+        parts.append(text[last : m.start()])
+        last = m.end()
+    body = "".join(parts) + text[last:]
     ops: List[dict] = []
     for op_text in _split_ops(body):
         with_graph = None
@@ -217,8 +246,9 @@ def _parse_ground(
     quads: List[Tuple[Optional[str], tuple]] = []
     i, n = 0, len(inner)
     plain_parts: List[str] = []
+    masked = _mask_strings(inner)  # a literal "GRAPH <g> {" is data
     while i < n:
-        gm = re.compile(r"(?is)\bGRAPH\s*<([^>]*)>\s*\{").search(inner, i)
+        gm = re.compile(r"(?is)\bGRAPH\s*<([^>]*)>\s*\{").search(masked, i)
         if not gm:
             plain_parts.append(inner[i:])
             break
@@ -316,9 +346,15 @@ def apply_update(
     out = triples
     for op in ops:
         if op["kind"] == "insert_data":
+            quads = op["quads"]
+            if not has_g and default_graph is not None:
+                # same routing as delete_data: a g-less frame only
+                # accepts quads addressed to it — GRAPH <other> data
+                # must not land here
+                quads = [(g, t) for g, t in quads if _this_graph(g)]
             add = _quads_frame(out, [
                 ((g or default_graph) if has_g else g, t)
-                for g, t in op["quads"]
+                for g, t in quads
             ], has_g)
             out = out.unionByName(add, allowMissingColumns=True)
             dirty = True

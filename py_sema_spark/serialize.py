@@ -55,29 +55,14 @@ def ntriples_line_col() -> Column:
     (RDF 1.1); language-tagged → ``@lang``; other datatypes →
     ``^^<dt>``.
     """
-    obj = F.when(
-        F.col("o_kind") == "iri",
-        F.concat(F.lit("<"), F.col("o"), F.lit(">")),
-    ).otherwise(
-        F.concat(
-            F.lit('"'),
-            _escape_nt(F.col("o")),
-            F.lit('"'),
-            F.when(
-                F.col("o_lang").isNotNull(),
-                F.concat(F.lit("@"), F.col("o_lang")),
-            )
-            .when(
-                F.col("o_datatype").isNotNull()
-                & (F.col("o_datatype") != XSD_STRING),
-                F.concat(F.lit("^^<"), F.col("o_datatype"), F.lit(">")),
-            )
-            .otherwise(F.lit("")),
-        )
+    obj = _obj_nt_col(
+        F.col("o"), F.col("o_kind"), F.col("o_datatype"), F.col("o_lang")
     )
+    subj = F.when(
+        F.col("s").startswith("_:"), F.col("s")
+    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
     return F.concat(
-        F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "),
-        obj, F.lit(" ."),
+        subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" ."),
     )
 
 
@@ -272,8 +257,11 @@ def unique_filename_col(
 ) -> Column:
     """download_to_file.py:56-76 as column algebra:
     ``urlsafe_b64(sha256(url||mime||profile))[:13]-{id}{suffix}``
-    where id = last ≤2 non-empty path segments of the url (extension
-    dropped), suffix from the mime map."""
+    where id = last ≤2 non-empty path segments of the url after
+    splitting the WHOLE path at its first '.' — a reference quirk
+    reproduced deliberately (download_to_file.py:66 does
+    ``urlparse(url).path.split(".")[0]``, so '/api/v1.2/data/file.ttl'
+    keeps only '/api/v1' → id 'api-v1'); suffix from the mime map."""
     profile = profile if profile is not None else F.lit("")
     digest_b64 = F.translate(
         F.base64(F.unhex(F.sha2(F.concat(url, mime, profile), 256))),

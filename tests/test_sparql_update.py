@@ -311,3 +311,57 @@ def test_split_ops_escaped_backslash():
         'INSERT DATA { <urn:a> <urn:p> "C:\\\\" } ; CLEAR ALL'
     )
     assert [o["kind"] for o in ops] == ["insert_data", "clear"]
+
+
+class TestReviewRegressions:
+    """Round-3 adversarial-review fixes: quote-aware parsing and
+    graph-routing symmetry on g-less frames."""
+
+    def test_prefix_inside_literal_is_data(self, triples):
+        out = apply_update(
+            triples,
+            'INSERT DATA { <urn:c:9> <http://example.org/note> '
+            '"see PREFIX ex: <http://evil/> for details" }',
+            PFX,
+        )
+        got = _set(out)
+        assert (
+            "urn:c:9", EX + "note",
+            "see PREFIX ex: <http://evil/> for details",
+            "literal", None, None,
+        ) in got
+        # and the bogus prefix is not harvested
+        pfx, _ = parse_update(
+            'INSERT DATA { <urn:s> <urn:p> "PREFIX zz: <http://z/>" }'
+        )
+        assert "zz" not in pfx
+
+    def test_graph_keyword_inside_literal_is_data(self, triples):
+        out = apply_update(
+            triples,
+            'INSERT DATA { <urn:c:9> <http://example.org/note> '
+            '"example: GRAPH <http://g> { ... }" }',
+            PFX,
+        )
+        assert (
+            "urn:c:9", EX + "note", "example: GRAPH <http://g> { ... }",
+            "literal", None, None,
+        ) in _set(out)
+
+    def test_graph_targeted_insert_data_routing_on_gless_frame(self, triples):
+        me = "urn:g:mine"
+        before = _set(triples)
+        # addressed to another graph: must NOT land in this frame
+        out = apply_update(
+            triples,
+            'INSERT DATA { GRAPH <urn:g:other> { <urn:x> <urn:p> <urn:o> } }',
+            default_graph=me,
+        )
+        assert _set(out) == before
+        # addressed to this frame's own graph: inserts
+        out = apply_update(
+            triples,
+            f'INSERT DATA {{ GRAPH <{me}> {{ <urn:x> <urn:p> <urn:o> }} }}',
+            default_graph=me,
+        )
+        assert ("urn:x", "urn:p", "urn:o", "iri", None, None) in _set(out)

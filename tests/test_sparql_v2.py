@@ -789,3 +789,60 @@ class TestReviewRegressions:
         assert got.columns == ["p", "c", "l"]
         r = {row.p: (row.c, row.l) for row in got.collect()}
         assert r[SKOS + "member"] == (2, len(SKOS + "member"))
+
+
+class TestTermEqualityFilters:
+    """=/!= against language-tagged or typed literal constants compare
+    the RDF term (value AND tag/datatype), not just the lexical form
+    (round-3 review fix)."""
+
+    def test_eq_lang_tagged_literal(self, triples, spark):
+        out = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s skos:prefLabel ?l . '
+            'FILTER(?l = "Gamma"@fr) }',
+            PFX,
+        )
+        assert rows(out) == [("urn:c:3",)]
+        # same lexical form, wrong tag: no match
+        out = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s skos:prefLabel ?l . '
+            'FILTER(?l = "Gamma"@en) }',
+            PFX,
+        )
+        assert rows(out) == []
+        # tag compare is case-insensitive (BCP47)
+        out = bgp_select(
+            triples,
+            'SELECT ?s WHERE { ?s skos:prefLabel ?l . '
+            'FILTER(?l = "Gamma"@FR) }',
+            PFX,
+        )
+        assert rows(out) == [("urn:c:3",)]
+
+    def test_neq_lang_tagged_literal(self, triples):
+        out = bgp_select(
+            triples,
+            'SELECT ?l WHERE { ?s skos:prefLabel ?l . '
+            'FILTER(?l != "Gamma"@fr) }',
+            PFX,
+        )
+        assert rows(out) == [("Alpha",), ("Beta",)]
+
+    def test_eq_typed_literal(self, spark):
+        xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:p", "5", "literal", xsd_int, None),
+                ("urn:b", "urn:p", "5", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df,
+            'SELECT ?s WHERE { ?s <urn:p> ?v . '
+            'FILTER(?v = "5"^^<http://www.w3.org/2001/XMLSchema#integer>) }',
+        )
+        assert rows(out) == [("urn:a",)]

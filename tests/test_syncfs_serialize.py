@@ -86,6 +86,21 @@ class TestSerialize:
             '"5"^^<http://www.w3.org/2001/XMLSchema#integer> .' in lines
         )
 
+    def test_ntriples_blank_nodes(self, spark):
+        """Bnode subjects/objects serialize as _:label, not as
+        <_:label> IRIs or quoted literals (round-3 review fix)."""
+        df = spark.createDataFrame(
+            [("_:b0", "urn:p", "_:b1", "bnode", None, None),
+             ("_:b1", "urn:p", "lit", "literal", None, None)],
+            "s string, p string, o string, o_kind string,"
+            " o_datatype string, o_lang string",
+        )
+        lines = {r["line"] for r in ntriples_lines(df).collect()}
+        assert lines == {
+            "_:b0 <urn:p> _:b1 .",
+            '_:b1 <urn:p> "lit" .',
+        }
+
     def test_ntriples_escaping(self, spark):
         df = spark.createDataFrame(
             [("urn:s", "urn:p", 'he said "hi"\nback\\slash',
