@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Any, Dict, List, Optional
@@ -80,10 +81,15 @@ class HttpSparqlTransport:
             },
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            if resp.status >= 300:
-                raise EndpointError(f"{url}: HTTP {resp.status}")
-            return resp.read().decode("utf-8")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:
+            # urlopen raises on 4xx/5xx rather than returning; normalize
+            # to the module's error type so callers can catch one class
+            raise EndpointError(f"{url}: HTTP {e.code}") from e
+        except urllib.error.URLError as e:
+            raise EndpointError(f"{url}: {e.reason}") from e
 
 
 class SrjQueryResult:
@@ -209,12 +215,15 @@ class SparqlEndpointStore:
             raise EndpointError(f"endpoint returned non-SRJ body: {e}") from e
         return SrjQueryResult(srj, query=sparql)
 
-    def _update(self, update_str: str) -> None:
+    def _require_update(self) -> None:
         if not self.allows_update:
             raise EndpointError(
                 "data can not be inserted into a store if no write_uri "
                 "is provided"  # reference store.py:389-391 wording
             )
+
+    def _update(self, update_str: str) -> None:
+        self._require_update()
         self.transport.request(self.write_uri, {"update": update_str})
 
     # ---- contract ----
@@ -225,6 +234,7 @@ class SparqlEndpointStore:
         return self._query(sparql, named_graph)
 
     def insert_for_key(self, triples: DataFrame, key: str) -> None:
+        self._require_update()
         ng = self.mapper.key_to_ng(key)
         lines = ntriples_lines(
             triples.select(*[f.name for f in TRIPLE_SCHEMA.fields])
@@ -232,11 +242,6 @@ class SparqlEndpointStore:
         send = _post_insert_batches(
             self.transport, self.write_uri, ng, self.batch_size
         )
-        if not self.allows_update:
-            raise EndpointError(
-                "data can not be inserted into a store if no write_uri "
-                "is provided"
-            )
         if getattr(self.transport, "distributed_safe", False):
             lines.foreachPartition(send)
         else:

@@ -195,8 +195,16 @@ def materialize_triples(
     """
     out = with_subject_bucket(df, n_buckets, hub_salt, hub_share)
     out = out.repartition(F.col("s_bucket"), F.col("salt"))
+    # include s_bucket/salt in the dedup key: both are functions of the
+    # triple, so semantics are unchanged, but HashPartitioning(s_bucket,
+    # salt) then SATISFIES the aggregate's required clustering — the
+    # dedup runs on the repartition exchange (one shuffle total) and the
+    # write still sees the (s_bucket, salt) layout. Without them Spark
+    # inserts a second full-key exchange and the partitionBy write
+    # scatters every task across all s_bucket directories.
     out = out.dropDuplicates(
         [c for c in out.columns if c in set(TRIPLE_FIELDS + ["g"])]
+        + ["s_bucket", "salt"]
     )
     out.write.mode(mode).partitionBy("s_bucket").parquet(path)
 

@@ -150,23 +150,54 @@ class ParquetTripleStore:
         # unscoped: SPARQL's default graph is a real graph here (key
         # "default"); GRAPH blocks inside DATA address other graphs
         ng_default = self.mapper.key_to_ng("default")
+
+        def _graph_sigs(df: DataFrame) -> dict:
+            """Per-graph (row count, content hash-sum): one map-side
+            aggregated pass, registry-sized result. decimal(38,0) sum
+            can't overflow (ANSI mode) and is order-independent."""
+            h = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            rows = (
+                df.groupBy("g")
+                .agg(F.count("*").alias("n"), F.sum(h).alias("h"))
+                .collect()
+            )
+            return {r["g"]: (r["n"], r["h"]) for r in rows}
+
+        old_sigs = _graph_sigs(self.all_triples())
         new = apply_update(
             self.all_triples(), update_str, default_graph=ng_default
         ).localCheckpoint()
-        present = {
-            r["g"]
-            for r in new.select("g").distinct().collect()
-            if r["g"] is not None
-        }
+        new_sigs = _graph_sigs(new)
+        present = {g for g in new_sigs if g is not None}
         registered = {self.mapper.key_to_ng(k) for k in self.keys}
-        touched = sorted(present | registered)
-        for ng in touched:
+        # rewrite + touch ONLY graphs whose content actually changed:
+        # bumping lastmod on untouched graphs would make the age-based
+        # syncfs re-harvest decision report stale graphs as fresh (and
+        # rewriting them is wasted IO)
+        changed = [
+            ng
+            for ng in sorted(present | registered)
+            if old_sigs.get(ng) != new_sigs.get(ng)
+        ]
+        # validate BEFORE any write so a bad target can't abort the
+        # loop half-overwritten
+        foreign = [
+            ng for ng in changed if not ng.startswith(self.mapper.base)
+        ]
+        if foreign:
+            raise ValueError(
+                f"update targets graphs outside this store's base "
+                f"({self.mapper.base!r}): {foreign!r} — a parquet store "
+                "hosts only graphs it can key; use the endpoint store "
+                "for arbitrary named graphs"
+            )
+        for ng in changed:
             self._overwrite_graph(
                 self.mapper.ng_to_key(ng),
                 new.where(F.col("g") == ng).select(*cols),
             )
-        if touched:
-            self.registry.touch(touched)
+        if changed:
+            self.registry.touch(changed)
 
     def _overwrite_graph(self, key: str, triples: DataFrame) -> None:
         """Two-step overwrite via ``.tmp`` so a plan that reads the
@@ -188,5 +219,13 @@ class ParquetTripleStore:
         if ts is None:
             return False
         if isinstance(reference_time, (int, float)):
-            reference_time = _dt.datetime.utcfromtimestamp(reference_time)
+            reference_time = _dt.datetime.fromtimestamp(
+                reference_time, _dt.timezone.utc
+            )
+        if reference_time.tzinfo is not None:
+            # registry timestamps are naive UTC; normalize aware inputs
+            # instead of raising a naive/aware comparison TypeError
+            reference_time = reference_time.astimezone(
+                _dt.timezone.utc
+            ).replace(tzinfo=None)
         return ts >= reference_time

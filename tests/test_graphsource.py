@@ -205,3 +205,77 @@ def test_store_update(spark, tmp_path):
     assert store.select(
         "SELECT ?o WHERE { ?s <" + EX + "status> ?o . }", named_graph=ng2
     ).to_list() == []
+
+
+class TestStoreUpdateReviewRegressions:
+    """Round-3 review fixes: change-scoped rewrites/touch, foreign
+    graph targets fail cleanly and atomically, tz-aware ages."""
+
+    SCHEMA = (
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string"
+    )
+
+    def _store(self, spark, tmp_path):
+        from py_sema_spark.store import ParquetTripleStore
+
+        store = ParquetTripleStore(spark, str(tmp_path / "rstore"))
+        store.insert_for_key(
+            spark.createDataFrame(
+                [("urn:a", EX + "status", "old", "literal", None, None)],
+                self.SCHEMA,
+            ),
+            "k1",
+        )
+        store.insert_for_key(
+            spark.createDataFrame(
+                [("urn:b", EX + "status", "old", "literal", None, None)],
+                self.SCHEMA,
+            ),
+            "k2",
+        )
+        return store
+
+    def test_unscoped_update_touches_only_changed_graphs(
+        self, spark, tmp_path
+    ):
+        import time
+
+        store = self._store(spark, tmp_path)
+        ng1 = store.mapper.key_to_ng("k1")
+        ng2 = store.mapper.key_to_ng("k2")
+        ts2_before = store.registry.lastmod_ts(ng2)
+        time.sleep(0.05)
+        store.update(
+            f'INSERT DATA {{ GRAPH <{ng1}> '
+            f'{{ <urn:a> <{EX}extra> "x" }} }}'
+        )
+        assert store.registry.lastmod_ts(ng1) > ts2_before
+        # k2's content did not change: its lastmod must not move, or
+        # the age-based re-harvest decision sees stale data as fresh
+        assert store.registry.lastmod_ts(ng2) == ts2_before
+
+    def test_foreign_graph_target_fails_before_any_write(
+        self, spark, tmp_path
+    ):
+        store = self._store(spark, tmp_path)
+        ng1 = store.mapper.key_to_ng("k1")
+        with pytest.raises(ValueError, match="outside this store's base"):
+            store.update(
+                f'INSERT DATA {{ GRAPH <{ng1}> {{ <urn:a> <{EX}x> "1" }} '
+                f'GRAPH <http://elsewhere/g> {{ <urn:z> <{EX}x> "2" }} }}'
+            )
+        # atomic: the valid part of the rejected update did NOT land
+        assert store.graph_for_key("k1").count() == 1
+
+    def test_verify_max_age_accepts_aware_datetimes(self, spark, tmp_path):
+        import datetime as dt
+
+        store = self._store(spark, tmp_path)
+        past = dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=1)
+        future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(hours=1)
+        assert store.verify_max_age_of_key("k1", past) is True
+        assert store.verify_max_age_of_key("k1", future) is False
+        # epoch-seconds form still works
+        assert store.verify_max_age_of_key(
+            "k1", past.timestamp()) is True

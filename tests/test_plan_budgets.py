@@ -60,3 +60,34 @@ def test_exchange_budget(spark, name):
     )
     # no query in this set may degenerate to a cartesian product
     assert "CartesianProduct" not in plan
+
+
+def test_materialize_dedup_single_exchange(spark):
+    """materialize_triples' dedup must ride the (s_bucket, salt)
+    repartition exchange — including the layout columns in the dedup
+    key makes HashPartitioning(s_bucket, salt) satisfy the aggregate's
+    clustering, so exactly ONE shuffle feeds the partitioned write
+    (round-3 review fix: the full-key dedup added a second exchange
+    and scattered the write across all bucket directories)."""
+    from pyspark.sql import functions as F
+
+    from py_sema_spark.model import TRIPLE_FIELDS, with_subject_bucket
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("urn:s"), F.col("id") % 100).alias("s"),
+        F.lit("urn:p").alias("p"),
+        F.col("id").cast("string").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    out = with_subject_bucket(df, 16, 4, None)
+    out = out.repartition(F.col("s_bucket"), F.col("salt"))
+    deduped = out.dropDuplicates(
+        [c for c in out.columns if c in set(TRIPLE_FIELDS)]
+        + ["s_bucket", "salt"]
+    )
+    plan = (
+        deduped._jdf.queryExecution().executedPlan()
+    ).toString()
+    assert plan.count("Exchange") == 1, plan
