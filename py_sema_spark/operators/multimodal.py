@@ -86,6 +86,38 @@ def _fake_pixels(content: bytes, dim: int = FEATURE_DIM):
     ]
 
 
+def _decode_pixels(real, data: bytes):
+    """Shared try-real-else-None decode step (decode_stats /
+    media_features / phash all use the same fallback semantics so they
+    can't drift). → ``(pixels | None, failed)`` where ``failed`` means
+    a PRESENT real decoder raised or returned nothing — the caller
+    falls back to the stub and should flag the row as not-ok."""
+    if real is None:
+        return None, False
+    try:
+        px = real(data)
+    except Exception:
+        return None, True
+    return (px if px else None), not bool(px)
+
+
+def _sample_to_dim(px, dim: int):
+    """Spread ``len(px)`` samples over exactly ``dim`` values: block
+    means when longer — so a hash/feature vector reflects the WHOLE
+    image, not its first ``dim`` pixels of the top row — cycle-pad when
+    shorter; identity when equal (the stub path, oracle-pinned)."""
+    n = len(px)
+    if n == dim:
+        return list(px)
+    if n > dim:
+        out = []
+        for i in range(dim):
+            lo, hi = i * n // dim, (i + 1) * n // dim
+            out.append(sum(px[lo:hi]) / (hi - lo))
+        return out
+    return (list(px) * ((dim // n) + 1))[:dim]
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
     """Per-item decode → basic stats (real lib if present, else stub).
 
@@ -102,20 +134,16 @@ def decode_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content) if content is not None else b""
-                px = None
-                if real is not None:
-                    # real decode path: opt-in, never fatal — a decoder
-                    # that can't handle this payload falls back to the
-                    # deterministic stub rather than failing the stage
-                    try:
-                        px = real(data)
-                    except Exception:
-                        px = None
+                # real decode path: opt-in, never fatal — a decoder that
+                # can't handle this payload falls back to the stub, but
+                # the row is flagged ok=False so consumers can tell real
+                # stats from stub noise
+                px, failed = _decode_pixels(real, data)
                 if px is None:
                     px = _fake_pixels(data)
                 mean = sum(px) / len(px)
                 std = (sum((v - mean) ** 2 for v in px) / len(px)) ** 0.5
-                rows.append((int(mid), True, len(data), mean, std))
+                rows.append((int(mid), not failed, len(data), mean, std))
             yield pd.DataFrame(
                 rows, columns=["media_id", "ok", "n_bytes", "mean", "std"]
             )
@@ -135,11 +163,21 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = _try_real_image_decoder()
         for pdf in batches:
-            rows = [
-                (int(mid), _fake_pixels(bytes(c) if c is not None else b"", dim))
-                for mid, c in zip(pdf["media_id"], pdf["content"])
-            ]
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(c) if c is not None else b""
+                # same real-decoder hook as decode_stats/phash: with a
+                # codec present, features are block-mean luminances over
+                # the whole image, not sha256 noise
+                px, _ = _decode_pixels(real, data)
+                feat = (
+                    _sample_to_dim(px, dim)
+                    if px is not None
+                    else _fake_pixels(data, dim)
+                )
+                rows.append((int(mid), feat))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 
     return media.select("media_id", "content").mapInPandas(gen, schema)
@@ -194,10 +232,15 @@ def frame_sample(
     )
     if max_frames is not None:
         n_frames = F.least(n_frames, F.lit(max_frames))
+    # guard the degenerate schedule: sequence(0, -1) defaults to step -1
+    # and yields [0, -1] — max_frames=0 must emit NO frames, not two
+    seq = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     sched = vids.select(
         "media_id",
         "content",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(seq).alias("frame_idx"),
     ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
 
     schema = "media_id long, frame_idx int, ts_ms int, frame binary"
@@ -276,15 +319,12 @@ def phash(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content) if content is not None else b""
-                px = None
-                if real is not None:
-                    try:
-                        px = real(data)
-                    except Exception:
-                        px = None
+                px, _ = _decode_pixels(real, data)
                 if px is None:
                     px = _fake_pixels(data, dim)
-                px = (px * ((dim // len(px)) + 1))[:dim]
+                # block-mean spread: the hash reflects the whole image,
+                # not just its first dim pixels of the top row
+                px = _sample_to_dim(px, dim)
                 mean = sum(px) / len(px)
                 h = 0
                 for i, v in enumerate(px):

@@ -86,13 +86,24 @@ def _hyperplane(table: int, plane: int, dim: int) -> list:
 
 
 def lsh_bucket_col(vec: Column, table: int, planes: int, dim: int) -> Column:
-    """Sign-bit bucket id for one hash table."""
+    """Sign-bit bucket id for one hash table.
+
+    A ``dim`` that mismatches the actual vector length would null-pad
+    the zip_with dot → null bucket → the candidate equi-join silently
+    matches nothing; fail the job loudly instead."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         coeffs = F.array(*[F.lit(c) for c in _hyperplane(table, p, dim)])
         sign = (dot(vec.cast("array<double>"), coeffs) > 0).cast("long")
         bucket = bucket * 2 + sign
-    return bucket
+    return F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh dim mismatch: expected {dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def _probe_masks(planes: int, radius: int) -> list:
@@ -307,6 +318,13 @@ def ivf_cosine_topk(
     at n_probe = n_lists this degrades gracefully to brute force.
     """
     cents = _ivf_centroids(embeddings, n_lists, id_col, vec_col)
+    if not cents:
+        # empty corpus: no centroids to probe — degrade to the exact
+        # scorer (trivially empty here) instead of crashing NumPy on a
+        # 0-d array at plan-construction time
+        return cosine_topk(
+            embeddings, queries, k, id_col, vec_col, q_id_col, q_vec_col
+        )
     e = _assign_lists(
         embeddings.select(id_col, vec_col), cents, vec_col, 1, "_lists"
     ).select(id_col, F.col("_lists")[0].alias("list"))
@@ -517,6 +535,7 @@ def signed_random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "rp",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss-style dimensionality reduction with a
     DETERMINISTIC ±1 projection matrix: component j of the output is
@@ -529,10 +548,33 @@ def signed_random_projection(
     cosine geometry (tested), and thresholding at 0 gives exactly the
     hyperplane bits `lsh_cosine_topk` hashes with.
 
-    Plan: one posexplode (map-side) × out_dim explode → hash
-    aggregate on (id, component) with partial combine — no joins, no
-    Python. Returns long form ``(vec_id, j, proj)`` rounded to 6.
+    Plan: with ``dim`` given (the scale path), the sign matrix is
+    derived DRIVER-side with the same md5 formula and inlined as
+    out_dim literal arrays — each row emits its out_dim dots and one
+    posexplode to long form: zero joins, zero shuffles, zero
+    per-row-element hashing. Without ``dim`` (unknown vector length)
+    the explode × groupBy fallback computes the identical result at
+    N·dim·out_dim exploded rows + one exchange. Returns long form
+    ``(vec_id, j, proj)`` rounded to 6 — bit-identical either way.
     """
+    if dim is not None:
+        import hashlib as _hl
+
+        def _sign(i: int, j: int) -> float:
+            h = _hl.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
+            return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+        vec = F.col(vec_col).cast("array<double>")
+        projs = F.array(*[
+            F.round(
+                dot(vec, F.array(*[F.lit(_sign(i, j)) for i in range(dim)])),
+                6,
+            )
+            for j in range(out_dim)
+        ])
+        return embeddings.select(
+            F.col(id_col), F.posexplode(projs).alias("j", "proj")
+        )
     ex = embeddings.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("_i", "_v"),

@@ -3970,7 +3970,9 @@ def _random_projection(spark, sf):
     (long form); matrix derived from md5, never materialized."""
     from ..operators.similarity import signed_random_projection
 
-    return signed_random_projection(_tp(spark, sf, "embeddings"))
+    # dim=64 (the corpus width) takes the driver-side literal-sign
+    # path: zero shuffles vs the explode+groupBy fallback
+    return signed_random_projection(_tp(spark, sf, "embeddings"), dim=64)
 
 
 _register(

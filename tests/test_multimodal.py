@@ -88,6 +88,10 @@ def test_frame_sample_schedule_and_content(media):
         F.max("count")
     ).collect()[0][0] <= 3
 
+    # max_frames=0: no frames at all — not a bogus [0, -1] descending
+    # sequence (round-3 review fix)
+    assert frame_sample(media, every_ms=500, max_frames=0).count() == 0
+
 
 def test_phash_banding_matches_all_pairs(media):
     """The (max_hamming+1)-band pigeonhole join must find exactly the

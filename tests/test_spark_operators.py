@@ -199,6 +199,33 @@ class TestSimilarity:
         assert [r["vec_id"] for r in top] == [0, 1, 2]
         assert top[0]["cos"] > 0.999
 
+    def test_ivf_empty_corpus_returns_empty(self, spark):
+        """Empty embeddings: ivf degrades to the exact scorer instead
+        of crashing NumPy on a 0-d centroid array (round-3 review
+        fix)."""
+        from py_sema_spark.operators.similarity import ivf_cosine_topk
+
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.1, 0.0])], ["q_id", "q_vec"]
+        )
+        out = ivf_cosine_topk(emb, q, k=3)
+        assert out.count() == 0
+        assert set(out.columns) == {"q_id", "vec_id", "cos", "rank"}
+
+    def test_lsh_dim_mismatch_raises(self, spark, vecs):
+        """A wrong dim must fail loudly, not silently null every
+        bucket and return zero candidates (round-3 review fix)."""
+        from py_sema_spark.operators.similarity import lsh_cosine_topk
+
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.1, 0.0])], ["q_id", "q_vec"]
+        )
+        with pytest.raises(Exception, match="dim mismatch"):
+            lsh_cosine_topk(vecs, q, k=3, dim=16).collect()
+
     def test_lsh_recall_vs_bruteforce(self, spark, vecs):
         q = spark.createDataFrame([(0, [1.0, 0.0, 0.1, 0.0])], ["q_id", "q_vec"])
         exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()}
@@ -1912,6 +1939,26 @@ class TestSignedRandomProjection:
         # projection is linear: vec 2 = 2 × vec 1 componentwise
         for j in range(4):
             assert p[(2, j)] == pytest.approx(2 * p[(1, j)], abs=1e-6)
+
+    def test_dim_literal_path_bit_identical_and_shuffle_free(self, spark):
+        """dim=N inlines the sign matrix driver-side: identical output
+        to the explode+groupBy fallback, zero Exchange in the plan
+        (round-3 review fix)."""
+        from py_sema_spark.operators.similarity import (
+            signed_random_projection,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, -0.5, 2.0, 0.25]), (2, [0.0, 3.0, -1.0, 1.5])],
+            "vec_id long, embedding array<double>",
+        )
+        slow = signed_random_projection(emb, out_dim=4)
+        fast = signed_random_projection(emb, out_dim=4, dim=4)
+        a = {(r.vec_id, r.j): r.proj for r in slow.collect()}
+        b = {(r.vec_id, r.j): r.proj for r in fast.collect()}
+        assert a == b
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
 
     def test_cosine_roughly_preserved(self, spark):
         import math
