@@ -47,7 +47,10 @@ def apply_changes(
     kept = snapshot.join(touched, keys, "left_anti")
     deleted = changes.where(F.col(op_col) == "delete").select(*keys).distinct()
     inserted = (
-        changes.where(F.col(op_col) != "delete")
+        # null-safe: a malformed NULL op must upsert, not silently
+        # vanish (plain != would be NULL → filtered → key deleted via
+        # the `touched` anti-join with no error)
+        changes.where(~F.col(op_col).eqNullSafe("delete"))
         .join(deleted, keys, "left_anti")
         .select(*snap_cols)
         .distinct()
@@ -84,7 +87,12 @@ def scd2_apply(
     attr_cols = [
         c for c in dim_cols if c not in (*keys, valid_from, valid_to)
     ]
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    # tie-break equal timestamps on a content hash so which row stays
+    # current is deterministic across runs/partitionings (equal-ts
+    # rows are rare but real: two attribute changes in one crawl tick)
+    w = Window.partitionBy(*keys).orderBy(
+        ts_col, F.xxhash64(*[F.col(c) for c in attr_cols])
+    )
     opened = updates.select(
         *keys,
         *attr_cols,

@@ -43,6 +43,23 @@ DOMAIN = RDFS_NS + "domain"
 RANGE = RDFS_NS + "range"
 
 
+def _with_iri(triples: DataFrame, o_kind_col: str) -> DataFrame:
+    """Normalize to ``(s, p, o, _iri)`` with one lineage cut — shared
+    by both entailment operators so their IRI-object semantics can't
+    drift. The checkpoint matters: the frame feeds many plan branches
+    and Spark would otherwise recompute the upstream subtree per
+    consumer."""
+    has_kind = o_kind_col in triples.columns
+    return triples.select(
+        "s",
+        "p",
+        "o",
+        (F.col(o_kind_col) == F.lit("iri")).alias("_iri")
+        if has_kind
+        else F.lit(True).alias("_iri"),
+    ).localCheckpoint(eager=False)
+
+
 def _spo(df: DataFrame) -> DataFrame:
     return df.select("s", "p", "o")
 
@@ -74,20 +91,7 @@ def rdfs_entailment(
     ``s`` so downstream BGP self-joins reuse the layout instead of
     re-shuffling.
     """
-    has_kind = o_kind_col in triples.columns
-    # one lineage cut: ``inst`` feeds six plan branches (two schema
-    # closures, domain/range slices, rdfs7 widening, the base union) —
-    # without it Spark recomputes the whole upstream subtree per
-    # consumer. At cluster scale the equivalent is persisting the
-    # normalized triple table once before reasoning over it.
-    inst = triples.select(
-        "s",
-        "p",
-        "o",
-        (F.col(o_kind_col) == F.lit("iri")).alias("_iri")
-        if has_kind
-        else F.lit(True).alias("_iri"),
-    ).localCheckpoint(eager=False)
+    inst = _with_iri(triples, o_kind_col)
 
     # --- schema closures: ONE collect of the four ontology slices,
     # closed on the driver. This is deliberately not distributed —
@@ -223,15 +227,7 @@ def owl_property_entailment(
     """
     from .closure import transitive_closure
 
-    has_kind = o_kind_col in triples.columns
-    inst = triples.select(
-        "s",
-        "p",
-        "o",
-        (F.col(o_kind_col) == F.lit("iri")).alias("_iri")
-        if has_kind
-        else F.lit(True).alias("_iri"),
-    ).localCheckpoint(eager=False)
+    inst = _with_iri(triples, o_kind_col)
 
     schema_rows = (
         inst.where(
@@ -300,20 +296,28 @@ def owl_property_entailment(
     inst1 = inst if pre is None else inst.unionByName(pre)
     inst1 = inst1.localCheckpoint(eager=False)
 
-    # prp-trp: per declared property, the transitive closure of its
-    # (IRI-object) edge slice, re-labelled as entailed triples
+    # prp-trp: ONE closure over all declared properties at once —
+    # nodes are (property, node) structs, so paths can only chain
+    # within a property, and 50 transitive properties cost max-diameter
+    # doubling rounds total instead of 50 sequential job chains
     closed = None
-    for p in trans_props:
-        edges = inst1.where((F.col("p") == p) & F.col("_iri")).select(
-            F.col("s").alias("src"), F.col("o").alias("dst")
+    if trans_props:
+        edges = inst1.where(
+            F.col("p").isin(trans_props) & F.col("_iri")
+        ).select(
+            F.struct(
+                F.col("p").alias("tp"), F.col("s").alias("node")
+            ).alias("src"),
+            F.struct(
+                F.col("p").alias("tp"), F.col("o").alias("node")
+            ).alias("dst"),
         )
-        part = transitive_closure(edges).select(
-            F.col("src").alias("s"),
-            F.lit(p).alias("p"),
-            F.col("dst").alias("o"),
+        closed = transitive_closure(edges).select(
+            F.col("src.node").alias("s"),
+            F.col("src.tp").alias("p"),
+            F.col("dst.node").alias("o"),
             F.lit(True).alias("_iri"),
         )
-        closed = part if closed is None else closed.unionByName(part)
 
     out = inst1
     if closed is not None:

@@ -51,7 +51,11 @@ def kmv_distinct(
         raise ValueError("k must be ≥ 2")
     groups = list(group_cols or [])
     hashed = (
-        df.select(*groups, kmv_hash(F.col(value_col)).alias("_h"))
+        # NULLs don't count as a distinct value (SQL count-distinct
+        # semantics) — and md5(NULL) → NULL would sort NULLS FIRST into
+        # the top-k window, stealing a slot and biasing the estimate
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, kmv_hash(F.col(value_col)).alias("_h"))
         .distinct()
     )
     if groups:
@@ -123,7 +127,12 @@ def misra_gries_candidates(
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
-            vc = pdf[value_col].astype(str).value_counts()
+            # values arrive already Spark-cast to string (below), so
+            # candidates use the SAME representation the phase-2
+            # semi-join casts rows to — pandas astype(str) renders
+            # booleans/floats differently ("True" vs "true") and would
+            # produce false negatives
+            vc = pdf[value_col].value_counts()
             for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
@@ -133,7 +142,9 @@ def misra_gries_candidates(
                 }
         yield pd.DataFrame({"item": list(counters.keys())})
 
-    return df.select(value_col).mapInPandas(
+    return df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias(value_col)
+    ).mapInPandas(
         summarize, schema="item string"
     ).distinct()
 
@@ -198,7 +209,7 @@ def weighted_sample(
     groups = list(group_cols or [])
     u = (kmv_hash(F.col(id_col).cast("string")) + 1).cast(
         "double"
-    ) / F.lit(float(2**52))
+    ) / F.lit(HASH_DOMAIN)
     part = groups if groups else [F.lit(1)]
     w = Window.partitionBy(*part).orderBy(
         F.desc("_key"), F.asc(id_col)

@@ -100,6 +100,33 @@ class TestRdfsEntailment:
 
 
 class TestOwlPropertyEntailment:
+    def test_many_transitive_properties_one_closure(self, spark):
+        """Several TransitiveProperty declarations close independently
+        in the ONE (property, node)-keyed closure run (round-3 fix:
+        previously one sequential job chain per property)."""
+        from py_sema_spark.operators.inference import (
+            TRANSITIVE,
+            owl_property_entailment,
+        )
+
+        rows = [(EX + f"p{i}", RDF_TYPE, TRANSITIVE, "iri") for i in range(3)]
+        for i in range(3):
+            rows += [
+                (EX + f"a{i}", EX + f"p{i}", EX + f"b{i}", "iri"),
+                (EX + f"b{i}", EX + f"p{i}", EX + f"c{i}", "iri"),
+            ]
+        # a cross-property chain must NOT close: a0 -p0-> b0 -p1-> z
+        rows.append((EX + "b0", EX + "p1", EX + "z", "iri"))
+        g = spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+        out = {
+            (r["s"], r["p"], r["o"])
+            for r in owl_property_entailment(g).collect()
+        }
+        for i in range(3):
+            assert (EX + f"a{i}", EX + f"p{i}", EX + f"c{i}") in out
+        assert (EX + "a0", EX + "p0", EX + "z") not in out
+        assert (EX + "a0", EX + "p1", EX + "z") not in out
+
     def test_all_three_rules_and_literal_gate(self, spark):
         from py_sema_spark.operators.inference import (
             INVERSE_OF,

@@ -892,6 +892,17 @@ class TestKmvSketch:
         }
         assert out == {"g1": 7.0, "g2": 30.0}  # below k → exact
 
+    def test_nulls_do_not_count_or_bias(self, spark):
+        """SQL count-distinct semantics: NULL is not a value — and its
+        NULL md5 hash must not steal a NULLS-FIRST top-k slot (round-3
+        review fix)."""
+        from py_sema_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(f"v{i}",) for i in range(10)] + [(None,)] * 5, "v string"
+        )
+        assert kmv_distinct(df, "v", k=64).first().est_distinct == 10.0
+
     def test_estimate_accuracy_at_scale(self, spark):
         from py_sema_spark.operators.sketch import kmv_distinct
 
@@ -1439,6 +1450,20 @@ class TestHeavyHitters:
         assert dict(out.dtypes)["item"] == "bigint"
         assert out.collect()[0].item == 7
 
+    def test_non_string_representations_match(self, spark):
+        """Booleans (and any non-string type) must survive the
+        candidate/semi-join representation round-trip: pandas
+        astype(str) says "True" while Spark cast says "true" — the
+        round-3 fix casts Spark-side before phase 1 so the two phases
+        agree."""
+        from py_sema_spark.operators.sketch import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(True,)] * 9 + [(False,), (False,)], "v boolean"
+        )
+        got = {r.item: r.cnt for r in heavy_hitters(df, "v", k=3).collect()}
+        assert got == {True: 9}
+
 
 class TestHits:
     def test_bipartite_hand_computed(self, spark):
@@ -1634,6 +1659,19 @@ class TestApplyChanges:
         )
         got = {(r.k, r.v) for r in apply_changes(snap, chg, ["k"]).collect()}
         assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+    def test_null_op_upserts_not_silently_deletes(self, spark):
+        """A malformed NULL op must behave as an upsert: before the
+        round-3 fix the key was anti-joined out of the snapshot but
+        never re-inserted — vanishing as if deleted."""
+        from py_sema_spark.operators.cdc import apply_changes
+
+        snap = spark.createDataFrame([(1, "a")], "k long, v string")
+        chg = spark.createDataFrame(
+            [(1, "A", None)], "k long, v string, op string"
+        )
+        got = {(r.k, r.v) for r in apply_changes(snap, chg, ["k"]).collect()}
+        assert got == {(1, "A")}
 
     def test_delete_wins_over_same_key_upsert(self, spark):
         from py_sema_spark.operators.cdc import apply_changes
