@@ -306,12 +306,20 @@ class Harvester:
 
             for path in task.paths:
                 if path == ["*"]:
-                    # '*' = dereference the subject itself
+                    # '*' = dereference the subject itself — same
+                    # http-only gate as the depth rounds below: urns /
+                    # skolem IRIs would run an empty extraction AND
+                    # bloat the checkpointed downloaded set forever
                     new, dl, downloaded = self._deref(
-                        subjects.select(F.col("subject").alias("url")),
+                        subjects.where(
+                            F.col("subject").rlike(r"^https?://")
+                        ).select(F.col("subject").alias("url")),
                         downloaded,
                     )
-                    store = store.unionByName(new)
+                    if not new.isEmpty():
+                        store = store.unionByName(new).localCheckpoint(
+                            eager=True
+                        )
                     download_rows = (
                         dl if download_rows is None
                         else download_rows.unionByName(dl)
@@ -324,6 +332,15 @@ class Harvester:
                 depth_used = 0
                 n_subj = subjects.count()
                 n_verified = 0
+                if n_subj == 0:
+                    # nothing to traverse: the success condition below
+                    # is unreachable, so skip the len(path)+1 rounds of
+                    # frontier/deref/verify jobs they would burn
+                    reports.append(
+                        ("assertion", config.name, t_idx, None,
+                         " / ".join(path), None, False, 0, 0)
+                    )
+                    continue
                 for depth in range(len(path) + 1):
                     # frontier = nodes reachable via path[:depth]
                     frontier = _reachable(store, subjects, path[:depth])

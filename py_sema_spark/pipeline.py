@@ -139,6 +139,25 @@ class Pipeline:
         path = self._stage_path(name)
         if not self._done(name):
             t0 = time.time()
+            # pin the chunk count for the whole stage lifetime: chunk
+            # membership is pmod(hash, n_chunks), so resuming a partial
+            # run with a DIFFERENT n_chunks would skip completed marker
+            # ids while silently losing every row of the missing mod
+            # classes (and re-reading stale chunk dirs)
+            os.makedirs(path, exist_ok=True)
+            meta_path = f"{path}/_CHUNKS.json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    recorded = json.load(fh)["n_chunks"]
+                if recorded != n_chunks:
+                    raise ValueError(
+                        f"stage {name!r} was started with n_chunks="
+                        f"{recorded}; a resume must keep that chunking "
+                        f"(got {n_chunks}) — or clear {path} to restart"
+                    )
+            else:
+                with open(meta_path, "w") as fh:
+                    json.dump({"stage": name, "n_chunks": n_chunks}, fh)
             chunked = source.withColumn(
                 "_chunk",
                 F.pmod(F.xxhash64(F.col(chunk_col)), F.lit(n_chunks)),
@@ -245,7 +264,9 @@ class Pipeline:
 
         if dictionary is not None:
             def _mentions() -> DataFrame:
-                m = detect_mentions(corpus, dictionary, id_col="url")
+                # over the CURATED corpus: mention triples must not
+                # resurrect documents curation dropped
+                m = detect_mentions(source, dictionary, id_col="url")
                 if entity_embeddings is not None and doc_embeddings is not None:
                     scored = score_candidates(
                         m, entity_embeddings, doc_embeddings, id_col="url"
@@ -287,8 +308,14 @@ class Pipeline:
 
             out = with_subject_bucket(out, n_buckets, hub_salt, hub_share)
             out = out.repartition(F.col("s_bucket"), F.col("salt"))
+            # s_bucket/salt in the dedup key: functions of the triple,
+            # so semantics unchanged — but the repartition exchange then
+            # satisfies the aggregate's clustering (one shuffle total)
+            # and the partitionBy write keeps the salted layout (same
+            # fix as model.materialize_triples)
             return out.dropDuplicates(
-                ["s", "p", "o", "o_kind", "o_datatype", "o_lang", "g"]
+                ["s", "p", "o", "o_kind", "o_datatype", "o_lang", "g",
+                 "s_bucket", "salt"]
             )
 
         final = self.stage("05_materialize", _final, partition_by="s_bucket")

@@ -584,6 +584,72 @@ class TestPipelineResume:
         assert len(calls2) == 3
         assert out3.count() == ref.count()
 
+    def test_mentions_run_over_curated_corpus(
+        self, spark, tmp_path_factory
+    ):
+        """With curate=True, mention linking must read the CURATED
+        corpus: a document dropped by exact-text dedup gets no
+        schema:about triples (round-3 review fix — mentions previously
+        read the raw corpus and resurrected dropped docs)."""
+        import datetime as dt
+
+        from py_sema_spark.pipeline import Pipeline
+
+        wd = str(tmp_path_factory.mktemp("pipe_mcur"))
+        ts = dt.datetime(2024, 1, 1)
+        html = b"<html><body>acme corp announces</body></html>"
+        rows = [
+            ("http://a.ex/p1", ts, html, "acme corp announces", "en"),
+            # exact-duplicate text under another URL: curation drops it
+            ("http://b.ex/p1", ts, html, "acme corp announces", "en"),
+        ]
+        corpus = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+        dictionary = spark.createDataFrame(
+            [("http://e/acme", "acme corp")], ["entity", "label"]
+        )
+        p = Pipeline(spark, wd)
+        out = p.run(corpus, dictionary=dictionary, curate=True)
+        about = out.where(
+            F.col("p") == "https://schema.org/about"
+        ).select("s").distinct()
+        assert about.count() == 1  # only the curated survivor
+
+    def test_chunked_stage_rejects_changed_n_chunks(
+        self, spark, tmp_path_factory
+    ):
+        """Chunk membership is pmod(hash, n_chunks): resuming a partial
+        stage with a different chunk count would silently drop the mod
+        classes the old markers never covered — must refuse instead
+        (round-3 review fix)."""
+        import pytest as _pytest
+
+        from py_sema_spark.operators.extract import extract_structured
+        from py_sema_spark.pipeline import Pipeline
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        wd = str(tmp_path_factory.mktemp("pipe_chunkn"))
+        corpus = synth_corpus(spark, 40, seed=9)
+        calls = []
+
+        def flaky(df):
+            if calls:
+                raise RuntimeError("killed mid-stage")
+            calls.append(1)
+            return extract_structured(df)
+
+        p = Pipeline(spark, wd)
+        with _pytest.raises(RuntimeError, match="killed"):
+            p.chunked_stage("01_extract", corpus, flaky, n_chunks=4)
+        p2 = Pipeline(spark, wd)
+        with _pytest.raises(ValueError, match="n_chunks"):
+            p2.chunked_stage(
+                "01_extract", corpus, extract_structured, n_chunks=8
+            )
+
     def test_run_is_traced(self, spark, tmp_path_factory):
         from py_sema_spark.pipeline import Pipeline
         from py_sema_spark.sources.corpus import synth_corpus
