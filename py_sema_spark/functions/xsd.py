@@ -40,9 +40,18 @@ def xsd_value(content: Any, quote: str, type_name: str, suffix: Optional[str] = 
 _FALSY_STRINGS = ["", "0", "no", "false", "off"]  # j2_functions.py:64
 
 
+try:  # reference parity: jinja2 Undefined (a template typo like
+    # ``_.naem``) must raise, not silently render ''/'false' literals
+    from jinja2.runtime import Undefined as _J2Undefined
+
+    _REJECTED_TYPES: tuple = (list, dict, type(None), _J2Undefined)
+except ImportError:  # pragma: no cover - jinja2 ships with the env
+    _REJECTED_TYPES = (list, dict, type(None))
+
+
 def format_boolean(content: Any, quote: str, *_: Any) -> str:
-    # j2_functions.py:55-67 — list/dict/None rejected
-    if isinstance(content, (list, dict, type(None))):
+    # j2_functions.py:55-67 — list/dict/None/Undefined rejected
+    if isinstance(content, _REJECTED_TYPES):
         raise TypeError(f"unsupported input type {type(content)} for boolean")
     if not isinstance(content, bool):
         content = str(content).lower() not in _FALSY_STRINGS
@@ -131,7 +140,7 @@ def format_uri(content: str, quote: str, *_: Any) -> str:
 
 def format_string(content: Any, quote: str, suffix: Optional[str] = None) -> str:
     # j2_functions.py:172-189 — escape \ and quote; newline → long quotes
-    if isinstance(content, (list, dict, type(None))):
+    if isinstance(content, _REJECTED_TYPES):
         raise TypeError(f"unsupported input type {type(content)} for string")
     escqt = f"\\{quote}"
     content = str(content).replace("\\", "\\\\").replace(quote, escqt)
@@ -190,9 +199,11 @@ def auto_format_date(content: Any, quote: str, *_: Any) -> str:
 def auto_format_number(content: Any, quote: str, *_: Any) -> str:
     # j2_functions.py:241-255
     if isinstance(content, bool):
-        # bool is an int subclass; reference order checks int first,
-        # so True formats as an integer there too — match it.
-        return format_integer(int(content), quote)
+        # bool IS an int, so the reference's int branch keeps the bool
+        # object and serializes str(True) → 'True'^^xsd:integer
+        # (j2_functions.py:244-245 → :80-81) — byte-match it, odd as
+        # the lexical form is.
+        return xsd_value(str(content), quote, "xsd:integer")
     if isinstance(content, int):
         return format_integer(content, quote)
     if isinstance(content, float):
@@ -338,11 +349,16 @@ def map_build(it, key_name: str, val_name: Optional[str] = None, cached_as=None,
 
 
 def xsd_boolean_col(col: Column, quote: str = "'") -> Column:
-    falsy = F.lower(col.cast("string")).isin(*_FALSY_STRINGS) | col.cast(
-        "string"
-    ).isNull()
+    """NULL input → NULL (caller coalesces a fallback, like
+    :func:`xsd_integer_col`); the Python form raises for None — silent
+    'false' literals for missing data are wrong triples."""
+    falsy = F.lower(col.cast("string")).isin(*_FALSY_STRINGS)
     word = F.when(falsy, F.lit("false")).otherwise(F.lit("true"))
-    return F.concat(F.lit(quote), word, F.lit(quote), F.lit("^^xsd:boolean"))
+    return F.when(
+        col.cast("string").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(F.lit(quote), word, F.lit(quote), F.lit("^^xsd:boolean"))
+    )
 
 
 def xsd_integer_col(col: Column, quote: str = "'") -> Column:

@@ -33,7 +33,8 @@ from __future__ import annotations
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from ..functions.uritemplate import uritemplate_expand
 from ..functions.xsd import (
@@ -118,11 +119,19 @@ def build_env(
         return uritemplate_expand(template, context)
 
     env.filters.update({"xsd": xsd_format, "uri": uri_format})
+
+    def _map_build(it, key_name, val_name=None, cached_as=None,
+                   _cache={}):  # noqa: B006 — deliberately env-scoped
+        # the cache lives with THIS environment, not the module: Spark
+        # reuses Python workers across jobs, so a module-level cache
+        # would hand run 2 a stale ValueMapper built from run 1's sets
+        return map_build(it, key_name, val_name, cached_as, _cache)
+
     env.globals.update(
         {
             "uritexpand": _uritexpand,
             "regexreplace": regexreplace,
-            "map": map_build,
+            "map": _map_build,
             "xsd": xsd_format,
             "unite": unite,
         }
@@ -228,8 +237,23 @@ class SparkSubyt:
     def process(self, records: DataFrame) -> DataFrame:
         if not self.settings.iteration:
             raise ValueError("no-it settings: use render_collection()")
-        data_cols = list(records.columns)
+        # the source-order helper column drives ordering but is NOT
+        # record data: it must not leak into the template's `_` dict
+        data_cols = [c for c in records.columns if c != "_ord"]
         ctrl_df = with_ctrl(records, self.stream_by, self.order_by)
+        if self.stream_by:
+            # ctrl.index is per-stream (template contract), but sinks
+            # consume idx as a GLOBAL total order — without this, idx
+            # collides across streams and concatenation / _N suffixing
+            # turns nondeterministic
+            gw = Window.orderBy(
+                *[F.col(c) for c in (self.stream_by + self.order_by)]
+            )
+            ctrl_df = ctrl_df.withColumn(
+                "_gidx", F.row_number().over(gw) - 1
+            )
+        else:
+            ctrl_df = ctrl_df.withColumn("_gidx", F.col("idx"))
 
         template_source = self.template_source
         templates_folder = self.templates_folder
@@ -262,7 +286,7 @@ class SparkSubyt:
                         )
                     )
                 yield pd.DataFrame(
-                    {"idx": pdf["idx"].astype("int64"), "part": parts}
+                    {"idx": pdf["_gidx"].astype("int64"), "part": parts}
                 )
 
         return ctrl_df.mapInPandas(gen, "idx long, part string")

@@ -84,6 +84,10 @@ class PatternedSink:
                     )
 
             df = parts.mapInPandas(gen, "idx long, part string, path string")
+        # pin the rendered stream once: the dup-check job, the file
+        # write, and the returned (idx, path) frame would otherwise
+        # each re-run the whole Jinja-rendering upstream
+        df = df.localCheckpoint(eager=True)
         w = Window.partitionBy("path").orderBy("idx")
         df = df.withColumn("_dup", F.row_number().over(w))
         if not self.allow_repeated:
@@ -93,17 +97,12 @@ class PatternedSink:
                     f"duplicate sink path {dups[0]['path']!r} "
                     "(pass allow_repeated=True for _N suffixing)"
                 )
+        # reference parity (sinks.py:185-187): the Nth repeat appends
+        # ``_<N-2>`` AFTER the full path — a.txt, a.txt_0, a.txt_1 —
+        # not before the extension
         suffixed = F.when(F.col("_dup") == 1, F.col("path")).otherwise(
             F.concat(
-                F.regexp_replace(F.col("path"), r"\.([^./]+)$", ""),
-                F.lit("_"),
-                (F.col("_dup") - 1).cast("string"),
-                F.when(
-                    F.col("path").rlike(r"\.[^./]+$"),
-                    F.concat(
-                        F.lit("."), F.regexp_extract(F.col("path"), r"\.([^./]+)$", 1)
-                    ),
-                ).otherwise(F.lit("")),
+                F.col("path"), F.lit("_"), (F.col("_dup") - 2).cast("string")
             )
         )
         return df.withColumn("path", suffixed).drop("_dup")

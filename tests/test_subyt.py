@@ -107,6 +107,22 @@ class TestIteration:
         parts = set(p["part"] for p in out.collect())
         # per-stream ctrl indexes restart at 0
         assert parts == {"P:a1@0;", "P:a2@1;", "P:b1@0;"}
+        # …but the OUTPUT idx is a global total order (sinks rely on
+        # it for deterministic concatenation / _N numbering) — per
+        # round-3 review fix it must not collide across streams
+        idxs = sorted(r["idx"] for r in out.collect())
+        assert idxs == [0, 1, 2]
+
+    def test_internal_ord_column_not_in_record(self, spark):
+        """Sources attach _ord for deterministic ordering; it is
+        plumbing, not record data — `_` must not contain it (round-3
+        review fix)."""
+        df = spark.createDataFrame(
+            [(0, "x"), (1, "y")], "_ord long, name string"
+        )
+        template = "{{ _.keys() | list | sort | join(',') }};"
+        out = SparkSubyt(template, order_by=["_ord"]).process(df)
+        assert set(p["part"] for p in out.collect()) == {"name;"}
 
 
 class TestCollection:
@@ -159,9 +175,11 @@ class TestSinks:
             sink.write(df)
         sink2 = PatternedSink(str(tmp_path), "{key}.ttl", allow_repeated=True)
         written = sink2.write(df)
+        # reference numbering: 2nd occurrence = <path>_0, appended
+        # after the extension (reference sinks.py:185-187)
         assert sorted(r["path"] for r in written.collect()) == [
             "same.ttl",
-            "same_1.ttl",
+            "same.ttl_0",
         ]
 
 

@@ -215,3 +215,46 @@ class TestValueMapper:
         vm = map_build([{"k": "a", "v": 1}], "k", "v")
         with pytest.raises(AssertionError):
             vm.apply({"k": "a", "t": 0}, "k", "t")
+
+
+class TestReviewRegressions:
+    """Round-3 adversarial-review fixes (reference parity verified
+    against j2_functions.py this round)."""
+
+    def test_jinja_undefined_raises_not_silent_empty(self):
+        from jinja2 import Environment
+
+        from py_sema_spark.functions.xsd import (
+            format_boolean,
+            format_string,
+            xsd_format,
+        )
+
+        undef = Environment().from_string("").environment.undefined(name="naem")
+        with pytest.raises(TypeError):
+            format_string(undef, "'")
+        with pytest.raises(TypeError):
+            format_boolean(undef, "'")
+        # and the fb fallback still applies through the dispatcher
+        assert xsd_format(undef, "xsd:string", fb="'x'^^xsd:string") == (
+            "'x'^^xsd:string"
+        )
+
+    def test_auto_number_bool_keeps_reference_lexical_form(self):
+        from py_sema_spark.functions.xsd import auto_format_number
+
+        # the reference's int branch keeps the bool object: str(True)
+        assert auto_format_number(True, "'") == "'True'^^xsd:integer"
+        assert auto_format_number(False, "'") == "'False'^^xsd:integer"
+
+    def test_boolean_col_null_passthrough(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.xsd import xsd_boolean_col
+
+        df = spark.createDataFrame(
+            [("yes",), (None,), ("0",)], "v string"
+        ).select(xsd_boolean_col(F.col("v")).alias("lit"))
+        assert [r["lit"] for r in df.collect()] == [
+            "'true'^^xsd:boolean", None, "'false'^^xsd:boolean"
+        ]
