@@ -82,10 +82,24 @@ def link_header_urls_col(
     corpus join where the base url column is in scope)."""
     entries = F.split(header, ",")
     if rel is not None:
-        entries = F.filter(
-            entries, lambda e: e.contains(f"rel={rel}")
-        )
+        # exact mirror of parse_link_header: only the params AFTER the
+        # first ';' are searched (a "?rel=…" query string inside the
+        # <url> itself must not match), parts stripped and '|'-joined,
+        # then the same unquoted substring test
+        def _rel_match(e: Column) -> Column:
+            # slice(…, 2, size) drops the <url> part; an int-max length
+            # overflows start+length inside higher-order codegen
+            parts = F.split(e, ";")
+            params = F.slice(parts, 2, F.size(parts))
+            # no per-part trim needed: contains() is a substring test,
+            # and edge whitespace (what Python's strip removes) can't
+            # interrupt a "rel=…" match
+            return F.array_join(params, "|").contains(f"rel={rel}")
+
+        entries = F.filter(entries, _rel_match)
     return F.transform(
         entries,
-        lambda e: F.regexp_extract(e, r"<\s*([^>]*)\s*>", 1),
+        # lazy body + trailing \s* outside the capture: '< url >'
+        # extracts 'url', not 'url '
+        lambda e: F.regexp_extract(e, r"<\s*([^>]*?)\s*>", 1),
     )

@@ -122,15 +122,14 @@ def looks_like_html(text: str) -> bool:
 
 
 def decode_bytes(data: bytes) -> str:
-    """bytes → str with the charset dance a crawler would do."""
+    """bytes → str: utf-8, else latin-1 (which decodes ANY byte
+    sequence, so no further fallback can ever be reached)."""
     if data is None:
         return ""
-    for enc in ("utf-8", "latin-1"):
-        try:
-            return data.decode(enc)
-        except UnicodeDecodeError:
-            continue
-    return data.decode("utf-8", errors="replace")
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1")
 
 
 def unescape_entities(text: str) -> str:

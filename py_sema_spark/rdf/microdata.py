@@ -103,11 +103,13 @@ class _MicrodataParser(HTMLParser):
 
         if "itemscope" in attrs:
             sub = self._new_subject(attrs)
-            item = _Item(sub, attrs.get("itemtype"))
-            if attrs.get("itemtype"):
-                self.triples.append(
-                    Triple(sub, iri(RDF_TYPE), iri(attrs["itemtype"]))
-                )
+            # itemtype is a space-separated list (WHATWG §5.2): one
+            # rdf:type per token; the property vocab derives from the
+            # FIRST type, matching the microdata-to-RDF note
+            types = (attrs.get("itemtype") or "").split()
+            item = _Item(sub, types[0] if types else None)
+            for t in types:
+                self.triples.append(Triple(sub, iri(RDF_TYPE), iri(t)))
             if itemprop and cur_item is not None:
                 for name in itemprop.split():
                     self._emit(cur_item, name, sub)
@@ -157,4 +159,10 @@ def parse_microdata(html_text: str, base: str = "") -> List[Triple]:
     p = _MicrodataParser(base)
     p.feed(html_text)
     p.close()
+    # flush itemprops still open at EOF: truncated / implicitly-closed
+    # markup (legal HTML, common in crawls) must not drop its literals
+    for prop in p._open_props:
+        text = " ".join("".join(prop.buf).split())
+        p._emit(prop.item, prop.name, literal(text))
+    p._open_props.clear()
     return p.triples

@@ -121,40 +121,56 @@ class _RdfaParser(HTMLParser):
 
         prop = attrs.get("property")
         typeof = attrs.get("typeof")
-        explicit = attrs.get("about") or attrs.get("resource")
+        about = attrs.get("about")
+        resource = attrs.get("resource")
 
-        node: Optional[Term] = None
-        if explicit:
-            node = iri(self._subject_iri(explicit, ctx))
+        # RDFa Core distinction the two attributes encode: ``about``
+        # sets this element's SUBJECT (its property triples hang off
+        # it), ``resource`` sets the OBJECT of this element's property
+        # (chaining). A bare ``typeof`` mints a bnode — as chained
+        # object when a property is present, as new subject otherwise.
+        new_subj: Optional[Term] = None
+        obj_node: Optional[Term] = None
+        if about:
+            new_subj = iri(self._subject_iri(about, ctx))
+        elif resource:
+            obj_node = iri(self._subject_iri(resource, ctx))
         elif typeof is not None:
-            node = self._bnode()
+            if prop:
+                obj_node = self._bnode()
+            else:
+                new_subj = self._bnode()
 
-        if typeof is not None and node is not None:
+        typed = new_subj if new_subj is not None else obj_node
+        if typeof is not None and typed is not None:
             for t in typeof.split():
                 t_iri = self._curie(t, ctx)
                 if t_iri:
-                    self.triples.append(Triple(node, iri(RDF_TYPE), iri(t_iri)))
+                    self.triples.append(
+                        Triple(typed, iri(RDF_TYPE), iri(t_iri))
+                    )
 
-        if prop and parent.subject is not None:
+        subj = new_subj if new_subj is not None else parent.subject
+        if prop and subj is not None:
             preds = [
                 iri(p) for p in (self._curie(p, ctx) for p in prop.split()) if p
             ]
-            if node is not None:
+            if obj_node is not None:
                 # chaining / resource-valued property
                 for p in preds:
-                    self.triples.append(Triple(parent.subject, p, node))
+                    self.triples.append(Triple(subj, p, obj_node))
             elif attrs.get("href") or attrs.get("src"):
                 target = iri(
                     urljoin(self.base, attrs.get("href") or attrs.get("src"))
                 )
                 for p in preds:
-                    self.triples.append(Triple(parent.subject, p, target))
+                    self.triples.append(Triple(subj, p, target))
             elif attrs.get("content") is not None:
                 dt = self._curie(attrs.get("datatype", ""), ctx)
                 for p in preds:
                     self.triples.append(
                         Triple(
-                            parent.subject, p,
+                            subj, p,
                             literal(attrs["content"], dt, None if dt else lang),
                         )
                     )
@@ -162,11 +178,12 @@ class _RdfaParser(HTMLParser):
                 dt = self._curie(attrs.get("datatype", ""), ctx)
                 self._open_lits.append(
                     _OpenLiteral(
-                        parent.subject, preds, self._depth, dt,
+                        subj, preds, self._depth, dt,
                         None if dt else lang,
                     )
                 )
 
+        node = new_subj if new_subj is not None else obj_node
         if node is not None:
             ctx = _Ctx(node, vocab, prefixes, lang)
         if not is_void:
@@ -197,4 +214,14 @@ def parse_rdfa(html_text: str, base: str = "") -> List[Triple]:
     p = _RdfaParser(base)
     p.feed(html_text)
     p.close()
+    # flush property literals still open at EOF: truncated /
+    # implicitly-closed markup (legal HTML, common in crawls) must not
+    # drop its literals
+    for ol in p._open_lits:
+        text = " ".join("".join(ol.buf).split())
+        for pred in ol.preds:
+            p.triples.append(
+                Triple(ol.subject, pred, literal(text, ol.datatype, ol.lang))
+            )
+    p._open_lits.clear()
     return p.triples

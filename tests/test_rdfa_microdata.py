@@ -110,3 +110,107 @@ class TestExtractIntegration:
         got = {(t.s.value, t.p.value, t.o.value) for t, _ in triples}
         assert ("https://md.test/page/1#p", "https://schema.org/name", "Ada") in got
         assert ("https://md.test/page/1#r", "https://schema.org/name", "Rep") in got
+
+
+class TestReviewRegressions:
+    """Round-3 adversarial-review fixes: about-as-subject, multi-type
+    itemtype, EOF flush of open literals, link-header column parity."""
+
+    def test_rdfa_about_sets_subject(self):
+        from py_sema_spark.rdf.rdfa import parse_rdfa
+
+        html = (
+            '<div vocab="https://schema.org/">'
+            '<div about="#me" property="name">Alice</div></div>'
+        )
+        got = spo(parse_rdfa(html, base="https://x.test/p"))
+        assert ("https://x.test/p#me", "https://schema.org/name",
+                "Alice") in got
+
+    def test_rdfa_resource_still_chains(self):
+        from py_sema_spark.rdf.rdfa import parse_rdfa
+
+        html = (
+            '<div vocab="https://schema.org/" about="#me">'
+            '<div property="knows" resource="#bob"></div></div>'
+        )
+        got = spo(parse_rdfa(html, base="https://x.test/p"))
+        assert ("https://x.test/p#me", "https://schema.org/knows",
+                "https://x.test/p#bob") in got
+
+    def test_microdata_multi_itemtype(self):
+        from py_sema_spark.rdf.microdata import parse_microdata
+
+        html = (
+            '<div itemscope itemid="#a" '
+            'itemtype="https://schema.org/Person https://schema.org/Author">'
+            '<span itemprop="name">Ada</span></div>'
+        )
+        ts = parse_microdata(html, base="https://x.test/p")
+        got = spo(ts)
+        types = {o for s, p, o in got if p.endswith("#type")}
+        assert types == {
+            "https://schema.org/Person", "https://schema.org/Author"
+        }
+        # property vocab from the FIRST type
+        assert ("https://x.test/p#a", "https://schema.org/name",
+                "Ada") in got
+
+    def test_truncated_markup_flushes_open_literals(self):
+        from py_sema_spark.rdf.microdata import parse_microdata
+        from py_sema_spark.rdf.rdfa import parse_rdfa
+
+        # crawl-truncated page: no closing tags at all
+        r = parse_rdfa(
+            '<div vocab="https://schema.org/" about="#b">'
+            '<span property="name">Alice',
+            base="https://x.test/p",
+        )
+        assert ("https://x.test/p#b", "https://schema.org/name",
+                "Alice") in spo(r)
+        m = parse_microdata(
+            '<div itemscope itemid="#i" '
+            'itemtype="https://schema.org/Book">'
+            '<span itemprop="name">Dune',
+            base="https://x.test/p",
+        )
+        assert ("https://x.test/p#i", "https://schema.org/name",
+                "Dune") in spo(m)
+
+    def test_link_header_col_matches_python_oracle(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.web import (
+            link_header_urls_col,
+            parse_link_header,
+        )
+
+        headers = [
+            # rel=… inside the URL query string must NOT match
+            '<https://x/page?rel=describedby>; rel="author", '
+            '<https://x/meta>; rel=describedby',
+            # whitespace inside the angle brackets is stripped
+            '< https://x/doc1 >; rel=describedby',
+            # quoted rel does not match the unquoted substring test
+            # (reference linkheaders.py parity)
+            '<https://x/q>; rel="describedby"',
+        ]
+        df = spark.createDataFrame([(h,) for h in headers], "h string")
+        got = [
+            sorted(u for u in r["urls"] if u != "")
+            for r in df.select(
+                link_header_urls_col(F.col("h"), rel="describedby")
+                .alias("urls")
+            ).collect()
+        ]
+        want = [
+            sorted(
+                u.replace("https://base/", "")
+                for u in parse_link_header(h, "", rel="describedby")
+            )
+            for h in headers
+        ]
+        assert got == want
+        assert got[0] == ["https://x/meta"]
+        assert got[1] == ["https://x/doc1"]
+        assert got[2] == []
