@@ -93,7 +93,15 @@ def build_triples(
             s = base + str(identifier)
         t = props.get("$type")
         if t:
-            o, _, _, _ = resolve_term(t, prefixes, base)
+            o, o_kind, _, _ = resolve_term(t, prefixes, base)
+            if o_kind != "iri":
+                # a bare word with no matching prefix is not a type
+                # IRI; minting it as one would silently corrupt every
+                # downstream rdf:type query
+                raise ValueError(
+                    f"$type {t!r} does not resolve to an IRI "
+                    f"(prefixes: {sorted(prefixes)})"
+                )
             rows.append((s, RDF + "type", o, "iri", None, None))
         label = props.get("$label")
         if label:
@@ -128,7 +136,10 @@ def rocrate_blueprint(
     """RO-Crate metadata skeleton as a blueprint (the reference's
     RO-Crate builder wraps OGM the same way, robuilder.py:11-78)."""
     bp: Dict[str, Any] = {
-        "$": {"prefix": {"schema": "https://schema.org/"}},
+        # SCHEMA_NS (http://) — the RO-Crate 1.1 context maps schema: to
+        # http://schema.org/, and rocrate_metadata_json compacts that
+        # namespace; https here would leave full IRIs in the crate JSON
+        "$": {"prefix": {"schema": SCHEMA_NS}},
         "<ro-crate-metadata.json>": {
             "$type": "schema:CreativeWork",
             "schema:about": "<./>",
@@ -168,7 +179,10 @@ def resolve_yaml_load(text: str, env: Optional[Dict[str, str]] = None):
         txt = loader.construct_scalar(node)
         try:
             return txt.format(**env)
-        except KeyError:
+        except (KeyError, ValueError, IndexError):
+            # unknown placeholder OR literal braces ("size{>10}",
+            # "{0}") — fall back to the raw text rather than aborting
+            # the whole YAML load
             return txt
 
     _Loader.add_constructor("!resolve", _resolve)

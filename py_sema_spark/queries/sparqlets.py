@@ -56,7 +56,7 @@ def ci_regex(col: Column, pattern: str) -> Column:
 def all_triples(triples: DataFrame, N: Optional[int] = None) -> DataFrame:
     """all.sparql — SELECT * WHERE { ?s ?p ?o } [LIMIT N]."""
     out = triples.select("s", "p", "o")
-    return out.limit(N) if N else out
+    return out.limit(N) if N is not None else out
 
 
 def rdf_predicates(triples: DataFrame, regex: Optional[str] = None) -> DataFrame:
@@ -133,6 +133,10 @@ def bodc_find(
     ident = pred_slice(triples, DC + "identifier", "x", "dci")
     member = pred_slice(triples, SKOS + "member", "coll", "x")
 
+    if not collections:
+        raise ValueError(
+            "bodc_find needs at least one collection (use '*' for all)"
+        )
     branches = []
     for c in collections:
         if c == "*":
@@ -202,7 +206,7 @@ def bodc_listing(
         )
         .select("id", "pref_lang", "alt_lang", "alt", "depr", "member")
     )
-    return out.limit(N) if N else out
+    return out.limit(N) if N is not None else out
 
 
 def term_match_in_collection(
@@ -219,7 +223,7 @@ def term_match_in_collection(
         .where(ci_regex(F.col("lbl"), term_regex(term)))
         .select("term", "lbl")
     )
-    return out.limit(N) if N else out
+    return out.limit(N) if N is not None else out
 
 
 def term_regex(term: str) -> str:
@@ -230,10 +234,35 @@ def broader_terms(
     triples: DataFrame, term: str, language: Optional[str] = None
 ) -> DataFrame:
     """broader-terms.sparql — ?bterm ?blbl via skos:broader+ from a
-    bound subject. Bound subject ⇒ the frontier starts at one row, so
-    every round's join is broadcast-sized."""
-    closure = closure_from_triples(triples, SKOS + "broader")
-    b = closure.where(F.col("src") == term).select(F.col("dst").alias("bterm"))
+    bound subject. Bound subject ⇒ the frontier starts at one node, so
+    every round's join is broadcast-sized — an iterative BFS, NOT the
+    whole-graph closure (which would pay O(n·depth) pairs to then keep
+    a handful of rows; round-3 review fix makes the code match this
+    docstring)."""
+    edges = pred_slice(triples, SKOS + "broader", "src", "dst")
+    edges = edges.localCheckpoint(eager=False)  # feeds every round
+    seen = (
+        edges.where(F.col("src") == F.lit(term))
+        .select("dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seen
+    for _ in range(50):
+        if frontier.isEmpty():
+            break
+        frontier = (
+            frontier.withColumnRenamed("dst", "src")
+            .join(edges, "src")
+            .select("dst")
+            .distinct()
+            .join(seen, "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+    b = seen.select(F.col("dst").alias("bterm"))
     pref = pred_slice(
         triples, SKOS + "prefLabel", "bterm", "blbl", {"o_lang": "bl_lang"}
     )

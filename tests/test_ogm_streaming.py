@@ -65,12 +65,12 @@ class TestOGM:
         rows = {(r["s"], r["p"], r["o"]) for r in df.collect()}
         assert (
             "https://crate.test/ro-crate-metadata.json",
-            "https://schema.org/about",
+            "http://schema.org/about",
             "https://crate.test/./",
         ) in rows
         assert (
             "https://crate.test/./",
-            "https://schema.org/hasPart",
+            "http://schema.org/hasPart",
             "https://crate.test/data.csv",
         ) in rows
 
