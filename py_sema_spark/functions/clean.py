@@ -81,7 +81,11 @@ def clean_uri_str(uri: str, smart: bool = False) -> str:
 def normalise_scheme_str(
     uri: str, domain: str = "schema.org", to_scheme: str = "https"
 ) -> str:
-    return re.sub(rf"^https?://{domain}", rf"{to_scheme}://{domain}", uri)
+    # escape the domain (its '.' must not act as a regex wildcard) —
+    # keeps the str form in lockstep with normalise_scheme_col
+    return re.sub(
+        rf"^https?://{re.escape(domain)}", rf"{to_scheme}://{domain}", uri
+    )
 
 
 # ---------------- Spark column forms ----------------
@@ -121,13 +125,16 @@ def clean_uri_col(col: Column) -> Column:
         "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
         "0123456789_.-~" + CLEAN_SAFE
     )
-    # build a single regex character class of unsafe ASCII chars
+    unsafe = set(chr(c) for c in range(0x20, 0x7F)) - set(safe)
+    # '%' must be encoded FIRST: encoding it after other characters
+    # would re-encode their freshly-emitted %XX escapes ('a b' →
+    # 'a%2520b' instead of 'a%20b', splitting the node from the
+    # Python-cleaned form)
     out = col
-    for ch in sorted(set(chr(c) for c in range(0x20, 0x7F)) - set(safe)):
+    for ch in ["%"] + sorted(unsafe - {"%"}):
         out = F.regexp_replace(
             out, re.escape(ch), "%{:02X}".format(ord(ch))
         )
-    out = F.regexp_replace(out, " ", "%20")
     return out
 
 

@@ -72,9 +72,18 @@ def match_regex(pattern: str) -> str:
 
 def glob_regex(pattern: str) -> str:
     """``Path.glob`` semantics: left-anchored relative path; a full
-    '**' segment crosses zero or more directories."""
+    '**' segment crosses zero or more directories. A TRAILING '**'
+    matches the prefix itself plus everything under it (Path.glob
+    yields the directories; relative paths carry no trailing slash, so
+    the segment form must not demand one)."""
     segs = [s for s in pattern.split("/") if s not in ("", ".")]
-    parts = []
+    if segs and segs[-1] == "**":
+        head = segs[:-1]
+        body = "/".join(_seg_regex(s) for s in head)
+        if body:
+            return f"^{body}(?:/[^/]+)*$"
+        return r"^[^/]+(?:/[^/]+)*$"
+    parts = []  # (the trailing-** form pairs with glob_matches_dirs_only)
     for s in segs:
         if s == "**":
             parts.append("(?:[^/]+/)*")
@@ -84,6 +93,13 @@ def glob_regex(pattern: str) -> str:
     if body.endswith("/"):
         body = body[:-1]
     return f"^{body}$"
+
+
+def glob_matches_dirs_only(pattern: str) -> bool:
+    """Path.glob parity: a pattern whose LAST segment is '**' yields
+    directories only (the prefix dir itself plus all sub-dirs)."""
+    segs = [s for s in pattern.split("/") if s not in ("", ".")]
+    return bool(segs) and segs[-1] == "**"
 
 
 def path_matches_glob(path: Union[str, Path], glob: str) -> bool:
@@ -123,11 +139,17 @@ def matching_glob_paths(
     (tests/commons/glob/test_glob.py: 10 paths / 8 files / 5 txt / 3
     after excludes)."""
     root = Path(root)
-    inc = [re.compile(glob_regex(p)) for p in _as_list(includes, ["**/*"])]
+    inc = [
+        (re.compile(glob_regex(p)), glob_matches_dirs_only(p))
+        for p in _as_list(includes, ["**/*"])
+    ]
     exc = [re.compile(match_regex(p)) for p in _as_list(excludes, [])]
     found: List[Path] = []
     for rel, is_dir in _walk_relative(root):
-        if not any(rx.search(rel) for rx in inc):
+        if not any(
+            rx.search(rel) and (is_dir or not dirs_only)
+            for rx, dirs_only in inc
+        ):
             continue
         if any(rx.search(rel) for rx in exc):
             continue
@@ -165,14 +187,20 @@ def visit_glob_paths(
     visits with the list of ``applying`` values whose pattern matches
     (match semantics on the relative path)."""
     root = Path(root)
-    inc = [re.compile(glob_regex(p)) for p in _as_list(includes, ["**/*"])]
+    inc = [
+        (re.compile(glob_regex(p)), glob_matches_dirs_only(p))
+        for p in _as_list(includes, ["**/*"])
+    ]
     exc = [re.compile(match_regex(p)) for p in _as_list(excludes, [])]
     apply_rx = [
         (re.compile(match_regex(p)), v) for p, v in (applying or {}).items()
     ]
     results: Dict[Path, Any] = {}
     for rel, is_dir in _walk_relative(root):
-        if not any(rx.search(rel) for rx in inc):
+        if not any(
+            rx.search(rel) and (is_dir or not dirs_only)
+            for rx, dirs_only in inc
+        ):
             continue
         relpath = Path(rel)
         shown = relpath if make_relative else root / relpath

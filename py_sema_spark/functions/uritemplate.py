@@ -59,9 +59,8 @@ def _pct(value: str, allow_reserved: bool) -> str:
 def _fmt_scalar(v: Any) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v == int(v):
-        return str(v)
-    return str(v)
+    return str(v)  # floats incl. inf/nan render via str — no int()
+    # round-trip that would raise OverflowError on non-finite values
 
 
 def _expand_one(
@@ -155,13 +154,23 @@ def uritemplate_col(template: str, colmap: Dict[str, Column]) -> Column:
         name = vm.group(1)
         if name not in colmap:
             raise KeyError(f"no column for template variable {name}")
-        col = colmap[name].cast("string")
-        if op in ("#", "/"):
-            pieces.append(F.lit(op))
+        # RFC 6570: an undefined (NULL) variable contributes nothing
+        # (operator prefix included) — without this, one NULL column
+        # makes F.concat return NULL for the WHOLE expansion,
+        # diverging from the Python form
+        raw = colmap[name].cast("string")
         # percent-encoding of unreserved-violating chars: the common
         # identifier case needs none; guard with a cheap replace of
         # space (the frequent offender) — full parity via the UDF path.
-        pieces.append(F.regexp_replace(col, " ", "%20"))
+        encoded = F.regexp_replace(raw, " ", "%20")
+        if op in ("#", "/"):
+            pieces.append(
+                F.when(raw.isNull(), F.lit("")).otherwise(
+                    F.concat(F.lit(op), encoded)
+                )
+            )
+        else:
+            pieces.append(F.coalesce(encoded, F.lit("")))
         pos = m.end()
     if pos < len(template):
         pieces.append(F.lit(template[pos:]))

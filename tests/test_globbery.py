@@ -148,3 +148,73 @@ class TestColumnForm:
             )
         }
         assert got == want and len(got) == 3
+
+
+class TestReviewRegressions:
+    """Round-3 fixes: trailing-** Path.glob parity, clean/normalise
+    string-vs-column lockstep, RFC 6570 NULL handling."""
+
+    def test_trailing_doublestar_matches_dirs(self, tmp_path):
+        (tmp_path / "data" / "sub").mkdir(parents=True)
+        (tmp_path / "data" / "f.txt").write_text("x")
+        from pathlib import Path
+
+        got = sorted(
+            str(p) for p in matching_glob_paths(tmp_path, "data/**")
+        )
+        want = sorted(
+            str(p.relative_to(tmp_path)) for p in Path(tmp_path).glob("data/**")
+        )
+        assert got == want and got  # dirs only, non-empty
+
+    def test_clean_uri_col_no_double_encoding(self, spark):
+        from urllib.parse import quote
+
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.clean import CLEAN_SAFE, clean_uri_col
+
+        vals = ["a b", 'say "hi"', "50%", "a b%c\"d'"]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = [r["c"] for r in df.select(
+            clean_uri_col(F.col("v")).alias("c")).collect()]
+        want = [quote(v, safe=CLEAN_SAFE) for v in vals]
+        assert got == want
+
+    def test_normalise_scheme_str_escapes_domain(self):
+        from py_sema_spark.functions.clean import normalise_scheme_str
+
+        # '.' must not act as a wildcard
+        assert (
+            normalise_scheme_str("http://schemaXorg/x")
+            == "http://schemaXorg/x"
+        )
+        assert (
+            normalise_scheme_str("http://schema.org/x")
+            == "https://schema.org/x"
+        )
+
+    def test_uritemplate_col_null_variable(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.uritemplate import (
+            uritemplate_col,
+            uritemplate_expand,
+        )
+
+        df = spark.createDataFrame(
+            [("x", None), ("x", "y")], "a string, b string"
+        )
+        got = [r["u"] for r in df.select(
+            uritemplate_col("p/{a}/q{/b}", {
+                "a": F.col("a"), "b": F.col("b")}).alias("u")
+        ).collect()]
+        assert got[0] == uritemplate_expand("p/{a}/q{/b}", {"a": "x"})
+        assert got[1] == uritemplate_expand(
+            "p/{a}/q{/b}", {"a": "x", "b": "y"})
+        assert got == ["p/x/q", "p/x/q/y"]
+
+    def test_fmt_scalar_nonfinite(self):
+        from py_sema_spark.functions.uritemplate import uritemplate_expand
+
+        assert uritemplate_expand("v/{x}", {"x": float("inf")}) == "v/inf"
