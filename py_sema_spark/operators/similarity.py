@@ -564,16 +564,29 @@ def signed_random_projection(
             h = _hl.md5(f"{salt}|{i}|{j}".encode()).hexdigest()
             return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
 
-        vec = F.col(vec_col).cast("array<double>")
-        projs = F.array(*[
-            F.round(
-                dot(vec, F.array(*[F.lit(_sign(i, j)) for i in range(dim)])),
-                6,
+        # ship the sign matrix as a BROADCAST out_dim-row frame and
+        # fan out 16× per row via the broadcast join — NOT as inlined
+        # literal arrays (dim×out_dim literal nodes made Catalyst
+        # analysis cost dominate at fixture scale: measured 2× slower
+        # than even the explode path) and NOT as an N×dim×out_dim
+        # explode+groupBy (a full shuffle of the expanded rows)
+        spark = embeddings.sparkSession
+        signs = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (j, [_sign(i, j) for i in range(dim)])
+                    for j in range(out_dim)
+                ],
+                "j int, _signs array<double>",
             )
-            for j in range(out_dim)
-        ])
-        return embeddings.select(
-            F.col(id_col), F.posexplode(projs).alias("j", "proj")
+        )
+        return embeddings.crossJoin(signs).select(
+            F.col(id_col),
+            F.col("j"),
+            F.round(
+                dot(F.col(vec_col).cast("array<double>"), F.col("_signs")),
+                6,
+            ).alias("proj"),
         )
     ex = embeddings.select(
         F.col(id_col),

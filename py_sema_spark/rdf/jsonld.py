@@ -300,12 +300,47 @@ class _JsonLdToRdf:
                         )
                         emitted = True
                 continue
+            if key == "@reverse":
+                # JSON-LD §4.8: {"@reverse": {p: nodes}} asserts
+                # (node, p, subj) — object and subject swapped
+                if isinstance(value, dict):
+                    for rkey, rval in value.items():
+                        r_iri = self._expand_iri(ctx, rkey, vocab=True)
+                        if not _ABS_IRI_RE.match(r_iri):
+                            continue
+                        rvals = rval if isinstance(rval, list) else [rval]
+                        for rv in rvals:
+                            robj = self._to_object(
+                                ctx, self._term_def(ctx, rkey), rv
+                            )
+                            if robj is not None and robj.kind in (
+                                "iri", "bnode",
+                            ):
+                                self.triples.append(
+                                    Triple(robj, iri(r_iri), subj)
+                                )
+                                emitted = True
+                continue
             if key.startswith("@"):
+                continue
+            tdef = self._term_def(ctx, key)
+            # a context term defined as {"@reverse": iri} inverts the
+            # property direction for ALL its values (checked before the
+            # abs-IRI guard: such a term has no forward IRI of its own)
+            if "@reverse" in tdef:
+                rev_iri = self._expand_iri(
+                    ctx, tdef["@reverse"], vocab=True
+                )
+                rvals = value if isinstance(value, list) else [value]
+                for rv in rvals:
+                    robj = self._to_object(ctx, {}, rv)
+                    if robj is not None and robj.kind in ("iri", "bnode"):
+                        self.triples.append(Triple(robj, iri(rev_iri), subj))
+                        emitted = True
                 continue
             pred_iri = self._expand_iri(ctx, key, vocab=True)
             if not _ABS_IRI_RE.match(pred_iri):
                 continue  # un-expandable key: dropped (JSON-LD spec)
-            tdef = self._term_def(ctx, key)
             vals = value if isinstance(value, list) else [value]
             # @set is plain array semantics (JSON-LD §4.6.1): splice its
             # items into the value list — one triple per item, not just

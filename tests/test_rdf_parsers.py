@@ -588,3 +588,42 @@ class TestReviewRegressions:
         assert ts[0].o.value == "INF"
         ts = parse_jsonld('{"@id": "http://e/x", "http://e/p": -1e999}')
         assert ts[0].o.value == "-INF"
+
+
+class TestJsonLdReverse:
+    """JSON-LD §4.8 reverse properties (rdflib supports both forms;
+    round 3 adds them — previously @reverse was recognised as a
+    keyword but silently dropped)."""
+
+    def test_node_level_reverse(self):
+        ts = parse_jsonld(
+            '{"@id": "http://e/alice", "@reverse": '
+            '{"http://e/childOf": [{"@id": "http://e/bob"},'
+            ' {"@id": "http://e/carol"}]}}'
+        )
+        got = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert got == {
+            ("http://e/bob", "http://e/childOf", "http://e/alice"),
+            ("http://e/carol", "http://e/childOf", "http://e/alice"),
+        }
+
+    def test_context_reverse_term(self):
+        ts = parse_jsonld(
+            '{"@context": {"children": {"@reverse": "http://e/parent"}},'
+            '"@id": "http://e/dad",'
+            '"children": [{"@id": "http://e/kid1"}, {"@id": "http://e/kid2"}]}'
+        )
+        got = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert got == {
+            ("http://e/kid1", "http://e/parent", "http://e/dad"),
+            ("http://e/kid2", "http://e/parent", "http://e/dad"),
+        }
+
+    def test_reverse_nested_node_emits_its_own_triples(self):
+        ts = parse_jsonld(
+            '{"@id": "http://e/a", "@reverse": {"http://e/p": '
+            '{"@id": "http://e/b", "http://e/name": "B"}}}'
+        )
+        got = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert ("http://e/b", "http://e/p", "http://e/a") in got
+        assert ("http://e/b", "http://e/name", "B") in got

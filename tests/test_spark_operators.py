@@ -2062,7 +2062,9 @@ class TestSignedRandomProjection:
         b = {(r.vec_id, r.j): r.proj for r in fast.collect()}
         assert a == b
         plan = fast._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
+        # the sign matrix ships as a BroadcastExchange (out_dim rows);
+        # the DATA path must stay shuffle-free
+        assert "Exchange hashpartitioning" not in plan
 
     def test_cosine_roughly_preserved(self, spark):
         import math
