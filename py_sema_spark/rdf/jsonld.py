@@ -11,7 +11,9 @@ reference fixtures (e.g.
 - node objects: ``@id``, ``@type`` (string or array), nested node
   objects (→ bnode or named node + edge), value objects
   (``@value``/``@language``/``@type``), arrays, ``@graph``,
-  ``@list`` (→ rdf:first/rest chains).
+  ``@list`` (→ rdf:first/rest chains), ``@set`` splicing,
+  ``@reverse`` (node-level blocks and context terms), container
+  maps (``@container``: ``@language`` / ``@index`` / ``@id``).
 - scalars: str → xsd:string, bool → xsd:boolean, int → xsd:integer,
   float → xsd:double (JSON-LD value-to-RDF rules).
 
@@ -341,6 +343,37 @@ class _JsonLdToRdf:
             pred_iri = self._expand_iri(ctx, key, vocab=True)
             if not _ABS_IRI_RE.match(pred_iri):
                 continue  # un-expandable key: dropped (JSON-LD spec)
+            container = tdef.get("@container")
+            if isinstance(value, dict) and container == "@language":
+                # language map (§4.2.4): key = tag, value = string(s)
+                for tag, lv in value.items():
+                    for one in lv if isinstance(lv, list) else [lv]:
+                        if isinstance(one, str):
+                            self.triples.append(
+                                Triple(
+                                    subj, iri(pred_iri),
+                                    literal(one, lang=tag),
+                                )
+                            )
+                            emitted = True
+                continue
+            if isinstance(value, dict) and container in ("@index", "@id"):
+                # index map (§4.6.2): the map key is non-semantic
+                # (or, for @id maps, the node's @id) — flatten values
+                flat_vals: List[Any] = []
+                for mkey, mv in value.items():
+                    items = mv if isinstance(mv, list) else [mv]
+                    if container == "@id":
+                        items = [
+                            (
+                                {**it, "@id": it.get("@id", mkey)}
+                                if isinstance(it, dict)
+                                else it
+                            )
+                            for it in items
+                        ]
+                    flat_vals.extend(items)
+                value = flat_vals
             vals = value if isinstance(value, list) else [value]
             # @set is plain array semantics (JSON-LD §4.6.1): splice its
             # items into the value list — one triple per item, not just

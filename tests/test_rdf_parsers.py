@@ -627,3 +627,44 @@ class TestJsonLdReverse:
         got = {(t.s.value, t.p.value, t.o.value) for t in ts}
         assert ("http://e/b", "http://e/p", "http://e/a") in got
         assert ("http://e/b", "http://e/name", "B") in got
+
+
+class TestJsonLdContainerMaps:
+    """JSON-LD container maps (round 3): @language maps emit tagged
+    literals, @index maps flatten with non-semantic keys, @id maps
+    seed the node id from the map key."""
+
+    def test_language_map(self):
+        ts = parse_jsonld(
+            '{"@context": {"label": {"@id": "http://e/label",'
+            ' "@container": "@language"}},'
+            '"@id": "http://e/x",'
+            '"label": {"en": "dog", "nl": ["hond", "kees"]}}'
+        )
+        assert sorted((t.o.value, t.o.lang) for t in ts) == [
+            ("dog", "en"), ("hond", "nl"), ("kees", "nl"),
+        ]
+
+    def test_index_map_flattens(self):
+        ts = parse_jsonld(
+            '{"@context": {"posts": {"@id": "http://e/post",'
+            ' "@container": "@index"}},'
+            '"@id": "http://e/x",'
+            '"posts": {"2024": {"@id": "http://e/p1"}, "2025": "text"}}'
+        )
+        got = {(t.s.value, t.o.value) for t in ts}
+        assert got == {("http://e/x", "http://e/p1"),
+                       ("http://e/x", "text")}
+
+    def test_id_map_seeds_node_id(self):
+        ts = parse_jsonld(
+            '{"@context": {"kids": {"@id": "http://e/kid",'
+            ' "@container": "@id"}},'
+            '"@id": "http://e/x",'
+            '"kids": {"http://e/k1": {"http://e/name": "A"}}}'
+        )
+        got = {(t.s.value, t.p.value, t.o.value) for t in ts}
+        assert got == {
+            ("http://e/x", "http://e/kid", "http://e/k1"),
+            ("http://e/k1", "http://e/name", "A"),
+        }
