@@ -109,10 +109,41 @@ def _batch_rows(pdf: pd.DataFrame) -> Iterable[tuple]:
             yield (url, "link", None, None, None, None, None, None, None, link)
 
 
-def extract_structured(corpus: DataFrame) -> DataFrame:
-    """corpus(url, html, …) → rows of EXTRACT_SCHEMA (triples + links)."""
+# ASCII substrings a DEFINITELY-HTML page must contain for
+# extract_page to be able to emit anything: RDFa needs property=/
+# typeof= to assert a triple (about/resource/vocab alone emit
+# nothing), microdata needs itemscope, script blocks need their
+# literal type value (RDF_SCRIPT_TYPES), link collection fires only on
+# rel="describedby". Pages matching none provably extract to zero
+# rows, so the JVM can drop them before the Arrow transfer. False
+# positives (the word "property" in prose) just fall through to the
+# Python path — never a correctness risk.
+_HTML_MARKERS = (
+    "property", "typeof", "itemscope", "describedby",
+) + tuple(_SCRIPT_FMTS)
+
+
+def extract_structured(corpus: DataFrame, prefilter: bool = True) -> DataFrame:
+    """corpus(url, html, …) → rows of EXTRACT_SCHEMA (triples + links).
+
+    ``prefilter`` drops definitely-HTML pages carrying none of the
+    structured-data markers BEFORE the Arrow transfer — pure
+    whole-stage-codegen string scans. On a real crawl most pages have
+    no embedded structured data at all, so this is the difference
+    between paying Python parse cost for the whole corpus and for the
+    structured slice only (the markers are ASCII, so the lossy
+    binary→UTF-8 cast cannot hide them)."""
 
     cols = corpus.select("url", "html")  # column pruning before Arrow transfer
+    if prefilter:
+        body = F.col("html").cast("string")
+        head = F.lower(F.substring(body, 1, 512))
+        is_html = head.contains("<!doctype html") | head.contains("<html")
+        low = F.lower(body)
+        marker = F.lit(False)
+        for m in _HTML_MARKERS:
+            marker = marker | low.contains(m)
+        cols = cols.where(~is_html | marker)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in EXTRACT_SCHEMA.fields]

@@ -214,3 +214,38 @@ class TestReviewRegressions:
         assert got[0] == ["https://x/meta"]
         assert got[1] == ["https://x/doc1"]
         assert got[2] == []
+
+
+class TestExtractPrefilter:
+    """The JVM-side marker prefilter must be output-invariant: it may
+    only drop pages whose extraction is provably empty."""
+
+    def test_prefilter_output_identical(self, spark):
+        from py_sema_spark.operators.extract import extract_structured
+        from py_sema_spark.sources.corpus import synth_corpus
+
+        corpus = synth_corpus(spark, 300, seed=42)
+        cols = [f.name for f in extract_structured(corpus).schema.fields]
+        a = extract_structured(corpus, prefilter=True).select(cols)
+        b = extract_structured(corpus, prefilter=False).select(cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_prefilter_drops_noise_pages(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.sources.corpus import page_kind, synth_corpus
+
+        corpus = synth_corpus(spark, 300, seed=42)
+        noise = [i for i in range(300) if page_kind(42, i) == "noise"]
+        assert noise  # the corpus mixes ~20% noise pages
+        # drive the filtered frame: noise URLs must not reach Python
+        from py_sema_spark.operators.extract import extract_structured
+
+        out = extract_structured(corpus, prefilter=True)
+        got_urls = {
+            r["src_url"] for r in out.select("src_url").distinct().collect()
+        }
+        from py_sema_spark.sources.corpus import page_url
+
+        assert not ({page_url(i) for i in noise} & got_urls)
