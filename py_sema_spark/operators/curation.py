@@ -600,10 +600,12 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-``k`` TF-IDF keywords per document:
     ``score = tf · ln(N / df)`` over normalized tokens, ties broken by
-    term. Both factors are exact integers until the one ``ln`` and
-    multiply, so Spark and the SQL oracle compute bit-identical
-    doubles — the ranking (and therefore the emitted top-k set) is
-    deterministic across engines and partition layouts.
+    term. The rank is taken over the score **rounded to 6 decimals**:
+    IEEE 754 does not require a correctly-rounded ``log``, so two
+    mathematically-equal scores reached from *different* (tf, df)
+    pairs (e.g. 2·ln16 vs 4·ln4) can straddle 1 ulp differently on the
+    JVM vs another engine; rounding first turns them into exact ties
+    that the term tiebreak then resolves identically everywhere.
 
     Scale shape: tf = hash agg on (doc, term) with map-side combine;
     df = hash agg on term (Zipf hubs pre-combine); N attaches as a
@@ -631,8 +633,8 @@ def tfidf_top_terms(
             "term",
             "tf",
             "df",
-            (
-                F.col("tf") * F.log(F.col("_n") / F.col("df"))
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
             ).alias("score"),
         )
     )
@@ -646,7 +648,7 @@ def tfidf_top_terms(
             id_col,
             "term",
             F.col("_rk").alias("rank"),
-            F.round("score", 6).alias("score"),
+            "score",
         )
     )
 

@@ -204,6 +204,12 @@ def weighted_sample(
     bounded by k, the exact shape of ``topk_per_group``. Rows with
     non-positive weight are excluded (they have probability 0).
 
+    The rank is taken over the key **rounded to 6 decimals** with the
+    id as tiebreak: ``log`` is not required by IEEE 754 to be
+    correctly rounded, so two near-equal keys computed from different
+    (u, w) pairs could otherwise straddle 1 ulp differently per
+    engine; rounding first makes the ordering engine-portable.
+
     Returns (*group_cols, id, weight, key, rank), key rounded to 6.
     """
     groups = list(group_cols or [])
@@ -216,7 +222,7 @@ def weighted_sample(
     )
     return (
         df.where(F.col(weight_col) > 0)
-        .withColumn("_key", F.log(u) / F.col(weight_col))
+        .withColumn("_key", F.round(F.log(u) / F.col(weight_col), 6))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
@@ -225,7 +231,7 @@ def weighted_sample(
             # native type preserved — fractional weights must not
             # truncate in the report even though only the key uses them
             F.col(weight_col).alias("weight"),
-            F.round("_key", 6).alias("key"),
+            F.col("_key").alias("key"),
             "rank",
         )
     )

@@ -51,9 +51,17 @@ from ..operators.similarity import (
     cosine,
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from ..operators.windows import first_per_key, sessionize, with_ctrl
+from ..operators.windows import (
+    first_per_key,
+    session_stats,
+    sessionize,
+    with_ctrl,
+)
+from ..serialize import jsonld_nodes, ntriples_lines, turtle_blocks
+from .bgp import bgp_ask, bgp_construct, bgp_describe, bgp_select
 from ..functions.text import (
     doc_fingerprint,
     lang_id,
@@ -262,6 +270,33 @@ def _toks_sql(col: str) -> str:
 TOKS = _toks_sql("text")
 
 
+def _minhash_sql(
+    src: str,
+    sig: str = "sigs",
+    bucket: str = "buckets",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> str:
+    """The shared MinHash signature + banded-bucket CTE pair over a
+    ``(doc_id, token)`` relation named ``src`` — mirror of
+    operators.dedup minhash_signatures/banding. Factored so the
+    banding format (the ``perm:sig`` join, ``,`` separator, ``band|``
+    prefix) lives in ONE place for all five oracle uses; a format
+    change edited here cannot silently miss one copy."""
+    return f"""
+{sig} AS (
+  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
+  FROM {src}, (SELECT unnest(range({num_perm})) AS perm)
+  GROUP BY doc_id, perm
+),
+{bucket} AS (
+  SELECT doc_id,
+         md5(concat(CAST(perm % {bands} AS VARCHAR), '|',
+             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
+  FROM {sig} GROUP BY doc_id, perm % {bands}
+)"""
+
+
 # =====================================================================
 # query builders + oracles
 # =====================================================================
@@ -271,6 +306,9 @@ ORACLES: Dict[str, str] = {}
 
 
 def _register(name: str, fn: Callable, sql: str | None) -> None:
+    # a duplicate name would silently shadow the earlier entry and drop
+    # a query from the bench + correctness sweeps with no failure
+    assert name not in QUERIES, f"duplicate query registration: {name}"
     QUERIES[name] = fn
     if sql is not None:
         ORACLES[name] = sql
@@ -325,7 +363,7 @@ _register(
 SELECT m.s AS collection, t.o AS title, count(m.o) AS cnt
 FROM triples m
 JOIN triples c ON c.s = m.s AND c.p = '{RDF}type' AND c.o = '{SKOS}Collection'
-JOIN triples t ON t.s = m.s AND t.p = '{DC}title' AND coalesce(t.o_lang,'') = 'en'
+JOIN triples t ON t.s = m.s AND t.p = '{DC}title'
 WHERE m.p = '{SKOS}member'
 GROUP BY m.s, t.o
 """,
@@ -542,9 +580,7 @@ FROM s
 
 _register(
     "session_stats",
-    lambda spark, sf: __import__(
-        "py_sema_spark.operators.windows", fromlist=["session_stats"]
-    ).session_stats(_t(spark, sf, "events"), gap_minutes=30),
+    lambda spark, sf: session_stats(_t(spark, sf, "events"), gap_minutes=30),
     """
 WITH e AS (
   SELECT event_id, user_id, ts,
@@ -642,18 +678,7 @@ _register(
     f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
-),
-sigs AS (
-  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
-  FROM toks, (SELECT unnest(range(16)) AS perm)
-  GROUP BY doc_id, perm
-),
-buckets AS (
-  SELECT doc_id,
-         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
-             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
-  FROM sigs GROUP BY doc_id, perm % 4
-),
+),{_minhash_sql("toks")},
 pairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -680,22 +705,11 @@ _register(
         _tp(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
         tokenizer="shingle", shingle_n=8,
     ).select("a", "b", F.round(F.col("jaccard"), 6).alias("jaccard")),
-    """
+    f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS token
   FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) t(i)
-),
-sigs AS (
-  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
-  FROM toks, (SELECT unnest(range(16)) AS perm)
-  GROUP BY doc_id, perm
-),
-buckets AS (
-  SELECT doc_id,
-         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
-             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
-  FROM sigs GROUP BY doc_id, perm % 4
-),
+),{_minhash_sql("toks")},
 pairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -1340,6 +1354,44 @@ LEFT JOIN th ON s.lang = th.lang AND s.lm_logprob = th.lm_logprob
 )
 
 
+def _hash_edges(spark, sf, weights=None):
+    """The standard two-edge synthetic link graph over ``documents``
+    (doc → doc·31+7 mod n and doc → doc·17+3 mod n) shared by the
+    pagerank / weighted_pagerank / trustrank / label_propagation
+    builders — one construction, mirrored by :func:`_hash_edges_sql`
+    on the oracle side, so changing the graph touches exactly two
+    sites. ``weights=(w31, w17)`` adds a weight column per branch."""
+    docs = _tp(spark, sf, "documents").select("doc_id")
+    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    e = docs.crossJoin(n_df)
+
+    def mk(mult, add, w):
+        cols = [
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("_n")).alias("dst"),
+        ]
+        if w is not None:
+            cols.append(F.lit(w).alias("weight"))
+        return e.select(*cols)
+
+    w31, w17 = weights if weights else (None, None)
+    return mk(31, 7, w31).unionByName(mk(17, 3, w17))
+
+
+def _hash_edges_sql(src="src", dst="dst", weights=None):
+    """Oracle twin of :func:`_hash_edges`: the UNION ALL body (uses
+    an ``nc AS (SELECT count(*) AS n FROM documents)`` CTE in scope).
+    ``weights=(w31, w17)`` appends a ``w`` column per branch."""
+    w31 = f", {weights[0]}::DOUBLE AS w" if weights else ""
+    w17 = f", {weights[1]}::DOUBLE" if weights else ""
+    return f"""
+  SELECT doc_id AS {src}, (doc_id * 31 + 7) % nc.n AS {dst}{w31}
+  FROM documents, nc
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % nc.n{w17} FROM documents, nc
+"""
+
+
 def _pagerank(spark, sf):
     """PageRank over a deterministic synthetic link graph on the
     documents table (each doc links to two arithmetically-derived
@@ -1347,32 +1399,15 @@ def _pagerank(spark, sf):
     5 power iterations as CTE pairs)."""
     from ..operators.graph import pagerank
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
-    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
-    e = docs.crossJoin(n_df)
-    edges = e.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
-    ).unionByName(
-        e.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
-        )
-    )
-    return pagerank(edges, iterations=5).select(
+    return pagerank(_hash_edges(spark, sf), iterations=5).select(
         "node", F.round("rank", 6).alias("rank")
     )
 
 
 def _pagerank_oracle(iterations: int = 5) -> str:
-    head = """
+    head = f"""
 WITH nc AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst
-  FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
-),
+edges AS ({_hash_edges_sql()}),
 nodes AS (SELECT DISTINCT node FROM (
   SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
 nn AS (SELECT count(*) AS n FROM nodes),
@@ -1796,8 +1831,11 @@ dfq AS (SELECT term, count(*) AS df
         FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
 nc AS (SELECT count(*) AS n FROM documents),
 scored AS (
+  -- round BEFORE ranking (as the operator does): log is not required
+  -- to be correctly rounded, so equal-in-math scores from different
+  -- (tf, df) pairs could otherwise order differently per engine
   SELECT tf.doc_id, tf.term,
-         tf.tf * ln(CAST(nc.n AS DOUBLE) / dfq.df) AS score
+         round(tf.tf * ln(CAST(nc.n AS DOUBLE) / dfq.df), 6) AS score
   FROM tf JOIN dfq ON tf.term = dfq.term, nc),
 ranked AS (
   SELECT doc_id, term, score,
@@ -1805,7 +1843,7 @@ ranked AS (
            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT)
            AS rank
   FROM scored)
-SELECT doc_id, term, rank, round(score, 6) AS score
+SELECT doc_id, term, rank, score
 FROM ranked WHERE rank <= 5
 """,
 )
@@ -1931,22 +1969,11 @@ _register(
         _tp(spark, sf, "documents"), threshold=0.7, num_perm=16, bands=4,
         tokenizer="shingle", shingle_n=8,
     ),
-    """
+    f"""
 WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS token
   FROM documents, unnest(range(1, greatest(length(text) - 7, 1) + 1)) t(i)
-),
-sigs AS (
-  SELECT doc_id, perm, min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
-  FROM toks, (SELECT unnest(range(16)) AS perm)
-  GROUP BY doc_id, perm
-),
-buckets AS (
-  SELECT doc_id,
-         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
-             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
-  FROM sigs GROUP BY doc_id, perm % 4
-),
+),{_minhash_sql("toks")},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -2217,9 +2244,7 @@ SELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ranked WHERE rank <= {k}
 
 _register(
     "ivf_cosine_topk",
-    lambda spark, sf: __import__(
-        "py_sema_spark.operators.similarity", fromlist=["ivf_cosine_topk"]
-    ).ivf_cosine_topk(
+    lambda spark, sf: ivf_cosine_topk(
         _tp(spark, sf, "embeddings", 8), _queries_df(spark, sf),
         k=5, n_lists=16, n_probe=8,
     ).select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"), "rank"),
@@ -2503,9 +2528,7 @@ FROM v GROUP BY media_id, n_bytes
 
 _register(
     "ntriples_serialize",
-    lambda spark, sf: __import__(
-        "py_sema_spark.serialize", fromlist=["ntriples_lines"]
-    ).ntriples_lines(kg_triples(spark, sf)),
+    lambda spark, sf: ntriples_lines(kg_triples(spark, sf)),
     KG_SQL
     + r"""
 SELECT concat(
@@ -2531,9 +2554,7 @@ FROM triples
 
 _register(
     "turtle_serialize",
-    lambda spark, sf: __import__(
-        "py_sema_spark.serialize", fromlist=["turtle_blocks"]
-    ).turtle_blocks(kg_triples(spark, sf)),
+    lambda spark, sf: turtle_blocks(kg_triples(spark, sf)),
     KG_SQL
     + r"""
 , objs AS (
@@ -2573,9 +2594,7 @@ FROM per_sp GROUP BY s
 
 _register(
     "jsonld_serialize",
-    lambda spark, sf: __import__(
-        "py_sema_spark.serialize", fromlist=["jsonld_nodes"]
-    ).jsonld_nodes(kg_triples(spark, sf)),
+    lambda spark, sf: jsonld_nodes(kg_triples(spark, sf)),
     KG_SQL
     + r"""
 , vals AS (
@@ -2639,9 +2658,7 @@ FROM orders
 
 _register(
     "sparql_bgp",
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
-    ).bgp_select(
+    lambda spark, sf: bgp_select(
         kg_triples(spark, sf),
         "SELECT DISTINCT ?c ?n ?r WHERE { "
         "?c skos:broader ?n . ?n skos:broader ?r . ?r skos:broader ?w . }",
@@ -2659,9 +2676,7 @@ WHERE a.p = '{SKOS}broader'
 
 _register(
     "sparql_optional_filter",
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
-    ).bgp_select(
+    lambda spark, sf: bgp_select(
         kg_triples(spark, sf),
         '''SELECT DISTINCT ?c ?pl ?alt WHERE {
              ?c skos:broader ?n .
@@ -2765,9 +2780,7 @@ _register(
     # named-graph blocks over a quads view (g = per-entity-kind graph,
     # the GraphNameMapper partitioning, F10): graph var binding +
     # same-graph join + aggregate
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_select"]
-    ).bgp_select(
+    lambda spark, sf: bgp_select(
         kg_triples(spark, sf).withColumn(
             "g",
             F.concat(
@@ -2812,9 +2825,7 @@ WHERE t.p = '{RDF}type' AND t.o = '{SKOS}Concept'
 
 _register(
     "sparql_construct",
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_construct"]
-    ).bgp_construct(
+    lambda spark, sf: bgp_construct(
         kg_triples(spark, sf),
         "CONSTRUCT { ?c <urn:ex:code> ?i . ?c a <urn:ex:Identified> } "
         "WHERE { ?c dc:identifier ?i . ?c skos:broader ?n . }",
@@ -2842,9 +2853,7 @@ SELECT DISTINCT * FROM (
 
 _register(
     "sparql_describe",
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_describe"]
-    ).bgp_describe(
+    lambda spark, sf: bgp_describe(
         kg_triples(spark, sf),
         "DESCRIBE ?r WHERE { ?r skos:member ?m . ?m a skos:Concept . }",
         {"skos": SKOS},
@@ -2865,9 +2874,7 @@ WHERE t.s IN (
 
 _register(
     "sparql_ask",
-    lambda spark, sf: __import__(
-        "py_sema_spark.queries.bgp", fromlist=["bgp_ask"]
-    ).bgp_ask(
+    lambda spark, sf: bgp_ask(
         kg_triples(spark, sf),
         'ASK WHERE { ?c skos:prefLabel ?l . FILTER(lang(?l) = "en") }',
         {"skos": SKOS},
@@ -3193,36 +3200,28 @@ def _trustrank(spark, sf):
     unrolls the same recurrence."""
     from ..operators.graph import trustrank
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
-    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
-    e = docs.crossJoin(n_df)
-    edges = e.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
-    ).unionByName(
-        e.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
-        )
+    seeds = (
+        _tp(spark, sf, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 100 == 0)
     )
-    seeds = docs.where(F.col("doc_id") % 100 == 0)
-    return trustrank(edges, seeds, iterations=5).select(
+    return trustrank(_hash_edges(spark, sf), seeds, iterations=5).select(
         "node", F.round("rank", 6).alias("trust")
     )
 
 
 def _trustrank_oracle(iterations: int = 5) -> str:
-    head = """
+    head = f"""
 WITH nc AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst
-  FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
-),
+edges AS ({_hash_edges_sql()}),
 nodes AS (SELECT DISTINCT node FROM (
   SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+-- seeds come from the documents table (as the builder draws them),
+-- semi-joined to the node set exactly as operators.graph.trustrank
+-- does — NOT from nodes, which only coincides while doc_ids are dense
+seeds AS (SELECT DISTINCT doc_id AS node FROM documents
+          WHERE doc_id % 100 = 0
+            AND doc_id IN (SELECT node FROM nodes)),
 sc AS (SELECT count(*) AS s FROM seeds),
 jump AS (
   SELECT nodes.node,
@@ -3577,24 +3576,7 @@ WITH newtoks AS (
 oldtoks AS (
   SELECT DISTINCT doc_id, unnest({TOKS}) AS token FROM documents
   WHERE doc_id % 4 <> 0),
-nsigs AS (
-  SELECT doc_id, perm,
-         min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
-  FROM newtoks, (SELECT unnest(range(16)) AS perm) GROUP BY doc_id, perm),
-osigs AS (
-  SELECT doc_id, perm,
-         min(md5(concat(CAST(perm AS VARCHAR), '|', token))) AS sig
-  FROM oldtoks, (SELECT unnest(range(16)) AS perm) GROUP BY doc_id, perm),
-nb AS (
-  SELECT doc_id,
-         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
-             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
-  FROM nsigs GROUP BY doc_id, perm % 4),
-ob AS (
-  SELECT doc_id,
-         md5(concat(CAST(perm % 4 AS VARCHAR), '|',
-             array_to_string(list_sort(list(concat(CAST(perm AS VARCHAR), ':', sig))), ','))) AS bucket
-  FROM osigs GROUP BY doc_id, perm % 4),
+{_minhash_sql("newtoks", sig="nsigs", bucket="nb")},{_minhash_sql("oldtoks", sig="osigs", bucket="ob")},
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
   FROM nb n JOIN ob o ON n.bucket = o.bucket),
@@ -4161,34 +4143,16 @@ def _weighted_pagerank(spark, sf):
     unrolls the same weighted recurrence."""
     from ..operators.graph import weighted_pagerank
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
-    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
-    e = docs.crossJoin(n_df)
-    edges = e.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
-        F.lit(2.0).alias("weight"),
-    ).unionByName(
-        e.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
-    )
+    edges = _hash_edges(spark, sf, weights=(2.0, 1.0))
     return weighted_pagerank(edges, iterations=5).select(
         "node", F.round("rank", 6).alias("rank")
     )
 
 
 def _weighted_pagerank_oracle(iterations: int = 5) -> str:
-    head = """
+    head = f"""
 WITH nc AS (SELECT count(*) AS n FROM documents),
-raw AS (
-  SELECT doc_id AS src, (doc_id * 31 + 7) % nc.n AS dst, 2.0::DOUBLE AS w
-  FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id * 17 + 3) % nc.n, 1.0::DOUBLE FROM documents, nc
-),
+raw AS ({_hash_edges_sql(weights=(2.0, 1.0))}),
 edges AS (SELECT src, dst, sum(w) AS w FROM raw GROUP BY src, dst),
 nodes AS (SELECT DISTINCT node FROM (
   SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
@@ -4399,29 +4363,13 @@ def _label_propagation(spark, sf):
     operator); oracle unrolls the identical sweeps."""
     from ..operators.graph import label_propagation
 
-    docs = _tp(spark, sf, "documents").select("doc_id")
-    n_df = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
-    e = docs.crossJoin(n_df)
-    edges = e.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * 31 + 7) % F.col("_n")).alias("dst"),
-    ).unionByName(
-        e.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * 17 + 3) % F.col("_n")).alias("dst"),
-        )
-    )
-    return label_propagation(edges, iterations=4)
+    return label_propagation(_hash_edges(spark, sf), iterations=4)
 
 
 def _label_propagation_oracle(iterations: int = 4) -> str:
-    head = """
+    head = f"""
 WITH nc AS (SELECT count(*) AS n FROM documents),
-raw AS (
-  SELECT doc_id AS s, (doc_id * 31 + 7) % nc.n AS d FROM documents, nc
-  UNION ALL
-  SELECT doc_id, (doc_id * 17 + 3) % nc.n FROM documents, nc
-),
+raw AS ({_hash_edges_sql(src="s", dst="d")}),
 und AS (SELECT DISTINCT s, d FROM (
   SELECT s, d FROM raw WHERE s <> d
   UNION ALL SELECT d, s FROM raw WHERE s <> d)),
@@ -5027,10 +4975,13 @@ _register(
     _weighted_sample,
     """
 WITH base AS (
+  -- key rounded BEFORE ranking, as the operator does: libm log can
+  -- differ by 1 ulp across engines, flipping near-equal key order
   SELECT lang, doc_id, length(text) AS w,
-         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-             + 1)::DOUBLE / 4503599627370496::DOUBLE)
-           / length(text) AS k
+         round(
+           ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               + 1)::DOUBLE / 4503599627370496::DOUBLE)
+             / length(text), 6) AS k
   FROM documents
   WHERE length(text) > 0
 ),
@@ -5040,7 +4991,7 @@ r AS (
   FROM base
 )
 SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
-       round(k, 6) AS key, CAST(rank AS BIGINT) AS rank
+       k AS key, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 20
 """,
 )
