@@ -36,14 +36,17 @@ def cmd_extract(args) -> int:
     from .serialize import write_ntriples
 
     corpus = spark.read.parquet(args.corpus)
+    # persist: the write and the summary count below would otherwise
+    # each run the full HTML-parse pipeline once
     trips = dedup_triples(
         skolemize(triples_of(extract_structured(corpus))), keys=["s", "p", "o"]
-    )
+    ).persist()
     if args.format == "nt":
         write_ntriples(trips, args.out)
     else:
         trips.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"triples": trips.count(), "out": args.out}))
+    trips.unpersist()
     return 0
 
 
@@ -83,9 +86,11 @@ def cmd_harvest(args) -> int:
         cfg = HarvestConfig.from_yaml(f.read(), name=args.name)
     corpus = spark.read.parquet(args.corpus).persist()
     store, report = Harvester(spark, corpus).run(cfg)
+    store = store.persist()  # written AND counted — one execution
     store.write.mode("overwrite").parquet(args.out)
     report.write.mode("overwrite").parquet(args.out.rstrip("/") + "_report")
     print(json.dumps({"triples": store.count(), "out": args.out}))
+    store.unpersist()
     return 0
 
 
@@ -130,7 +135,19 @@ def cmd_query(args) -> int:
 
         variables = dict(kv.split("=", 1) for kv in (args.var or []))
         with open(args.template) as f:
-            sparql = SparqlBuilder().build_from_string(f.read(), **variables)
+            source = f.read()
+        builder = SparqlBuilder()
+        missing = builder.variables_in_string(source) - set(variables)
+        if missing:
+            # Jinja's lenient default would render missing vars as ''
+            # and hand a malformed query to the parser
+            print(
+                "missing template variables (pass --var K=V): "
+                + ", ".join(sorted(missing)),
+                file=sys.stderr,
+            )
+            return 2
+        sparql = builder.build_from_string(source, **variables)
     out = sparql_query(triples, sparql)
     if args.out:
         write_csv(out, args.out, sep="\t" if args.tsv else ",")
@@ -177,7 +194,9 @@ def cmd_rocreate(args) -> int:
     env = dict(kv.split("=", 1) for kv in (args.env or []))
     with open(args.blueprint) as f:
         text = f.read()
-    df = ro_creator_triples(spark, text, env=env, crate_root=args.crate)
+    df = ro_creator_triples(
+        spark, text, env=env, crate_root=args.crate
+    ).persist()  # serialized AND counted — one execution
     out = args.out or os.path.join(args.crate, "ro-crate-metadata.json")
     if os.path.exists(out) and not args.force:
         print(json.dumps({"error": "exists", "path": out}))
@@ -288,8 +307,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = top.parse_args(argv)
-    if args.logconf:
-        load_log_config(args.logconf)
+    # unconditional, as the reference CLI does: load_log_config(None)
+    # applies the packaged debug_logconf.yml fallback
+    load_log_config(args.logconf)
     return args.fn(args)
 
 

@@ -51,10 +51,10 @@ def lang_id(text_col: Column) -> Column:
 
 
 def token_count_ws(text_col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(
-        F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
-    )
+    """Whitespace token count (same word expression as
+    :func:`_ws_words`, so this count can never diverge from
+    ``gopher_metrics``' ``n_words``)."""
+    return F.size(_ws_words(text_col))
 
 
 def token_count_bpe_ish(text_col: Column) -> Column:
@@ -111,8 +111,10 @@ def gopher_metrics(text_col: Column) -> dict:
     n_words = F.size(words)
     denom = F.greatest(n_words, F.lit(1))
     mean_word_len = F.length(F.concat_ws("", words)) / denom
+    # \p{L}, not [A-Za-z]: the rest of the module is Unicode-aware and
+    # an ASCII-only test would fail every non-Latin-script document
     frac_alpha = (
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / denom
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))) / denom
     )
     lines = F.filter(
         F.transform(F.split(text_col, "\n"), F.trim), lambda l: l != ""
@@ -166,20 +168,28 @@ def gopher_pass(
 # java.util.regex syntax only (no lookaround, no possessives). Applied
 # in order — emails before phones so the local-part digits can't be
 # phone-matched; IPs before phones so dotted quads survive intact.
+# The phone pattern's \b after the optional '+' blocks matches that
+# start mid-digit-run ('98765-123-456-7890' must not yield a phone).
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("phone", r"\+?\b[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
 ]
 
 
 def pii_counts(text_col: Column) -> dict:
     """Per-kind PII match counts (email / dotted-quad IP / dashed
-    international phone)."""
-    return {
-        kind: F.regexp_count(text_col, F.lit(pat)).alias(f"n_{kind}")
-        for kind, pat, _ in PII_PATTERNS
-    }
+    international phone), counted **sequentially on the progressively
+    redacted text** — pattern *k* counts what :func:`pii_redact` would
+    actually replace at step *k*, so counts and redactions agree even
+    when a later pattern could also match inside an earlier kind's
+    span (a phone-like run inside an e-mail local part)."""
+    out = {}
+    cur = text_col
+    for kind, pat, repl in PII_PATTERNS:
+        out[kind] = F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}")
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
 
 
 def pii_redact(text_col: Column) -> Column:

@@ -912,7 +912,7 @@ m AS (
   SELECT doc_id,
     len(words) AS n_words,
     length(array_to_string(words, '')) / greatest(len(words), 1) AS mean_word_len,
-    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+    len(list_filter(words, x -> regexp_matches(x, '\p{L}')))
       / greatest(len(words), 1) AS frac_alpha_words,
     CASE WHEN len(lines) > 0
          THEN 1.0 - len(list_distinct(lines)) / len(lines)
@@ -967,9 +967,12 @@ def _pii_scrub(spark, sf):
 def _pii_sql() -> str:
     from ..functions.text import PII_PATTERNS
 
-    pats = {k: p for k, p, _ in PII_PATTERNS}
-    red = "t"
+    # counts mirror pii_counts: pattern k is counted on the text
+    # already redacted by patterns < k, so counts match what the
+    # redaction chain actually replaces
+    counts, red = {}, "t"
     for k, p, r in PII_PATTERNS:
+        counts[k] = f"CAST(len(regexp_extract_all({red}, '{p}')) AS INT)"
         red = f"regexp_replace({red}, '{p}', '{r}', 'g')"
     return f"""
 WITH inj AS (
@@ -980,9 +983,9 @@ WITH inj AS (
   FROM documents
 )
 SELECT doc_id,
-  CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS INT) AS n_email,
-  CAST(len(regexp_extract_all(t, '{pats["ip"]}')) AS INT) AS n_ip,
-  CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS INT) AS n_phone,
+  {counts["email"]} AS n_email,
+  {counts["ip"]} AS n_ip,
+  {counts["phone"]} AS n_phone,
   md5({red}) AS redacted_md5
 FROM inj
 """

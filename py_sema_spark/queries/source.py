@@ -73,19 +73,38 @@ class GraphSource(ABC):
 
     @staticmethod
     def build(
-        *sources: str,
+        *sources,
         spark: Optional[SparkSession] = None,
         prefixes: Optional[Dict[str, str]] = None,
     ) -> "GraphSource":
+        if not sources:
+            raise ValueError("GraphSource.build needs at least one source")
+        # type dispatch like the reference's build (query.py:231-269):
+        # triples DataFrames → DataFrameGraphSource (MemoryGraphSource
+        # analog), strings → file parse; anything else fails HERE with
+        # a clear message instead of deep inside glob
+        if all(isinstance(src, DataFrame) for src in sources):
+            triples = sources[0]
+            for d in sources[1:]:
+                triples = triples.unionByName(
+                    d, allowMissingColumns=True
+                )
+            if len(sources) > 1:
+                triples = triples.dropDuplicates()
+            return DataFrameGraphSource(triples, prefixes=prefixes)
         for src in sources:
-            if isinstance(src, str) and src.startswith(("http://", "https://")):
+            if not isinstance(src, str):
+                raise TypeError(
+                    "GraphSource.build sources must be all file paths "
+                    "or all triples DataFrames; got "
+                    f"{type(src).__name__}"
+                )
+            if src.startswith(("http://", "https://")):
                 raise NotImplementedError(
                     "live SPARQL endpoints are out of scope by the "
                     "corpus-scan design (SURVEY.md §1.7); load a dump "
                     "file instead"
                 )
-        if not sources:
-            raise ValueError("GraphSource.build needs at least one source")
         return FileGraphSource(*sources, spark=spark, prefixes=prefixes)
 
 

@@ -44,6 +44,16 @@ class SparqlBuilder:
     def build_from_string(self, template_source: str, **variables) -> str:
         return self.env.from_string(template_source).render(**variables)
 
+    def variables_in_string(self, template_source: str) -> Set[str]:
+        """Undeclared variables of an inline template — the
+        :meth:`variables_in_template` introspection for sources that
+        never went through a loader."""
+        from jinja2 import meta
+
+        return meta.find_undeclared_variables(
+            self.env.parse(template_source)
+        )
+
 
 def templated_bgp_select(
     triples: DataFrame,
@@ -52,10 +62,23 @@ def templated_bgp_select(
     prefixes: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Render a SPARQL template and execute its BGP against a triples
-    DataFrame — the end-to-end `sema-query` shape for the subset."""
+    DataFrame — the end-to-end `sema-query` shape for the subset.
+
+    Missing template variables are rejected up front (Jinja's lenient
+    default would render them as empty strings, yielding ``<>`` IRIs
+    and an opaque parse error — or worse, a silently wrong query)."""
     from .bgp import bgp_select
 
-    sparql = SparqlBuilder().build_from_string(
+    builder = SparqlBuilder()
+    missing = builder.variables_in_string(template_source) - set(
+        variables or {}
+    )
+    if missing:
+        raise ValueError(
+            "templated_bgp_select: template variables not supplied: "
+            + ", ".join(sorted(missing))
+        )
+    sparql = builder.build_from_string(
         template_source, **(variables or {})
     )
     return bgp_select(triples, sparql, prefixes)

@@ -65,9 +65,13 @@ class TraceEvent:
     """One recorded call: name, return value, arguments
     (reference model.py:77-88)."""
 
-    def __init__(self, name: str, returns: Any = None, *args, **kwargs):
-        self.name = name
-        self.returns = returns
+    # underscore-prefixed params (as the reference uses) so a traced
+    # method's own kwargs named "name"/"returns" can't collide with them
+    def __init__(
+        self, _trace_name: str, _trace_return: Any = None, *args, **kwargs
+    ):
+        self.name = _trace_name
+        self.returns = _trace_return
         self.listargs = args
         self.dictargs = kwargs
 

@@ -150,6 +150,35 @@ class TestGraphSource:
             {"g": "urn:g:2", "o": "2"},
         ]
 
+    def test_build_dispatches_dataframes(self, spark):
+        # build() type-dispatches like the reference: a triples
+        # DataFrame routes to DataFrameGraphSource (MemoryGraphSource
+        # analog) instead of falling into the file-glob path
+        rows = [
+            ("urn:x", EX + "label", "Ix", "literal", None, None),
+            ("urn:y", EX + "label", "Yps", "literal", None, None),
+        ]
+        schema = (
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string"
+        )
+        t1 = spark.createDataFrame(rows[:1], schema)
+        t2 = spark.createDataFrame(rows, schema)  # overlaps t1
+        src = GraphSource.build(t1, t2, prefixes={"ex": EX})
+        assert isinstance(src, DataFrameGraphSource)
+        res = src.query("SELECT ?s ?o WHERE { ?s ex:label ?o . }")
+        # union of the two frames, duplicates collapsed
+        assert sorted(r["s"] for r in res.to_list()) == ["urn:x", "urn:y"]
+
+    def test_build_rejects_unsupported_source_types(self, spark, dumps):
+        with pytest.raises(TypeError, match="int"):
+            GraphSource.build(42)
+        with pytest.raises(TypeError):
+            GraphSource.build(
+                os.path.join(dumps, "a.ttl"),
+                spark.createDataFrame([("s", "p")], "s string, p string"),
+            )
+
 
 def test_store_update(spark, tmp_path):
     from py_sema_spark.store import ParquetTripleStore

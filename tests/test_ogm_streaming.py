@@ -208,6 +208,19 @@ class TestTemplatedSparql:
         rows = [r["n"] for r in out.collect()]
         assert len(rows) == 1 and rows[0].startswith("urn:nation:")
 
+    def test_missing_variable_rejected(self, spark):
+        # Jinja's lenient default would render a missing variable as
+        # '' and hand "<urn:cust:>" to the parser; the builder must
+        # fail up front with the variable's name instead
+        from py_sema_spark.queries.benchqueries import kg_triples
+        from py_sema_spark.queries.templated import templated_bgp_select
+
+        with pytest.raises(ValueError, match="custkey"):
+            templated_bgp_select(
+                kg_triples(spark, "/root/testdata/sf0.001"),
+                "SELECT ?n WHERE { <urn:cust:{{ custkey }}> ?p ?n . }",
+            )
+
     def test_variable_introspection(self, tmp_path):
         from py_sema_spark.queries.templated import SparqlBuilder
 

@@ -85,6 +85,41 @@ def test_pii_redact_and_counts(spark):
     assert "+1-202-555-0176" not in red and "31-020-555-1234" not in red
 
 
+def test_frac_alpha_is_unicode_aware(spark):
+    # \p{L}, not [A-Za-z]: a clean Greek document must not be dropped
+    # by the alpha-word gate
+    m = _metrics(spark, "Καλημέρα κόσμε από την Ελλάδα σήμερα πάλι εδώ")
+    assert m["frac_alpha_words"] == 1.0
+
+
+def test_pii_counts_agree_with_redaction_on_overlap(spark):
+    # a phone-like run inside an e-mail local part is ONE e-mail and
+    # ZERO phones — counts follow the sequential redaction chain
+    text = "write bob.1-555-123-4567@mail.com today"
+    df = spark.createDataFrame([(text,)], "text string")
+    c = pii_counts(F.col("text"))
+    row = df.select(
+        pii_redact(F.col("text")), c["email"], c["phone"]
+    ).first()
+    assert row["n_email"] == 1 and row["n_phone"] == 0
+    assert row["redacted"] == "write <EMAIL> today"
+
+
+def test_phone_never_matches_mid_digit_run(spark):
+    # \b after the optional '+' — the tail of a longer digit run must
+    # not be partially redacted, while a real phone still is
+    df = spark.createDataFrame(
+        [("ref 98765-123-456-7890 code", "call +1-555-123-4567 now")],
+        "a string, b string",
+    )
+    row = df.select(
+        pii_redact(F.col("a")).alias("a"),
+        pii_redact(F.col("b")).alias("b"),
+    ).first()
+    assert row["a"] == "ref 98765-123-456-7890 code"
+    assert row["b"] == "call <PHONE> now"
+
+
 def test_pii_order_ip_before_phone(spark):
     # a dotted quad must become <IP>, not be nibbled by the phone rule
     df = spark.createDataFrame([("host 10.1.2.3 up",)], "text string")

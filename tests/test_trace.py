@@ -94,6 +94,25 @@ class TestEventCapture:
         assert e.name == "step" and e.returns == "did-a"
         assert e.listargs == ("a",) and e.dictargs == {"depth": 1}
 
+    def test_kwargs_named_name_and_returns_survive(self):
+        # TraceEvent's own init params are underscore-prefixed (as the
+        # reference's Trace.Event) so a traced method called with
+        # kwargs literally named "name"/"returns" can't collide
+        class S(_Svc):
+            @trace_init(mode=TraceMode.REFRESH)
+            def process(self):
+                return self.configure(name="x", returns=3)
+
+            @traced()
+            def configure(self, **kw):
+                return "ok"
+
+        s = S()
+        assert s.process() == "ok"
+        e = Trace.extract(s).events[0]["event"]
+        assert e.name == "configure" and e.returns == "ok"
+        assert e.dictargs == {"name": "x", "returns": 3}
+
     def test_untraced_object_runs_clean(self):
         class Bare:
             @traced()
