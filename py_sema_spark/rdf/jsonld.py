@@ -155,6 +155,21 @@ def _maybe_load_env_dir() -> None:
             pass  # missing dir on a node: degrade, don't crash the stage
 
 
+def _flatten_set_items(vals: List[Any]) -> List[Any]:
+    """Splice ``{"@set": […]}`` wrappers (recursively) into the value
+    list — @set is a transparent array wrapper (JSON-LD §4.6.1)."""
+    flat: List[Any] = []
+    for v in vals:
+        if isinstance(v, dict) and "@set" in v and "@list" not in v:
+            items = v["@set"]
+            flat.extend(
+                _flatten_set_items(items if isinstance(items, list) else [items])
+            )
+        else:
+            flat.append(v)
+    return flat
+
+
 class _Ctx:
     __slots__ = ("prefixes", "terms", "vocab", "base", "lang")
 
@@ -211,12 +226,50 @@ class _JsonLdToRdf:
             ctx.vocab = context["@vocab"]
         if "@language" in context:
             ctx.lang = context["@language"]
-        # two passes so prefix definitions are visible to term defs
+        # String term defs may themselves be compact IRIs or
+        # vocab-relative terms ({"schema": "http://schema.org/",
+        # "name": "schema:name"}) — IRI-expand them (JSON-LD create-
+        # term-definition expands a string def's @id with vocab=true),
+        # order-independently and with cycle detection.  A defined
+        # prefix shadows scheme-likeness (same precedence _expand_iri
+        # uses), so a cyclic pair like {"a": "b:x", "b": "a:y"} stays
+        # unresolved (and its keys drop later) instead of compounding.
+        inherited = dict(ctx.prefixes)
+        raw: Dict[str, str] = {}
         for k, v in context.items():
-            if k.startswith("@"):
-                continue
-            if isinstance(v, str):
-                ctx.prefixes[k] = v
+            if not k.startswith("@") and isinstance(v, str):
+                raw[k] = v
+
+        def resolve_term(k: str, seen: frozenset) -> Optional[str]:
+            if k in seen:
+                return None
+            v = raw.get(k)
+            if v is None:
+                pv = inherited.get(k)
+                return pv if pv and _ABS_IRI_RE.match(pv) else None
+            return resolve_value(v, seen | {k})
+
+        def resolve_value(v: str, seen: frozenset) -> Optional[str]:
+            if v in _KEYWORDS or v.startswith("@"):
+                return None
+            if v in raw or v in inherited:  # term-to-term alias
+                r = resolve_term(v, seen)
+                if r:
+                    return r
+            if ":" in v:
+                pfx, _, local = v.partition(":")
+                if not local.startswith("//") and (
+                    pfx in raw or pfx in inherited
+                ):
+                    b = resolve_term(pfx, seen)
+                    return b + local if b else None
+                return v if _ABS_IRI_RE.match(v) else None
+            if ctx.vocab:
+                return ctx.vocab + v
+            return None
+
+        for k, v in raw.items():
+            ctx.prefixes[k] = resolve_term(k, frozenset()) or v
         for k, v in context.items():
             if k.startswith("@") or not isinstance(v, dict):
                 continue
@@ -285,7 +338,6 @@ class _JsonLdToRdf:
         if "@value" in node:
             return None  # bare value object at top level: nothing to emit
         subj = self._node_subject(ctx, node)
-        emitted = False
         for key, value in node.items():
             if key in ("@context", "@id", "@graph"):
                 continue
@@ -300,7 +352,6 @@ class _JsonLdToRdf:
                                 iri(self._expand_iri(ctx, t, vocab=True)),
                             )
                         )
-                        emitted = True
                 continue
             if key == "@reverse":
                 # JSON-LD §4.8: {"@reverse": {p: nodes}} asserts
@@ -310,7 +361,9 @@ class _JsonLdToRdf:
                         r_iri = self._expand_iri(ctx, rkey, vocab=True)
                         if not _ABS_IRI_RE.match(r_iri):
                             continue
-                        rvals = rval if isinstance(rval, list) else [rval]
+                        rvals = _flatten_set_items(
+                            rval if isinstance(rval, list) else [rval]
+                        )
                         for rv in rvals:
                             robj = self._to_object(
                                 ctx, self._term_def(ctx, rkey), rv
@@ -321,7 +374,6 @@ class _JsonLdToRdf:
                                 self.triples.append(
                                     Triple(robj, iri(r_iri), subj)
                                 )
-                                emitted = True
                 continue
             if key.startswith("@"):
                 continue
@@ -333,12 +385,16 @@ class _JsonLdToRdf:
                 rev_iri = self._expand_iri(
                     ctx, tdef["@reverse"], vocab=True
                 )
-                rvals = value if isinstance(value, list) else [value]
+                rvals = _flatten_set_items(
+                    value if isinstance(value, list) else [value]
+                )
+                # the term's own @type/@language coercions apply to the
+                # reversed values (tdef, not {}): {"@reverse": p,
+                # "@type": "@id"} must coerce string values to IRIs
                 for rv in rvals:
-                    robj = self._to_object(ctx, {}, rv)
+                    robj = self._to_object(ctx, tdef, rv)
                     if robj is not None and robj.kind in ("iri", "bnode"):
                         self.triples.append(Triple(robj, iri(rev_iri), subj))
-                        emitted = True
                 continue
             pred_iri = self._expand_iri(ctx, key, vocab=True)
             if not _ABS_IRI_RE.match(pred_iri):
@@ -355,7 +411,6 @@ class _JsonLdToRdf:
                                     literal(one, lang=tag),
                                 )
                             )
-                            emitted = True
                 continue
             if isinstance(value, dict) and container in ("@index", "@id"):
                 # index map (§4.6.2): the map key is non-semantic
@@ -378,18 +433,11 @@ class _JsonLdToRdf:
             # @set is plain array semantics (JSON-LD §4.6.1): splice its
             # items into the value list — one triple per item, not just
             # the first
-            flat: List[Any] = []
-            for v in vals:
-                if isinstance(v, dict) and "@set" in v and "@list" not in v:
-                    items = v["@set"]
-                    flat.extend(items if isinstance(items, list) else [items])
-                else:
-                    flat.append(v)
+            flat = _flatten_set_items(vals)
             for v in flat:
                 obj = self._to_object(ctx, tdef, v)
                 if obj is not None:
                     self.triples.append(Triple(subj, iri(pred_iri), obj))
-                    emitted = True
         return subj
 
     def _to_object(self, ctx: _Ctx, tdef: dict, v: Any) -> Optional[Term]:
@@ -400,6 +448,9 @@ class _JsonLdToRdf:
                 items = v["@list"]
                 if not isinstance(items, list):
                     items = [items]
+                # @set is transparent even inside a list (§4.6.1):
+                # {"@list": [{"@set": [1, 2]}, 3]} is the list (1 2 3)
+                items = _flatten_set_items(items)
                 objs = [self._to_object(ctx, tdef, it) for it in items]
                 objs = [o for o in objs if o is not None]
                 return build_rdf_list(objs, self._fresh_bnode, self.triples)
@@ -418,10 +469,14 @@ class _JsonLdToRdf:
                     return literal(lex, lang=lang)
                 return literal(lex, datatype=natural_dt)
             if "@set" in v:
-                items = v["@set"]
-                if isinstance(items, list) and items:
-                    return self._to_object(ctx, tdef, items[0])
-                return self._to_object(ctx, tdef, items)
+                # call sites splice multi-item sets before conversion;
+                # a @set reaching here is the residual 0/1-item case
+                items = _flatten_set_items(
+                    v["@set"] if isinstance(v["@set"], list) else [v["@set"]]
+                )
+                if not items:
+                    return None
+                return self._to_object(ctx, tdef, items[0])
             # nested node object
             sub = self._process_node(ctx, v)
             return sub

@@ -668,3 +668,75 @@ class TestJsonLdContainerMaps:
             ("http://e/x", "http://e/kid", "http://e/k1"),
             ("http://e/k1", "http://e/name", "A"),
         }
+
+
+class TestJsonLdReviewFindings:
+    """Round-3 review findings: compact-IRI string term defs, @reverse
+    @type coercion, @set transparency inside @list."""
+
+    def test_string_term_def_compact_iri_expands(self):
+        ts = parse_jsonld(
+            '{"@context": {"schema": "http://schema.org/",'
+            ' "name": "schema:name"},'
+            '"@id": "http://e/s", "name": "x"}'
+        )
+        assert [(t.p.value, t.o.value) for t in ts] == [
+            ("http://schema.org/name", "x")
+        ]
+
+    def test_string_term_def_compact_iri_order_independent(self):
+        # def appears before the prefix it uses — fixed-point pass
+        ts = parse_jsonld(
+            '{"@context": {"name": "schema:name",'
+            ' "schema": "http://schema.org/"},'
+            '"@id": "http://e/s", "name": "x"}'
+        )
+        assert ts[0].p.value == "http://schema.org/name"
+
+    def test_string_term_def_vocab_relative(self):
+        ts = parse_jsonld(
+            '{"@context": {"@vocab": "http://v/", "name": "label"},'
+            '"@id": "http://e/s", "name": "x"}'
+        )
+        assert ts[0].p.value == "http://v/label"
+
+    def test_string_term_def_cycle_degrades_to_raw(self):
+        # cyclic IRI mappings are a spec error; the corpus parser
+        # degrades to the raw compact form instead of compounding the
+        # cycle or crashing the row (scheme-like, so still emitted —
+        # same shape any scheme-like key gets without a context)
+        ts = parse_jsonld(
+            '{"@context": {"a": "b:x", "b": "a:y"},'
+            '"@id": "http://e/s", "a": "v", "http://e/p": "w"}'
+        )
+        assert sorted((t.p.value, t.o.value) for t in ts) == [
+            ("b:x", "v"), ("http://e/p", "w")
+        ]
+
+    def test_context_reverse_term_with_id_coercion(self):
+        ts = parse_jsonld(
+            '{"@context": {"authored": {"@reverse": "http://e/author",'
+            ' "@type": "@id"}},'
+            '"@id": "http://e/me", "authored": "http://e/book1"}'
+        )
+        assert [(t.s.value, t.p.value, t.o.value) for t in ts] == [
+            ("http://e/book1", "http://e/author", "http://e/me")
+        ]
+
+    def test_set_inside_list_splices(self):
+        ts = parse_jsonld(
+            '{"@id": "http://e/s", "http://e/p":'
+            ' {"@list": [{"@set": [1, 2]}, 3]}}'
+        )
+        firsts = sorted(
+            t.o.value for t in ts
+            if t.p.value.endswith("22-rdf-syntax-ns#first")
+        )
+        assert firsts == ["1", "2", "3"]
+
+    def test_nested_set_splices_recursively(self):
+        ts = parse_jsonld(
+            '{"@id": "http://e/s", "http://e/p":'
+            ' {"@set": [{"@set": [1, 2]}, 3]}}'
+        )
+        assert sorted(t.o.value for t in ts) == ["1", "2", "3"]
