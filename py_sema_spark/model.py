@@ -258,10 +258,24 @@ class GraphNameMapper:
 
     def key_to_ng_col(self, key_col: Column) -> Column:
         """Column form. `quote` safe-set is letters/digits/_.-~/ — Spark
-        has no url_encode builtin, so encode the common case (keys are
-        config names / relative paths: already safe chars) and assert
-        at driver time otherwise."""
-        return F.concat(F.lit(self.base), key_col)
+        has no urllib-compatible percent-encoder, so the common case
+        (keys are config names / relative paths: already safe chars)
+        passes through and anything needing encoding fails the job
+        loudly instead of silently diverging from key_to_ng()."""
+        return F.concat(
+            F.lit(self.base),
+            F.when(key_col.rlike(r"^[A-Za-z0-9_.~/-]*$"), key_col).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "named-graph key needs percent-encoding; "
+                            "use key_to_ng() driver-side: "
+                        ),
+                        key_col,
+                    )
+                )
+            ),
+        )
 
 
 class GraphRegistry:
@@ -286,10 +300,18 @@ class GraphRegistry:
         self.path = path
 
     def load(self) -> DataFrame:
+        # Only a missing path means "empty registry". Any other read
+        # failure (corrupt part-file, permissions) must propagate:
+        # swallowing it would make the next touch() overwrite the
+        # registry with only the newly-touched rows, silently wiping
+        # every other graph's lastmod.
         try:
             return self.spark.read.schema(self.SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], self.SCHEMA)
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return self.spark.createDataFrame([], self.SCHEMA)
+            raise
 
     def touch(self, graphs: list[str]) -> None:
         import datetime as _dt

@@ -72,9 +72,11 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
 
 def write_ntriples(triples: DataFrame, path: str) -> None:
     """Deterministic N-Triples dump: global (s,p,o) order via range
-    partitioning — part files concatenate in order."""
+    partitioning — part files concatenate in order. kind/datatype/lang
+    break (s,p,o)-value ties ("x"@en vs "x"@fr) so the byte order is
+    total, not run-dependent."""
     (
-        triples.orderBy("s", "p", "o")
+        triples.orderBy("s", "p", "o", "o_kind", "o_datatype", "o_lang")
         .select(ntriples_line_col().alias("value"))
         .write.mode("overwrite")
         .text(path)
@@ -226,9 +228,7 @@ def jsonld_nodes(triples: DataFrame) -> DataFrame:
             ).alias("entry")
         )
     )
-    sid = F.concat(
-        F.lit('{"@id":'), jstr(F.col("s")), F.lit("")
-    )
+    sid = F.concat(F.lit('{"@id":'), jstr(F.col("s")))
     return (
         per_sp.groupBy("s")
         .agg(F.array_sort(F.collect_list("entry")).alias("entries"))
@@ -273,7 +273,12 @@ def unique_filename_col(
     segs = F.filter(
         F.split(F.substring_index(path, ".", 1), "/"), lambda x: x != ""
     )
-    ident = F.array_join(F.slice(segs, -2, 2), "-")
+    # F.slice(segs, -2, 2) returns [] when size < 2 (unlike Python's
+    # [-2:]) — guard so single-segment paths keep their segment
+    ident = F.array_join(
+        F.when(F.size(segs) < 2, segs).otherwise(F.slice(segs, -2, 2)),
+        "-",
+    )
     suffix_map = F.create_map(
         *[F.lit(x) for kv in MIME_SUFFIX.items() for x in kv]
     )

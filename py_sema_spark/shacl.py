@@ -80,6 +80,7 @@ class NodeShape:
     iri: str
     target_class: Optional[str] = None
     closed: bool = False
+    ignored: List[str] = field(default_factory=list)
     properties: List[PropertyShape] = field(default_factory=list)
 
 
@@ -116,6 +117,7 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             iri=s,
             target_class=tc.value if tc else None,
             closed=bool(closed and closed.value == "true"),
+            ignored=rdf_list(one(s, SH + "ignoredProperties")),
         )
         for pnode in props.get(SH + "property", []):
             p = pnode.value
@@ -410,7 +412,11 @@ def validate(
                     ))
 
         if shape.closed:
-            allowed = [p.path for p in shape.properties] + [RDF_TYPE]
+            # SHACL §4.8.1: ONLY sh:ignoredProperties exempts extra
+            # predicates — rdf:type is not implicitly allowed (pyshacl,
+            # the reference's validator, flags it on closed shapes that
+            # don't list it)
+            allowed = [p.path for p in shape.properties] + shape.ignored
             stray = shape_triples.where(~F.col("p").isin(allowed))
             out = out.unionByName(
                 stray.select(

@@ -321,3 +321,59 @@ ex:Shape a sh:NodeShape ;
 """
     with pytest.raises(NotImplementedError, match="path expressions"):
         parse_shapes_ttl(shapes_str)
+
+
+class TestClosedIgnoredProperties:
+    """SHACL §4.8.1: only sh:ignoredProperties exempts predicates on a
+    closed shape — rdf:type is NOT implicitly allowed (pyshacl, the
+    reference's validator, flags it)."""
+
+    SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+
+ex:StrictShape a sh:NodeShape ;
+    sh:targetClass ex:Strict ;
+    sh:closed true ;
+    sh:property [ sh:path ex:name ] .
+
+ex:LenientShape a sh:NodeShape ;
+    sh:targetClass ex:Lenient ;
+    sh:closed true ;
+    sh:ignoredProperties ( rdf:type ex:note ) ;
+    sh:property [ sh:path ex:name ] .
+"""
+
+    def test_rdf_type_flagged_without_ignored(self, spark):
+        shapes = parse_shapes_ttl(self.SHAPES)
+        df = triples_df(
+            spark,
+            "@prefix ex: <http://example.org/> .\n"
+            'ex:a a ex:Strict ; ex:name "x" .',
+        )
+        viols = validate(df, shapes).collect()
+        assert {(v["constraint"], v["path"]) for v in viols} == {
+            ("closed", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        }
+
+    def test_ignored_properties_exempt(self, spark):
+        shapes = parse_shapes_ttl(self.SHAPES)
+        by = {s.iri: s for s in shapes}
+        assert by["http://example.org/LenientShape"].ignored == [
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://example.org/note",
+        ]
+        df = triples_df(
+            spark,
+            "@prefix ex: <http://example.org/> .\n"
+            'ex:b a ex:Lenient ; ex:name "x" ; ex:note "ok" .',
+        )
+        assert validate(df, shapes).count() == 0
+        bad = triples_df(
+            spark,
+            "@prefix ex: <http://example.org/> .\n"
+            'ex:b a ex:Lenient ; ex:name "x" ; ex:other "no" .',
+        )
+        viols = validate(bad, shapes).collect()
+        assert {v["constraint"] for v in viols} == {"closed"}

@@ -320,3 +320,72 @@ ex:b ex:p "line\\nbreak" ; ex:r ex:a .
         parts = sorted(out.glob("part-*"))
         text = "".join(p.read_text() for p in parts)
         assert text.count(" .") == 2  # one block per subject
+
+
+class TestSerializeReviewFindings:
+    """Round-3 review findings: single-segment filenames, NT tie-break
+    ordering, mapper column-form guard, registry load error handling."""
+
+    def test_unique_filename_single_segment_path(self, spark):
+        import base64
+        from hashlib import sha256
+
+        url = "https://example.com/data.ttl"
+        mime = "text/turtle"
+        expected_base = base64.urlsafe_b64encode(
+            sha256((url + mime).encode()).digest()
+        )[:13].decode()
+        df = spark.createDataFrame([(url, mime)], "url string, mime string")
+        got = df.select(
+            unique_filename_col(F.col("url"), F.col("mime")).alias("f")
+        ).collect()[0]["f"]
+        # reference keeps the lone segment (path.split('/')[-2:] on a
+        # 1-element list); F.slice(-2,2) used to return [] here
+        assert got == f"{expected_base}-data.ttl"
+
+    def test_write_ntriples_lang_tie_break(self, spark, tmp_path):
+        rows = [
+            ("urn:s", "urn:p", "x", "literal", None, lang)
+            for lang in ("fr", "en", "de")
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "s string, p string, o string, o_kind string,"
+            " o_datatype string, o_lang string",
+        )
+        out = str(tmp_path / "tie.nt")
+        write_ntriples(df.repartition(3), out)
+        text = "".join(
+            open(os.path.join(out, f)).read()
+            for f in sorted(os.listdir(out))
+            if f.startswith("part-")
+        )
+        assert [ln.split("@")[-1].rstrip(" .") for ln in text.splitlines()] \
+            == ["de", "en", "fr"]
+
+    def test_key_to_ng_col_safe_and_unsafe(self, spark):
+        from py_sema_spark.model import GraphNameMapper
+
+        m = GraphNameMapper(base="urn:sync:")
+        df = spark.createDataFrame([("a/b_c.txt",)], "k string")
+        got = df.select(m.key_to_ng_col(F.col("k")).alias("ng")).collect()
+        assert got[0]["ng"] == m.key_to_ng("a/b_c.txt")
+        bad = spark.createDataFrame([("has space.txt",)], "k string")
+        with pytest.raises(Exception, match="percent-encoding"):
+            bad.select(m.key_to_ng_col(F.col("k")).alias("ng")).collect()
+
+    def test_registry_load_propagates_corrupt_path(self, spark, tmp_path):
+        from py_sema_spark.model import GraphRegistry
+
+        path = tmp_path / "registry"
+        path.mkdir()
+        (path / "part-00000.parquet").write_text("this is not parquet")
+        reg = GraphRegistry(spark, str(path))
+        with pytest.raises(Exception):
+            reg.load().collect()
+
+    def test_registry_load_missing_path_is_empty(self, spark, tmp_path):
+        from py_sema_spark.model import GraphRegistry
+
+        reg = GraphRegistry(spark, str(tmp_path / "nope"))
+        assert reg.load().count() == 0
