@@ -464,7 +464,7 @@ _register(
 SELECT event_id, user_id,
        CAST(row_number() OVER w - 1 AS INT) AS idx,
        (row_number() OVER w = 1) AS is_first,
-       (lead(event_id) OVER w IS NULL) AS is_last
+       (lead(1) OVER w IS NULL) AS is_last
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,

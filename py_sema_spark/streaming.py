@@ -286,19 +286,17 @@ def stream_sessionize(
     state_schema = "last_us bigint, sess bigint"
     gap_us = gap_minutes * 60_000_000
     in_cols = [f.name for f in stream.schema.fields]
+    # tie-break equal timestamps on the id column (when present) so
+    # batch parity holds: operators/windows.sessionize orders by
+    # (ts, event_id), and micro-batch arrival order is not
+    # deterministic for same-ts rows
+    sort_cols = [ts_col] + ([id_col] if id_col in in_cols else [])
 
     def assign(key, pdfs, state: GroupState):
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
             return
-        # tie-break equal timestamps on the id column (when present)
-        # so batch parity holds: operators/windows.sessionize orders
-        # by (ts, event_id), and micro-batch arrival order is not
-        # deterministic for same-ts rows
-        sort_cols = [ts_col] + (
-            [id_col] if id_col in chunks[0].columns else []
-        )
         batch = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
         last_us, sess = state.get if state.exists else (None, 0)
         us = (
