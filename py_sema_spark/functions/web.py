@@ -99,7 +99,10 @@ def link_header_urls_col(
         entries = F.filter(entries, _rel_match)
     return F.transform(
         entries,
-        # lazy body + trailing \s* outside the capture: '< url >'
-        # extracts 'url', not 'url '
-        lambda e: F.regexp_extract(e, r"<\s*([^>]*?)\s*>", 1),
+        # exact mirror of the Python form's link.strip("<> ") on the
+        # pre-';' part: entries without angle brackets (seen in captured
+        # fixture headers) keep their URL instead of degrading to ''
+        lambda e: F.regexp_replace(
+            F.element_at(F.split(e, ";"), 1), r"^[<> ]+|[<> ]+$", ""
+        ),
     )

@@ -39,7 +39,7 @@ class SingleFileSink:
             for r in parts.orderBy("idx").select("part").toLocalIterator()
         ]
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w") as f:
+        with open(self.path, "w", encoding="utf-8") as f:
             f.write("".join(chunks))
 
 
@@ -116,7 +116,7 @@ class PatternedSink:
             for row in rows:
                 full = os.path.join(root, row["path"].lstrip("/"))
                 os.makedirs(os.path.dirname(full) or ".", exist_ok=True)
-                with open(full, "w") as f:
+                with open(full, "w", encoding="utf-8") as f:
                     f.write(row["part"])
 
         df.select("path", "part").foreachPartition(_write_partition)

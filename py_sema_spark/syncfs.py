@@ -38,7 +38,13 @@ def load_graph_file(spark: SparkSession, path: str) -> DataFrame:
     :func:`..operators.extract.extract_structured` instead."""
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    triples, _fmt = parse_rdf_auto(text, base=Path(path).as_uri())
+    triples, fmt = parse_rdf_auto(text, base=Path(path).as_uri())
+    if fmt is None and text.strip():
+        # corpus discovery degrades unparseable content to "no
+        # structured data"; a *dump file* that parses as nothing is a
+        # truncated/corrupt write — raise like the reference's
+        # rdflib graph.parse instead of silently syncing an empty graph
+        raise ValueError(f"no RDF format could parse dump file {path!r}")
     rows = [
         (t.s.value, t.p.value, t.o.value, t.o.kind, t.o.datatype, t.o.lang)
         for t in triples
@@ -80,8 +86,12 @@ def perform_sync(
         elif not store.verify_max_age_of_key(
             relname, reference_time=current[relname]
         ):
+            # parse (eager, driver-side) BEFORE dropping: a truncated /
+            # mid-write file must abort the update with the old graph
+            # still in the store, not after it is already gone
+            replacement = load_graph_file(spark, full)
             store.drop_graph_for_key(relname)
-            store.insert_for_key(load_graph_file(spark, full), relname)
+            store.insert_for_key(replacement, relname)
             report["updated"].append(relname)
         else:
             report["skipped"].append(relname)

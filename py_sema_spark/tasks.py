@@ -8,6 +8,7 @@ and intentionally out of the engine (SURVEY.md §2.9 T5).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict
 
 from pyspark.sql import SparkSession
@@ -28,13 +29,14 @@ def _subyt(spark: SparkSession, args: Dict[str, Any]):
         name: collect_set(make_source_df(spark, ident))
         for name, ident in (args.get("sets") or {}).items()
     }
-    with open(args["template"]) as f:
+    with open(args["template"], encoding="utf-8") as f:
         template = f.read()
     if not settings.iteration:
         out = render_collection(
             template, sets, variables=args.get("variables"), settings=settings
         )
-        with open(args["sink"], "w") as f:
+        os.makedirs(os.path.dirname(args["sink"]) or ".", exist_ok=True)
+        with open(args["sink"], "w", encoding="utf-8") as f:
             f.write(out)
         return args["sink"]
     records = make_source_df(spark, args["source"])
@@ -53,7 +55,7 @@ def _shacl(spark: SparkSession, args: Dict[str, Any]):
     from .shacl import assert_conforms, parse_shapes_ttl
     from .syncfs import load_graph_file
 
-    with open(args["shacl_graph"]) as f:
+    with open(args["shacl_graph"], encoding="utf-8") as f:
         shapes = parse_shapes_ttl(f.read())
     data = load_graph_file(spark, args["data_graph"])
     assert_conforms(data, shapes)
@@ -71,7 +73,7 @@ def _syncfs(spark: SparkSession, args: Dict[str, Any]):
 def _harvest(spark: SparkSession, args: Dict[str, Any]):
     from .harvest import HarvestConfig, Harvester
 
-    with open(args["config"]) as f:
+    with open(args["config"], encoding="utf-8") as f:
         cfg = HarvestConfig.from_yaml(f.read(), name=args.get("name", "harvest"))
     corpus = spark.read.parquet(args["corpus"])
     return Harvester(spark, corpus).run(cfg)
@@ -117,7 +119,9 @@ def _resolving_loader(context: Dict[str, Any]):
         value = loader.construct_scalar(node)
         try:
             return value.format(**context)
-        except (KeyError, IndexError):
+        except (KeyError, IndexError, ValueError):
+            # ValueError: a literal unbalanced '{' in the value (e.g. a
+            # SPARQL fragment) — pass through unchanged like unknown keys
             return value
 
     _Loader.add_constructor("!resolve", _resolve)

@@ -249,3 +249,26 @@ class TestExtractPrefilter:
         from py_sema_spark.sources.corpus import page_url
 
         assert not ({page_url(i) for i in noise} & got_urls)
+
+
+class TestLinkHeaderBracketless:
+    def test_bracketless_entry_matches_python_oracle(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.web import (
+            link_header_urls_col,
+            parse_link_header,
+        )
+
+        # captured fixture headers sometimes omit the angle brackets;
+        # the Python form's strip("<> ") keeps the URL — the column
+        # form must not degrade it to ''
+        h = 'http://ex.org/meta; rel=describedby, <http://ex.org/a>; rel=describedby'
+        df = spark.createDataFrame([(h,)], "h string")
+        got = sorted(
+            df.select(
+                link_header_urls_col(F.col("h"), rel="describedby").alias("u")
+            ).collect()[0]["u"]
+        )
+        want = sorted(parse_link_header(h, "", rel="describedby"))
+        assert got == want == ["http://ex.org/a", "http://ex.org/meta"]

@@ -389,3 +389,74 @@ class TestSerializeReviewFindings:
 
         reg = GraphRegistry(spark, str(tmp_path / "nope"))
         assert reg.load().count() == 0
+
+
+class TestSyncCrashSafety:
+    def test_update_with_unparseable_file_keeps_old_graph(
+        self, spark, tmp_path
+    ):
+        import time
+
+        from py_sema_spark.store import ParquetTripleStore
+        from py_sema_spark.syncfs import perform_sync
+
+        root = tmp_path / "dumps"
+        root.mkdir()
+        f = root / "g.ttl"
+        f.write_text(
+            "@prefix ex: <http://ex.org/> .\nex:a ex:p ex:b .\n",
+            encoding="utf-8",
+        )
+        store = ParquetTripleStore(spark, str(tmp_path / "store"))
+        perform_sync(spark, str(root), store)
+        assert store.graph_for_key("g.ttl").count() == 1
+        # simulate a mid-write replacement: newer mtime, unparseable
+        time.sleep(0.05)
+        f.write_text("@prefix ex: <http://ex.org/> .\nex:a ex:p ", encoding="utf-8")
+        import os as _os
+
+        _os.utime(f, (time.time() + 10, time.time() + 10))
+        with pytest.raises(Exception):
+            perform_sync(spark, str(root), store)
+        # the old graph must still be in the store (drop happens only
+        # after a successful parse)
+        assert store.graph_for_key("g.ttl").count() == 1
+
+
+class TestTasksReviewRegressions:
+    def test_noniteration_sink_creates_parent_dir_utf8(self, spark, tmp_path):
+        from py_sema_spark.tasks import dispatch
+
+        tpl = tmp_path / "t.ttl"
+        tpl.write_text(
+            '<urn:c> ex:label "café {{ sets["xs"] | length }}" .\n',
+            encoding="utf-8",
+        )
+        src = tmp_path / "xs.csv"
+        src.write_text("id\n1\n2\n", encoding="utf-8")
+        sink = tmp_path / "not" / "yet" / "out.ttl"
+        got = dispatch(
+            spark,
+            "subyt",
+            {
+                "mode": "no-it",
+                "template": str(tpl),
+                "sets": {"xs": str(src)},
+                "sink": str(sink),
+            },
+        )
+        assert got == str(sink)
+        body = sink.read_bytes().decode("utf-8")
+        assert "café 2" in body
+
+    def test_resolve_passes_through_unbalanced_brace(self, spark, tmp_path):
+        import yaml
+
+        from py_sema_spark.tasks import _resolving_loader
+
+        doc = yaml.load(
+            'frag: !resolve "{out_dir}/q{"\nok: !resolve "{out_dir}/a"\n',
+            Loader=_resolving_loader({"out_dir": "/tmp/x"}),
+        )
+        assert doc["frag"] == "{out_dir}/q{"
+        assert doc["ok"] == "/tmp/x/a"
