@@ -216,8 +216,12 @@ def repetition_metrics(
     covered = F.col("_c") * F.length("gram")
     aggs = []
     for n in top_ns:
+        # repeated grams only (count >= 2): a doc whose n-grams are all
+        # unique has zero repetition signal, not len(longest gram)/len
         aggs.append(
-            F.max(F.when(F.col("n") == n, covered)).alias(f"_top{n}")
+            F.max(
+                F.when((F.col("n") == n) & (F.col("_c") >= 2), covered)
+            ).alias(f"_top{n}")
         )
     for n in dup_ns:
         aggs.append(

@@ -223,13 +223,11 @@ def frame_sample(
     JVM-side, mirrors the SQL oracle 1:1); only frame *content* comes
     from the stubbed per-frame decode."""
     vids = media.where(F.col("kind") == "video")
-    n_frames = (
-        F.floor(
-            F.coalesce(F.col("meta.duration_ms"), F.lit(0))
-            / F.lit(every_ms)
-        ).cast("int")
-        + 1
-    )
+    # ceil(duration/every): frame timestamps live in [0, duration) —
+    # floor(d/every)+1 put a frame AT d when d % every == 0 (a ts with
+    # no decodable frame) and scheduled one frame for a 0-ms video
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    n_frames = F.floor((dur + every_ms - 1) / F.lit(every_ms)).cast("int")
     if max_frames is not None:
         n_frames = F.least(n_frames, F.lit(max_frames))
     # guard the degenerate schedule: sequence(0, -1) defaults to step -1

@@ -503,13 +503,13 @@ _register(
     # data twice to discover columns and breaks schema stability)
     lambda spark, sf: _t(spark, sf, "events")
     .groupBy("user_id")
-    .pivot("event_type", ["click", "view", "purchase", "error"])
+    .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
     .count()
     .select(
         "user_id",
         *[
             F.coalesce(F.col(c), F.lit(0)).alias(c)
-            for c in ("click", "view", "purchase", "error")
+            for c in ("click", "view", "purchase", "signup", "error")
         ],
     ),
     """
@@ -517,6 +517,7 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click') AS click,
        count(*) FILTER (WHERE event_type = 'view') AS view,
        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
        count(*) FILTER (WHERE event_type = 'error') AS error
 FROM events GROUP BY user_id
 """,
@@ -1104,8 +1105,8 @@ counts AS (
 ),
 perdoc AS (
   SELECT doc_id,
-         max(CASE WHEN n = 2 THEN c * gl END) AS t2,
-         max(CASE WHEN n = 3 THEN c * gl END) AS t3,
+         max(CASE WHEN n = 2 AND c >= 2 THEN c * gl END) AS t2,
+         max(CASE WHEN n = 3 AND c >= 2 THEN c * gl END) AS t3,
          sum(CASE WHEN n = 5 AND c >= 2 THEN c * gl END) AS d5
   FROM counts GROUP BY doc_id
 )
@@ -2480,12 +2481,12 @@ _register(
     "frame_sample",
     _frame_schedule,
     # videos = every 3rd doc; duration_ms = n_chars*7; frames every
-    # 500ms inclusive of frame 0
+    # 500ms starting at 0, timestamps strictly inside [0, duration)
     """
 SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
        CAST(i * 500 AS INT) AS ts_ms
 FROM (
-  SELECT doc_id, unnest(range((n_chars * 7) // 500 + 1)) AS i
+  SELECT doc_id, unnest(range((n_chars * 7 + 499) // 500)) AS i
   FROM documents WHERE doc_id % 3 = 0
 )
 """,
@@ -3721,9 +3722,11 @@ def _quality_percentile(spark, sf):
         "lang",
         F.round(quality_score(F.col("text")), 6).alias("q"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("q").asc(), F.col("doc_id").asc()
-    )
+    # NO doc_id tiebreak: percent_rank assigns equal scores equal
+    # percentiles (tie-deterministic in both engines); a tiebreak would
+    # scatter byte-identical scores across a percentile range and break
+    # the "one threshold per language" claim
+    w = Window.partitionBy("lang").orderBy(F.col("q").asc())
     return scored.withColumn(
         "q_pctile", F.round(F.percent_rank().over(w), 6)
     )
@@ -3735,7 +3738,7 @@ _register(
     f"""
 SELECT b.doc_id, d.lang, b.quality AS q,
        round(percent_rank() OVER (PARTITION BY d.lang
-             ORDER BY b.quality, b.doc_id), 6) AS q_pctile
+             ORDER BY b.quality), 6) AS q_pctile
 FROM ({ORACLES["quality_score"]}) b
 JOIN documents d ON b.doc_id = d.doc_id
 """,

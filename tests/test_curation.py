@@ -764,3 +764,15 @@ class TestQualityAudit:
         # one scan: a single Aggregate over the source, no join
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan
+
+
+class TestRepetitionRepeatedOnly:
+    def test_unique_grams_have_zero_top_fraction(self, spark):
+        """A doc with no repeated n-gram has zero repetition signal —
+        the most character-covering gram only counts when count >= 2."""
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f g")], "doc_id long, text string"
+        )
+        row = repetition_metrics(docs, top_ns=(2, 3), dup_ns=(5,)).first()
+        assert row.top2gram_char_frac == 0.0
+        assert row.top3gram_char_frac == 0.0

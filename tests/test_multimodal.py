@@ -73,7 +73,8 @@ def test_resize_only_touches_images(media):
 def test_frame_sample_schedule_and_content(media):
     frames = frame_sample(media, every_ms=500).persist()
     vids = media.where(F.col("kind") == "video").collect()
-    expected = sum(r["meta"]["duration_ms"] // 500 + 1 for r in vids)
+    # ceil(duration/500): timestamps live in [0, duration)
+    expected = sum(-(-r["meta"]["duration_ms"] // 500) for r in vids)
     assert frames.count() == expected
     one = frames.where(F.col("frame_idx") == 1).first()
     assert one["ts_ms"] == 500
@@ -273,3 +274,29 @@ class TestScalePrimitives:
         assert "bnode" not in o_kinds
         again = {r["src_url"]: r["s"] for r in skolemize(df).collect()}
         assert again == subs
+
+
+def test_frame_schedule_excludes_duration_boundary(spark):
+    """A duration that is an exact multiple of every_ms must NOT get a
+    frame at ts == duration (no decodable frame there), and a zero-
+    duration video gets no frames at all."""
+    rows = [
+        (1, "video", b"x", (1000,)),
+        (2, "video", b"y", (1200,)),
+        (3, "video", b"z", (0,)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary,"
+        " meta struct<duration_ms:int>",
+    )
+    got = {
+        r["media_id"]: r["ts"]
+        for r in frame_sample(media, every_ms=500)
+        .groupBy("media_id")
+        .agg(F.collect_list("ts_ms").alias("ts"))
+        .collect()
+    }
+    assert sorted(got[1]) == [0, 500]
+    assert sorted(got[2]) == [0, 500, 1000]
+    assert 3 not in got
