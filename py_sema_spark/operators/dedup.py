@@ -326,13 +326,18 @@ def ngram_jaccard_pairs(
     grams = toks.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("_toks") - n, F.lit(0)),
+            # a doc with fewer than n tokens has NO n-grams — without
+            # the guard, position 0 emits the whole short token list
+            # as a bogus sub-n "gram"
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i + 1, n)
+                    ),
                 ),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     ).where(F.length("gram") > 0).distinct()
     # same reuse shape as minhash_dedup: the gram set feeds the prefix
@@ -343,7 +348,11 @@ def ngram_jaccard_pairs(
 
     w = Window.partitionBy(id_col).orderBy("gram")
     prefix_len = (
-        F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+        # +1e-9 before floor: IEEE float makes (1-0.8)*10 == 1.9999…96,
+        # which floors one short of the exact sz-ceil(t*sz)+1 bound and
+        # silently drops qualifying pairs; overshooting by epsilon only
+        # lengthens the prefix (more candidates, still exact)
+        F.floor(F.lit(1.0 - threshold) * F.col("_sz") + F.lit(1e-9)) + 1
         if join_on_prefix is None
         else F.lit(join_on_prefix)
     )

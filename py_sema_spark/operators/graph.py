@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def undirected_simple(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    a: str = "_ca",
+    b: str = "_cb",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Canonical undirected simple edge list: drop self-loops, orient
+    each edge (min, max), dedup. Shared by the triangle / wedge /
+    k-core / common-neighbor family so a fix (e.g. null or self-loop
+    handling) lands in one place. ``checkpoint`` materializes the
+    dedup once when the result feeds multiple plan branches."""
+    und = (
+        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
+        .where(F.col(a) != F.col(b))
+        .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
+        .distinct()
+    )
+    return und.localCheckpoint(eager=False) if checkpoint else und
+
+
+def symmetric_adjacency(und: DataFrame, a: str = "_ca", b: str = "_cb") -> DataFrame:
+    """(center, neighbor) rows in both directions of an undirected
+    edge list produced by :func:`undirected_simple`."""
+    return und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
+        und.select(F.col(b).alias("c"), F.col(a).alias("n"))
+    )
+
+
 def out_degrees(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
@@ -131,14 +161,7 @@ def triangle_count(
     the dedup+degree subtree).
     """
     a, b = "_ta", "_tb"
-    undirected = (
-        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
-        .where(F.col(a) != F.col(b))
-        .select(
-            F.least(a, b).alias(a), F.greatest(a, b).alias(b)
-        )
-        .distinct()
-    )
+    undirected = undirected_simple(edges, src_col, dst_col, a, b)
     deg = (
         undirected.select(F.col(a).alias("node"))
         .unionByName(undirected.select(F.col(b).alias("node")))
@@ -271,16 +294,8 @@ def common_neighbors(
     # sym, the degree agg, the adjacency anti-join) — materialize it
     # once (lazy localCheckpoint, the dedup-token-set pattern) instead
     # of re-running the distinct per branch
-    und = (
-        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
-        .where(F.col(a) != F.col(b))
-        .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sym = und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
-        und.select(F.col(b).alias("c"), F.col(a).alias("n"))
-    )
+    und = undirected_simple(edges, src_col, dst_col, a, b, checkpoint=True)
+    sym = symmetric_adjacency(und, a, b)
     deg = sym.groupBy(F.col("n").alias("node")).agg(
         F.count(F.lit(1)).alias("_d")
     )
@@ -344,16 +359,8 @@ def adamic_adar(
     construction, so ``ln(deg)`` never hits zero).
     """
     a, b = "_ca", "_cb"
-    und = (
-        edges.select(F.col(src_col).alias(a), F.col(dst_col).alias(b))
-        .where(F.col(a) != F.col(b))
-        .select(F.least(a, b).alias(a), F.greatest(a, b).alias(b))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    sym = und.select(F.col(a).alias("c"), F.col(b).alias("n")).unionByName(
-        und.select(F.col(b).alias("c"), F.col(a).alias("n"))
-    )
+    und = undirected_simple(edges, src_col, dst_col, a, b, checkpoint=True)
+    sym = symmetric_adjacency(und, a, b)
     cdeg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
     cap = max_degree if max_degree is not None else (1 << 62)
     # no broadcast hint: cdeg is O(|V|) rows (per-node degrees, nearly
@@ -687,17 +694,8 @@ def k_core(
     """
     from .closure import _materialize
 
-    und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-    )
-    sym = (
-        und.select(F.col("a").alias("c"), F.col("b").alias("n"))
-        .unionByName(und.select(F.col("b").alias("c"), F.col("a").alias("n")))
-        .transform(_materialize)
-    )
+    und = undirected_simple(edges, src_col, dst_col, "a", "b")
+    sym = symmetric_adjacency(und, "a", "b").transform(_materialize)
     alive = sym.select(F.col("c").alias("node")).distinct().transform(
         _materialize
     )

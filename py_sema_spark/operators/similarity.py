@@ -284,7 +284,11 @@ def _assign_lists(
             Vn = V / np.maximum(
                 np.linalg.norm(V, axis=1, keepdims=True), 1e-30
             )
-            sims = Vn @ Cn.T  # B×L cosine matrix
+            # round to 6 before ranking (same pinning as kmeans_assign):
+            # the oracle computes the identical cosine with sequential
+            # dot/sqrt arithmetic, and an unpinned argmax can flip
+            # between engines on <1e-13 differences
+            sims = np.round(Vn @ Cn.T, 6)  # B×L cosine matrix
             # top-`probe` lists per row, best first; ties break to the
             # lower index (argsort is stable on the negated scores)
             idx = np.argsort(-sims, kind="stable", axis=1)[:, :probe]
@@ -535,7 +539,7 @@ def signed_random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "rp",
-    dim: Optional[int] = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss-style dimensionality reduction with a
     DETERMINISTIC ±1 projection matrix: component j of the output is

@@ -745,8 +745,9 @@ WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(toks[i + 1 : i + 3], ' ') AS gram
-  FROM toklists, (SELECT unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i)
-  WHERE len(array_to_string(toks[i + 1 : i + 3], ' ')) > 0
+  FROM toklists, (SELECT unnest(range(0, len(toks) - 3 + 1)) AS i)
+  WHERE len(toks) >= 3
+    AND len(array_to_string(toks[i + 1 : i + 3], ' ')) > 0
 ),
 idx AS (
   SELECT doc_id, gram FROM (
@@ -1426,11 +1427,17 @@ s{k} AS (
   JOIN r{k - 1} r ON e.src = r.node
   JOIN deg ON e.src = deg.src
   GROUP BY e.dst),
+dm{k} AS (
+  SELECT coalesce(sum(r.r), CAST(0.0 AS DOUBLE)) AS m
+  FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+  WHERE deg.src IS NULL),
 r{k} AS (
   SELECT nodes.node,
          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
-  FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
+         + CAST(0.85 AS DOUBLE)
+           * (coalesce(s.c, CAST(0.0 AS DOUBLE)) + dm{k}.m / nn.n) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN dm{k}
+  LEFT JOIN s{k} s ON nodes.node = s.node)"""
     return (
         head
         + body
@@ -2211,9 +2218,9 @@ easn AS (
   SELECT vec_id, v, cidx FROM (
     SELECT e.vec_id, e.v, c.cidx,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        list_dot_product(e.v, c.cv)
-        / (sqrt(list_dot_product(e.v, e.v))
-           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        round(list_dot_product(e.v, c.cv)
+        / greatest(sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(c.cv, c.cv)), 1e-30), 6) DESC,
         c.cidx ASC) AS rn
     FROM e, cent c
   ) WHERE rn = 1
@@ -2222,9 +2229,9 @@ qasn AS (
   SELECT q_id, q_vec, cidx FROM (
     SELECT q.q_id, q.q_vec, c.cidx,
       row_number() OVER (PARTITION BY q.q_id ORDER BY
-        list_dot_product(q.q_vec, c.cv)
-        / (sqrt(list_dot_product(q.q_vec, q.q_vec))
-           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        round(list_dot_product(q.q_vec, c.cv)
+        / greatest(sqrt(list_dot_product(q.q_vec, q.q_vec))
+           * sqrt(list_dot_product(c.cv, c.cv)), 1e-30), 6) DESC,
         c.cidx ASC) AS rn
     FROM q, cent c
   ) WHERE rn <= {n_probe}
@@ -3244,11 +3251,16 @@ s{k} AS (
   JOIN r{k - 1} r ON e.src = r.node
   JOIN deg ON e.src = deg.src
   GROUP BY e.dst),
+dm{k} AS (
+  SELECT coalesce(sum(r.r), CAST(0.0 AS DOUBLE)) AS m
+  FROM r{k - 1} r LEFT JOIN deg ON r.node = deg.src
+  WHERE deg.src IS NULL),
 r{k} AS (
   SELECT jump.node,
          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * jump.j
-         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
-  FROM jump LEFT JOIN s{k} s ON jump.node = s.node)"""
+         + CAST(0.85 AS DOUBLE)
+           * (coalesce(s.c, CAST(0.0 AS DOUBLE)) + dm{k}.m * jump.j) AS r
+  FROM jump CROSS JOIN dm{k} LEFT JOIN s{k} s ON jump.node = s.node)"""
     return (
         head
         + body
@@ -4106,20 +4118,12 @@ def _centroid_similarity(spark, sf):
     pair = a.join(
         F.broadcast(b), F.col("a.label") < F.col("b.label")
     )
-    dot = F.aggregate(
-        F.zip_with("a.vec", "b.vec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    from ..operators.similarity import cosine
+
     return pair.select(
         F.col("a.label").alias("label_a"),
         F.col("b.label").alias("label_b"),
-        F.round(dot / (norm(F.col("a.vec")) * norm(F.col("b.vec"))), 6).alias(
-            "cos"
-        ),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
     )
 
 
@@ -4173,11 +4177,17 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
 s{k} AS (
   SELECT en.dst AS node, sum(r.r * en.frac) AS c
   FROM en JOIN r{k - 1} r ON en.src = r.node GROUP BY en.dst),
+dm{k} AS (
+  SELECT coalesce(sum(r.r), CAST(0.0 AS DOUBLE)) AS m
+  FROM r{k - 1} r LEFT JOIN wsum ON r.node = wsum.src
+  WHERE wsum.src IS NULL),
 r{k} AS (
   SELECT nodes.node,
          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-         + CAST(0.85 AS DOUBLE) * coalesce(s.c, CAST(0.0 AS DOUBLE)) AS r
-  FROM nodes CROSS JOIN nn LEFT JOIN s{k} s ON nodes.node = s.node)"""
+         + CAST(0.85 AS DOUBLE)
+           * (coalesce(s.c, CAST(0.0 AS DOUBLE)) + dm{k}.m / nn.n) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN dm{k}
+  LEFT JOIN s{k} s ON nodes.node = s.node)"""
     return (
         head
         + body

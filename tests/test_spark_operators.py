@@ -166,6 +166,32 @@ class TestDedup:
         ).collect()
         assert capped == []
 
+    def test_ppjoin_prefix_float_bound(self, spark):
+        """t=0.8 over a 10-gram set: (1-0.8)*10 floats to 1.9999…96,
+        so an un-epsiloned floor()+1 gives prefix 2 instead of the
+        exact 3 and silently drops this qualifying pair."""
+        a = "aa ab s1 s2 s3 s4 s5 s6 s7 s8"   # 10 unigrams
+        b = "s1 s2 s3 s4 s5 s6 s7 s8"          # 8-subset, J = 8/10
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, n=1, threshold=0.8
+            ).collect()
+        }
+        assert got == {(1, 2): pytest.approx(0.8)}
+
+    def test_short_docs_have_no_ngrams(self, spark):
+        """Docs with fewer than n tokens must never pair — position 0
+        used to emit the whole short token list as a bogus sub-n gram."""
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        assert ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect() == []
+
     def test_ngram_jaccard(self, docs):
         pairs = {
             (r["a"], r["b"]): r["jaccard"]
