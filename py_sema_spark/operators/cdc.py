@@ -40,18 +40,33 @@ def apply_changes(
 
     Columns: ``changes`` must carry the snapshot's columns plus
     ``op``. Returns the new snapshot with the snapshot's column order.
+
+    NULL key components behave as one ordinary key value (all joins
+    are null-safe): a NULL-key upsert replaces the snapshot's NULL-key
+    rows and a NULL-key delete wins over its upserts — a plain
+    equi-join would silently duplicate the row and ignore the delete.
     """
     keys = list(key_cols)
     snap_cols = snapshot.columns
+
+    def _anti(left: DataFrame, right_keys: DataFrame) -> DataFrame:
+        l, r = left.alias("_l"), right_keys.alias("_r")
+        cond = None
+        for k in keys:
+            c = F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+            cond = c if cond is None else cond & c
+        return l.join(r, cond, "left_anti")
+
     touched = changes.select(*keys).distinct()
-    kept = snapshot.join(touched, keys, "left_anti")
-    deleted = changes.where(F.col(op_col) == "delete").select(*keys).distinct()
+    kept = _anti(snapshot, touched)
+    deleted = changes.where(F.col(op_col).eqNullSafe("delete")).select(
+        *keys
+    ).distinct()
     inserted = (
         # null-safe: a malformed NULL op must upsert, not silently
         # vanish (plain != would be NULL → filtered → key deleted via
         # the `touched` anti-join with no error)
-        changes.where(~F.col(op_col).eqNullSafe("delete"))
-        .join(deleted, keys, "left_anti")
+        _anti(changes.where(~F.col(op_col).eqNullSafe("delete")), deleted)
         .select(*snap_cols)
         .distinct()
     )
@@ -75,34 +90,56 @@ def scd2_apply(
     contains several updates per key chains their intervals, the
     standard warehouse backfill behavior.
 
-    History rows (``valid_to`` already set) are untouched. Returns
-    the new dimension table: dim's columns, same order.
+    History rows (``valid_to`` already set) are untouched. Updates
+    STALER than a key's current version (``ts`` < the current row's
+    ``valid_from``) are dropped: splicing them in would rewrite closed
+    history, and closing the current row before it opened would mint
+    an inverted interval — late-arriving dimension facts need a
+    history rebuild, not an incremental apply. ``ts`` equal to the
+    current ``valid_from`` degenerates that row to the empty interval
+    ``[t, t)`` (the update supersedes it under the half-open
+    convention). Returns the new dimension table: dim's columns, same
+    order.
 
     Plan: one window over the UPDATES only (tiny vs the dimension) to
-    chain intervals, one key-hash join to close current rows, one
-    union. Never sorts or rewrites closed history.
+    chain intervals, two key-hash joins against current rows (stale
+    filter + close), one union. Never sorts or rewrites closed
+    history.
     """
     keys = list(key_cols)
     dim_cols = dim.columns
     attr_cols = [
         c for c in dim_cols if c not in (*keys, valid_from, valid_to)
     ]
-    # tie-break equal timestamps on a content hash so which row stays
-    # current is deterministic across runs/partitionings (equal-ts
-    # rows are rare but real: two attribute changes in one crawl tick)
-    w = Window.partitionBy(*keys).orderBy(
-        ts_col, F.xxhash64(*[F.col(c) for c in attr_cols])
+    current = dim.where(F.col(valid_to).isNull())
+    cur_from = current.select(
+        *keys, F.col(valid_from).alias("_cur_from")
     )
-    opened = updates.select(
+    live = (
+        updates.join(cur_from, keys, "left")
+        .where(
+            F.col("_cur_from").isNull()
+            | (F.col(ts_col) >= F.col("_cur_from"))
+        )
+        .drop("_cur_from")
+    )
+    # tie-break equal timestamps on the attribute values themselves —
+    # deterministic across runs/partitionings AND portable (an
+    # engine-private hash like xxhash64 would make the chain order
+    # unreproducible outside Spark; equal-ts rows are rare but real:
+    # two attribute changes in one crawl tick)
+    w = Window.partitionBy(*keys).orderBy(
+        ts_col, *[F.col(c) for c in attr_cols]
+    )
+    opened = live.select(
         *keys,
         *attr_cols,
         F.col(ts_col).alias(valid_from),
         F.lead(ts_col).over(w).alias(valid_to),
     )
-    first_ts = updates.groupBy(*keys).agg(
+    first_ts = live.groupBy(*keys).agg(
         F.min(ts_col).alias("_close_at")
     )
-    current = dim.where(F.col(valid_to).isNull())
     closed_now = (
         current.join(first_ts, keys)
         .select(

@@ -53,18 +53,23 @@ def word_ngrams(
     toks = docs.select(
         F.col(id_col), normalized_tokens(F.col(text_col)).alias("_toks")
     )
+    # docs with fewer than n tokens emit NO grams (a shorter slice is
+    # not an n-gram); without the guard, sequence(0, greatest(sz-n,0))
+    # still yields i=0 and the whole short token list leaks out as a
+    # bogus sub-n gram
     return (
         toks.select(
             F.col(id_col),
             F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))
+                F.when(
+                    F.size("_toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_toks") - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_toks"), i + 1, n)
+                        ),
                     ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_toks"), i + 1, n)
-                    ),
-                )
+                ).otherwise(F.expr("cast(array() as array<string>)"))
             ).alias("gram"),
         )
         .where(F.length("gram") > 0)
@@ -741,16 +746,20 @@ def bm25_score(
     from the materialized inverted index instead of a corpus pass —
     same expression, precomputed inputs.
     """
-    toks = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         normalized_tokens(F.col(text_col)).alias("_toks"),
-    ).select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("token"))
+    )
+    toks = base.select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("token")
+    )
+    # N and avgdl are COLLECTION constants (Robertson/Sparck Jones):
+    # zero-token docs count toward both — computing them post-explode
+    # would silently shrink N and inflate every idf
     stats = F.broadcast(
-        toks.select("doc_id", "dl")
-        .distinct()
-        .agg(
+        base.agg(
             F.count(F.lit(1)).alias("_N"),
-            F.avg("dl").alias("_avgdl"),
+            F.avg(F.size("_toks")).alias("_avgdl"),
         )
     )
     qt = toks.where(F.col("token").isin(list(terms)))

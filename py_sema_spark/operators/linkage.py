@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .closure import connected_components
 from .dedup import normalized_tokens
-from .similarity import cosine
+from .similarity import dot, norm
 
 
 def detect_mentions(
@@ -111,9 +111,21 @@ def score_candidates(
             "emb_cos",
             F.when(
                 F.col("_evec").isNotNull() & F.col("_dvec").isNotNull(),
-                cosine(
-                    F.col("_evec").cast("array<double>"),
-                    F.col("_dvec").cast("array<double>"),
+                # a zero-norm vector (empty/OOV doc) makes cosine 0/0
+                # — a DIVIDE_BY_ZERO error under ANSI, NULL otherwise;
+                # either way it must degrade to "no embedding
+                # evidence" (0.0), not poison the fused score and drop
+                # the mention downstream
+                F.coalesce(
+                    F.try_divide(
+                        dot(
+                            F.col("_evec").cast("array<double>"),
+                            F.col("_dvec").cast("array<double>"),
+                        ),
+                        norm(F.col("_evec").cast("array<double>"))
+                        * norm(F.col("_dvec").cast("array<double>")),
+                    ),
+                    F.lit(0.0),
                 ),
             ).otherwise(F.lit(0.0)),
         )
@@ -319,9 +331,13 @@ def fuzzy_name_pairs(
     """
     if max_distance != 1:
         raise ValueError("fuzzy_name_pairs supports max_distance=1")
+    # NULL names carry no signal, but EMPTY names are legitimate
+    # strings within distance 1 of every single-char name — keep them
+    # (the brute-force contract includes them; sequence(1, 0) would
+    # yield a descending [1, 0] range, hence the explicit guard)
     base = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm")
-    ).where(F.length("_nm") > 0)
+    ).where(F.col("_nm").isNotNull())
     keyed = base.select(
         "_id",
         "_nm",
@@ -329,9 +345,11 @@ def fuzzy_name_pairs(
             F.concat(
                 F.array(F.col("_nm")),
                 F.expr(
+                    "case when char_length(_nm) > 0 then "
                     "transform(sequence(1, char_length(_nm)), i -> "
                     "concat(substring(_nm, 1, i-1), substring(_nm, i+1, "
-                    "2147483647)))"
+                    "2147483647))) "
+                    "else cast(array() as array<string>) end"
                 ),
             )
         ).alias("_k"),

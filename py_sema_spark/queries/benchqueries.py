@@ -1015,7 +1015,7 @@ WITH toklists AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(toks[i + 1 : i + 5], ' ') AS gram
-  FROM toklists, (SELECT unnest(range(0, greatest(len(toks) - 5, 0) + 1)) AS i)
+  FROM toklists, (SELECT unnest(range(0, greatest(len(toks) - 5 + 1, 0))) AS i)
   WHERE len(array_to_string(toks[i + 1 : i + 5], ' ')) > 0
 ),
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
@@ -1161,7 +1161,9 @@ SELECT source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(n_chars) AS BIGINT) / count(*) AS mean_chars
 FROM documents
-WHERE source NOT IN ('src3', 'src7')
+-- NULL-domain rows are NOT on the blocklist: mirror the operator's
+-- left_anti (NOT IN alone would evaluate NULL and drop the group)
+WHERE source IS NULL OR source NOT IN ('src3', 'src7')
 GROUP BY source
 """,
 )
@@ -1740,9 +1742,8 @@ _register(
     f"""
 WITH tl AS (SELECT doc_id, {TOKS} AS t FROM documents),
 toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tl),
-stats AS (
-  SELECT count(*) AS N, avg(dl) AS avgdl
-  FROM (SELECT DISTINCT doc_id, dl FROM toks)),
+-- collection constants over ALL docs (unnest would drop empty ones)
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM tl),
 tf AS (
   SELECT doc_id, token, count(*) AS tf, min(dl) AS dl
   FROM toks WHERE token IN ('spark', 'table', 'stream')
@@ -3426,7 +3427,7 @@ r AS (SELECT lang,
              round(pow(CAST(n AS DOUBLE) / mn.mn, -0.5::DOUBLE), 6) AS rate
       FROM c, mn),
 kept AS (
-  SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+  SELECT d.lang FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
   WHERE ('0x' || substring(md5('t0|' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
         / 4503599627370496.0 < r.rate)
 SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
@@ -3543,11 +3544,18 @@ up AS (
   UNION ALL
   SELECT c_custkey, c_acctbal + 1.0::DOUBLE, TIMESTAMP '2024-02-15'
   FROM customer WHERE c_custkey % 5 = 1),
+-- stale updates (ts < current valid_from) are dropped; equal-ts ties
+-- break on the attribute values — mirrors scd2_apply exactly
+live AS (
+  SELECT u.* FROM up u
+  LEFT JOIN (SELECT k, valid_from FROM dim WHERE valid_to IS NULL) c
+    ON u.k = c.k
+  WHERE c.valid_from IS NULL OR u.ts >= c.valid_from),
 opened AS (
   SELECT k, bal, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
-  FROM up),
-first_ts AS (SELECT k, min(ts) AS close_at FROM up GROUP BY k),
+         lead(ts) OVER (PARTITION BY k ORDER BY ts, bal) AS valid_to
+  FROM live),
+first_ts AS (SELECT k, min(ts) AS close_at FROM live GROUP BY k),
 closed AS (
   SELECT d.k, d.bal, d.valid_from, f.close_at AS valid_to
   FROM dim d JOIN first_ts f ON d.k = f.k WHERE d.valid_to IS NULL),

@@ -51,6 +51,21 @@ class TestDecontaminate:
         # doc 0 has 6 tokens → 4 distinct 3-grams
         assert {r.doc_id: r["count"] for r in grams}[0] == 4
 
+    def test_short_doc_emits_no_subngram(self, spark):
+        """A doc with fewer than n tokens has NO n-grams: before the
+        round-3 fix the whole token list leaked out as a bogus sub-n
+        gram, so a 4-token doc identical to a 4-token benchmark doc
+        was flagged contaminated under the 13-gram protocol."""
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        assert word_ngrams(docs, 5).count() == 0
+        row = decontaminate(docs, bench, n=5).first()
+        assert row.n_hits == 0 and not row.contaminated
+
     def test_benchmark_side_is_broadcast(self, spark, docs):
         plan = decontaminate(docs, docs.limit(2), n=5)._jdf.queryExecution(
         ).executedPlan().toString()
@@ -666,6 +681,26 @@ class TestBm25:
         assert rows[1] > rows[2]              # higher tf wins
         assert rows[3] > rows[2]              # length normalization
         assert all(s > 0 for s in rows.values())
+
+    def test_collection_constants_include_empty_docs(self, spark):
+        """N and avgdl are collection constants (Robertson): a
+        zero-token doc counts toward both. Pinned against the closed
+        form — N=3, avgdl=1.0, df=1 → idf=ln(8/3), and for d1 (tf=2,
+        dl=2): idf·(2·2.2)/(2+1.2·(0.25+0.75·2)) ≈ 1.052597."""
+        import math
+        from py_sema_spark.operators.curation import bm25_score
+
+        docs = spark.createDataFrame(
+            [(1, "spark spark"), (2, "table"), (3, "")],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r["score"]
+            for r in bm25_score(docs, ["spark"], top_k=10).collect()
+        }
+        idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+        want = round(round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 1.5)), 8), 6)
+        assert rows[1] == pytest.approx(want, abs=1e-6)
 
 
 class TestLengthOutlierFilter:

@@ -28,7 +28,11 @@ BUDGETS = {
     "weighted_pagerank": 10 + 2,
     "fuzzy_name_pairs": 6 + 2,
     "apply_changes": 10 + 2,
-    "scd2_apply": 16 + 2,
+    # +4 in round 3: the stale-update guard joins updates against the
+    # key's current valid_from BEFORE the chain window, and that
+    # (updates ⋈ current) subtree feeds two consumers (window +
+    # first_ts agg) — semantically required, delta-sized both sides
+    "scd2_apply": 20 + 2,
     "rolling_zscore": 2 + 2,
     "funnel_counts": 17 + 2,
     "temperature_rebalance": 9 + 2,

@@ -451,6 +451,27 @@ class TestLinkage:
         assert {r["s"] for r in out} == {"http://e/belcoast", "http://d/1"}
         assert [r["o"] for r in out if r["o_kind"] == "iri"] == ["http://e/belcoast"]
 
+    def test_zero_norm_embedding_degrades_to_dict_score(self, spark):
+        """A present but all-zero embedding makes cosine 0/0 → NULL;
+        that must fall back to the dictionary component (score =
+        dict_weight), not poison the fused score to NULL and drop the
+        mention at the downstream score >= threshold filter."""
+        from py_sema_spark.operators.linkage import score_candidates
+
+        mentions = spark.createDataFrame(
+            [(1, "acme", "http://e/acme")],
+            ["doc_id", "mention", "entity"],
+        )
+        evecs = spark.createDataFrame(
+            [("http://e/acme", [1.0, 0.0])], ["entity", "embedding"]
+        )
+        dvecs = spark.createDataFrame(
+            [(1, [0.0, 0.0])], ["doc_id", "embedding"]
+        )
+        row = score_candidates(mentions, evecs, dvecs).first()
+        assert row.emb_cos == 0.0
+        assert row.score == pytest.approx(0.5)
+
 
 class TestSparqlets:
     @pytest.fixture(scope="class")
@@ -1737,6 +1758,20 @@ class TestFuzzyNamePairs:
         rows = fuzzy_name_pairs(df).collect()
         assert len(rows) == 1 and rows[0].dist == 0
 
+    def test_empty_name_within_distance_one(self, spark):
+        """An empty name is a legitimate string at edit distance 1
+        from every single-char name; only NULL names are dropped.
+        Before the round-3 fix length(_nm) > 0 filtered both."""
+        from py_sema_spark.operators.linkage import fuzzy_name_pairs
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "x"), (3, None), (4, "xy")],
+            "id long, name string",
+        )
+        got = {(r.id_a, r.id_b): r.dist
+               for r in fuzzy_name_pairs(df).collect()}
+        assert got == {(1, 2): 1, (2, 4): 1}
+
 
 class TestApplyChanges:
     def test_upsert_delete_passthrough(self, spark):
@@ -1774,6 +1809,29 @@ class TestApplyChanges:
             "k long, v string, op string",
         )
         assert apply_changes(snap, chg, ["k"]).count() == 0
+
+    def test_null_key_replaced_and_delete_wins(self, spark):
+        """NULL key components behave as one ordinary key value: a
+        NULL-key upsert replaces the snapshot's NULL-key row and a
+        NULL-key delete wins. Null-unsafe joins would duplicate the
+        row and silently ignore the delete."""
+        from py_sema_spark.operators.cdc import apply_changes
+
+        snap = spark.createDataFrame(
+            [(None, "old"), (1, "a")], "k long, v string"
+        )
+        up = spark.createDataFrame(
+            [(None, "new", "upsert")], "k long, v string, op string"
+        )
+        got = {(r.k, r.v) for r in apply_changes(snap, up, ["k"]).collect()}
+        assert got == {(None, "new"), (1, "a")}
+
+        both = spark.createDataFrame(
+            [(None, "new", "upsert"), (None, "new", "delete")],
+            "k long, v string, op string",
+        )
+        got2 = {(r.k, r.v) for r in apply_changes(snap, both, ["k"]).collect()}
+        assert got2 == {(1, "a")}
 
 
 class TestScd2Apply:
@@ -1819,6 +1877,60 @@ class TestScd2Apply:
         cur = out.where(F.col("valid_to").isNull())
         assert cur.count() == 20
         assert cur.groupBy("k").count().where("count > 1").count() == 0
+
+    def test_stale_update_dropped_no_inverted_interval(self, spark):
+        """An update whose ts predates the key's current valid_from is
+        stale: splicing it would rewrite closed history, and closing
+        the current row before it opened would mint an inverted
+        interval [2024-03-01, 2024-02-01). It is dropped whole."""
+        import datetime as dt
+        from py_sema_spark.operators.cdc import scd2_apply
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        dim = spark.createDataFrame(
+            [(1, 10.0, t("2024-03-01"), None),
+             (1, 5.0, t("2024-01-01"), t("2024-03-01"))],
+            "k long, bal double, valid_from timestamp, valid_to timestamp",
+        )
+        ups = spark.createDataFrame(
+            [(1, 99.0, t("2024-02-01")),   # stale — inside closed history
+             (1, 11.0, t("2024-04-01"))],  # live
+            "k long, bal double, ts timestamp",
+        )
+        rows = {(r.k, r.bal, r.valid_from, r.valid_to)
+                for r in scd2_apply(dim, ups, ["k"]).collect()}
+        assert rows == {
+            (1, 5.0, t("2024-01-01"), t("2024-03-01")),
+            (1, 10.0, t("2024-03-01"), t("2024-04-01")),
+            (1, 11.0, t("2024-04-01"), None),
+        }
+        # no inverted interval anywhere
+        assert all(vf is None or vt is None or vf <= vt
+                   for _, _, vf, vt in rows)
+
+    def test_equal_ts_ties_chain_on_attribute_order(self, spark):
+        """Two updates in one tick chain deterministically by the
+        attribute values themselves (portable ordering — no
+        engine-private hash): the larger bal stays current."""
+        import datetime as dt
+        from py_sema_spark.operators.cdc import scd2_apply
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        dim = spark.createDataFrame(
+            [(1, 1.0, t("2024-01-01"), None)],
+            "k long, bal double, valid_from timestamp, valid_to timestamp",
+        )
+        ups = spark.createDataFrame(
+            [(1, 7.0, t("2024-02-01")), (1, 3.0, t("2024-02-01"))],
+            "k long, bal double, ts timestamp",
+        )
+        rows = {(r.bal, r.valid_from, r.valid_to)
+                for r in scd2_apply(dim, ups, ["k"]).collect()}
+        assert rows == {
+            (1.0, t("2024-01-01"), t("2024-02-01")),
+            (3.0, t("2024-02-01"), t("2024-02-01")),  # empty interval
+            (7.0, t("2024-02-01"), None),             # larger bal current
+        }
 
 
 class TestSortedNeighborhood:
