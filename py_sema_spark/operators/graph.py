@@ -52,6 +52,21 @@ def symmetric_adjacency(und: DataFrame, a: str = "_ca", b: str = "_cb") -> DataF
     )
 
 
+def non_null_edges(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Drop edges with a NULL endpoint. NULL is not a vertex: without
+    this, the PageRank family would count NULL in N and every round's
+    contribution aggregate would group real rank mass under node=NULL
+    where the equality join back to the node set silently drops it —
+    breaking mass conservation. (shortest_paths / closure already
+    filter; undirected_simple's ``a != b`` predicate drops NULLs as a
+    side effect.)"""
+    return edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    )
+
+
 def out_degrees(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
@@ -91,6 +106,7 @@ def pagerank(
     broadcast single-row frames. ``checkpoint_every`` bounds lineage
     exactly like the closure loop (`closure.py`).
     """
+    edges = non_null_edges(edges, src_col, dst_col)
     nodes = graph_nodes(edges, src_col, dst_col).localCheckpoint()
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     deg = out_degrees(edges, src_col, dst_col)
@@ -476,7 +492,8 @@ def hits(
     from .closure import _materialize
 
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        non_null_edges(edges, src_col, dst_col)
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .transform(_materialize)
     )
@@ -547,6 +564,7 @@ def trustrank(
     hash join, never a driver-side collect — seeds can be millions of
     rows on a real cluster.
     """
+    edges = non_null_edges(edges, src_col, dst_col)
     nodes = graph_nodes(edges, src_col, dst_col).localCheckpoint()
     seed_nodes = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -668,7 +686,7 @@ def neighbor_agg(
 def k_core(
     edges: DataFrame,
     k: int = 3,
-    rounds: int = 10,
+    rounds: int | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -677,18 +695,23 @@ def k_core(
     filter (seed selection for entity canonicalization, spam-farm
     detection in webtext link graphs).
 
-    Runs a FIXED number of peel rounds (not to-convergence) so the
-    unrolled-CTE SQL oracle computes the identical set; ``rounds``
-    bounds the cascade depth (each round is a full sweep — the
-    parallel/"bulk" peeling variant, which converges in far fewer
-    sweeps than the sequential textbook algorithm: a cascade only
-    survives a sweep if an entire chain lost exactly enough degree).
-    Tests pin a case where round r+1 differs from round r.
+    By default peels TO CONVERGENCE (sweep until no node drops) —
+    without the fixpoint check, a peeling cascade deeper than any
+    fixed round count leaves non-core survivors (a k=2 path graph
+    needs ~len/2 sweeps). Each sweep is the parallel/"bulk" variant,
+    which converges in far fewer sweeps than sequential textbook
+    peeling. Pass an explicit ``rounds`` for a FIXED sweep count —
+    the variant the unrolled-CTE SQL oracle mirrors bit-identically
+    (the bench fixture converges within its unroll depth, so the two
+    modes coincide there). Tests pin a case where round r+1 differs
+    from round r and a deep-cascade case fixed rounds would miss.
 
     Per round: two semi-joins restrict the symmetric edge list to
     live endpoints, then one count aggregate keyed on the center —
     all hash joins on node ids; the live set stays one narrow column
-    and is localCheckpoint-ed per round.
+    and is localCheckpoint-ed per round. Convergence mode adds one
+    driver-side count per sweep (same budget class as the closure
+    loop's isEmpty; sweep count is bounded by the cascade depth).
 
     Returns the surviving ``(node)`` frame.
     """
@@ -699,7 +722,9 @@ def k_core(
     alive = sym.select(F.col("c").alias("node")).distinct().transform(
         _materialize
     )
-    for _ in range(rounds):
+    prev_n = alive.count() if rounds is None else None
+    sweep = 0
+    while True:
         live_edges = sym.join(
             alive.withColumnRenamed("node", "c"), "c", "left_semi"
         ).join(alive.withColumnRenamed("node", "n"), "n", "left_semi")
@@ -710,6 +735,15 @@ def k_core(
             .select("node")
             .transform(_materialize)
         )
+        sweep += 1
+        if rounds is not None:
+            if sweep >= rounds:
+                break
+        else:
+            n = alive.count()
+            if n == prev_n or n == 0:
+                break
+            prev_n = n
     return alive
 
 
@@ -736,7 +770,8 @@ def weighted_pagerank(
     join), then each round is one join + one dst-keyed aggregate.
     """
     e = (
-        edges.select(
+        non_null_edges(edges, src_col, dst_col)
+        .select(
             F.col(src_col).alias("_src"),
             F.col(dst_col).alias("_dst"),
             F.col(weight_col).cast("double").alias("_w"),
@@ -823,16 +858,24 @@ def label_propagation(
     """
     from pyspark.sql.window import Window
 
-    d = edges.select(
+    raw = non_null_edges(edges, src_col, dst_col).select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    ).where(F.col("_s") != F.col("_d"))
+    )
+    d = raw.where(F.col("_s") != F.col("_d"))
     und = (
         d.unionByName(d.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = und.select(F.col("_s").alias("node")).distinct().localCheckpoint(
-        eager=False
+    # node universe from the RAW edges (pre self-loop drop): published
+    # LPA assigns every vertex a community, so a node whose only
+    # incident edges are self-loops keeps its own label rather than
+    # vanishing from the assignment
+    nodes = (
+        raw.select(F.col("_s").alias("node"))
+        .unionByName(raw.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))

@@ -61,6 +61,11 @@ def first_per_key(
 ) -> DataFrame:
     """F1 — keep the first record per key under an explicit order
     (the FilteringSource ``seen``-set with order pinned)."""
+    if "_rn" in df.columns:
+        # same contract as asof_join: never silently overwrite-and-
+        # drop a user column that collides with an internal name
+        raise ValueError("first_per_key: input column _rn collides "
+                         "with an internal name")
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -121,6 +126,9 @@ def unique_by_pattern(
 ) -> DataFrame:
     """First record per expanded unique-pattern key, in source order —
     the distributed FilteringSource."""
+    if "_ukey" in df.columns:
+        raise ValueError("unique_by_pattern: input column _ukey "
+                         "collides with an internal name")
     return first_per_key(
         df.withColumn("_ukey", unique_pattern_key_col(pattern)),
         ["_ukey"],
@@ -211,8 +219,10 @@ def asof_join(
     Returns all left columns plus ``<value><suffix>`` for each
     requested right value column.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
-    reserved = {"_ts", "_src", "_tb"} | {f"_rv_{v}" for v in value_cols}
+    reserved = {"_ts", "_src", "_tb", "_rrow", "_last_r"}
     clash = reserved & set(lcols)
     if clash:
         raise ValueError(
@@ -224,15 +234,20 @@ def asof_join(
         else [F.lit(0).alias("_tb")]
     )
     rschema = dict(zip(right.schema.names, right.schema.fields))
+    # the matched right ROW rides as one struct (non-null for every
+    # right row, even when its value columns are NULL) so the
+    # carry-forward below honors a matched row's NULL value — carrying
+    # raw values with ignorenulls would skip past it to a stale older
+    # value, which is not merge_asof semantics
+    rstruct = T.StructType(
+        [T.StructField(v, rschema[v].dataType) for v in value_cols]
+    )
     u_l = left.select(
         *lcols,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_src"),
         *tb,
-        *[
-            F.lit(None).cast(rschema[v].dataType).alias(f"_rv_{v}")
-            for v in value_cols
-        ],
+        F.lit(None).cast(rstruct).alias("_rrow"),
     )
     # a right row with no timestamp can never be "the most recent at
     # or before" anything — NULLs sort first ascending and would
@@ -252,21 +267,22 @@ def asof_join(
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_src"),
         *tb,
-        *[F.col(v).alias(f"_rv_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("_rrow"),
     )
     w = (
         Window.partitionBy(on)
         .orderBy("_ts", "_src", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u_l.unionByName(u_r, allowMissingColumns=False)
-    for v in value_cols:
-        filled = filled.withColumn(
-            f"{v}{suffix}",
-            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w),
-        )
+    filled = u_l.unionByName(u_r, allowMissingColumns=False).withColumn(
+        "_last_r", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
     return filled.where(F.col("_src") == 1).select(
-        *lcols, *[f"{v}{suffix}" for v in value_cols]
+        *lcols,
+        *[
+            F.col("_last_r").getField(v).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
     )
 
 

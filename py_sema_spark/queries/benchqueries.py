@@ -246,7 +246,13 @@ edges AS (
 paths(src, dst, dist) AS (
   SELECT src, dst, 1 FROM edges
   UNION
+  -- dist < 64 is a cycle guard: carrying dist in the row means a
+  -- cyclic edge slice never reaches a UNION fixpoint (each lap mints
+  -- new (src,dst,dist+k) rows) — the Spark operator's anti-join
+  -- fixpoint terminates on cycles natively; fixture taxonomy depth
+  -- is << 64 so results are unchanged
   SELECT p.src, e.dst, p.dist + 1 FROM paths p JOIN edges e ON p.dst = e.src
+  WHERE p.dist < 64
 ),
 closure AS (
   SELECT src, dst, min(dist) AS dist FROM paths GROUP BY src, dst
@@ -466,7 +472,9 @@ SELECT event_id, user_id,
        (row_number() OVER w = 1) AS is_first,
        (lead(1) OVER w IS NULL) AS is_last
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+-- NULLS FIRST: Spark's ascending default; DuckDB defaults nulls_last
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 """,
 )
 
@@ -563,7 +571,7 @@ WITH e AS (
   SELECT event_id, user_id, ts,
          epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ),
 s AS (
   SELECT event_id, user_id, ts,
@@ -573,7 +581,8 @@ s AS (
 SELECT event_id, user_id, is_session_start,
        concat(CAST(user_id AS VARCHAR), '#',
               CAST(sum(CASE WHEN is_session_start THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                          ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS session_id
 FROM s
 """,
@@ -587,14 +596,14 @@ WITH e AS (
   SELECT event_id, user_id, ts,
          epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ),
 s AS (
   SELECT event_id, user_id, ts,
          concat(CAST(user_id AS VARCHAR), '#',
                 CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                               THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                            ROWS UNBOUNDED PRECEDING) AS VARCHAR)) AS session_id
   FROM e
 )
@@ -627,17 +636,20 @@ _register(
     """
 WITH u AS (
   SELECT event_id, user_id, ts, 1 AS src, event_id AS tb,
-         CAST(NULL AS DOUBLE) AS v
+         CAST(NULL AS STRUCT(v DOUBLE)) AS r
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT NULL, user_id, ts, 0, event_id, value
-  FROM events WHERE event_type = 'view'
+  -- right rows with NULL ts can never match (mirrors the operator's
+  -- filter); the matched ROW rides as a struct so its NULL value is
+  -- honored instead of IGNORE NULLS skipping to a stale older value
+  SELECT NULL, user_id, ts, 0, event_id, struct_pack(v := value)
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 ),
 c AS (
   SELECT event_id, user_id, src,
-         last_value(v IGNORE NULLS) OVER (
-           PARTITION BY user_id ORDER BY ts, src, tb
-           ROWS UNBOUNDED PRECEDING) AS value_asof
+         (last_value(r IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, src, tb
+           ROWS UNBOUNDED PRECEDING)).v AS value_asof
   FROM u
 )
 SELECT event_id, user_id, value_asof FROM c WHERE src = 1
@@ -652,7 +664,8 @@ _register(
     """
 SELECT event_id, user_id, event_type FROM (
   SELECT event_id, user_id, event_type,
-         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
   FROM events
 ) WHERE rn = 1
 """,
@@ -2398,8 +2411,15 @@ _register(
     "connected_components",
     _cc,
     # chains doc_id → doc_id−1 within decades ⇒ component = min of the
-    # decade; a closed form the recursive operator must agree with
-    "SELECT doc_id AS node, (doc_id // 10) * 10 AS comp FROM documents",
+    # decade; node universe = edge endpoints (NOT all doc_ids — the
+    # operator only sees nodes incident to an edge, and a doc count
+    # ≡ 1 mod 10 would leave the max doc isolated and absent)
+    """
+WITH e AS (SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+           WHERE doc_id % 10 <> 0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT node, (node // 10) * 10 AS comp FROM nodes
+""",
 )
 
 _register(
@@ -3644,7 +3664,7 @@ WITH scored AS (
          stddev_samp(value) OVER w AS sd,
          value
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
 SELECT event_id, round((value - mu) / sd, 6) AS z,
        abs(round((value - mu) / sd, 6)) > 3.0::DOUBLE AS is_anomaly
@@ -4397,7 +4417,11 @@ raw AS ({_hash_edges_sql(src="s", dst="d")}),
 und AS (SELECT DISTINCT s, d FROM (
   SELECT s, d FROM raw WHERE s <> d
   UNION ALL SELECT d, s FROM raw WHERE s <> d)),
-nodes AS (SELECT DISTINCT s AS node FROM und),
+-- node universe from RAW edges: a node whose only incident edges are
+-- self-loops still gets a community (its own label) — mirrors the
+-- operator
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT s AS node FROM raw UNION ALL SELECT d FROM raw)),
 l0 AS (SELECT node, node AS label FROM nodes)"""
     body = ""
     for k in range(1, iterations + 1):

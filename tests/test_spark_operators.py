@@ -1311,6 +1311,36 @@ class TestAsofJoin:
         assert out[103] == 2.0           # newer view wins
         assert out[104] is None          # other user: no views at all
 
+    def test_matched_row_null_value_is_honored(self, spark):
+        """merge_asof matches the latest right ROW: if that row's
+        value is NULL, the result is NULL — not a carried-forward
+        stale older value (the pre-round-3 ignorenulls bug)."""
+        import datetime as dt
+
+        from py_sema_spark.operators.windows import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda sec: t0 + dt.timedelta(seconds=sec)
+        clicks = spark.createDataFrame(
+            [(100, 1, s(6))], ["event_id", "user_id", "ts"]
+        )
+        views = spark.createDataFrame(
+            [(1, s(0), 200, 5.0), (1, s(5), 201, None)],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        row = asof_join(
+            clicks, views, on="user_id", ts_col="ts",
+            value_cols=["value"], tiebreak_col="event_id",
+        ).first()
+        assert row.value_asof is None
+
+    def test_internal_name_collision_raises(self, spark):
+        from py_sema_spark.operators.windows import first_per_key
+
+        df = spark.createDataFrame([(1, 2)], "k long, _rn long")
+        with pytest.raises(ValueError, match="_rn"):
+            first_per_key(df, ["k"], ["_rn"])
+
 
 class TestCommonNeighbors:
     def test_hand_computed_scores_and_adjacency_exclusion(self, spark):
@@ -1717,6 +1747,51 @@ class TestKCore:
             [("a", "b"), ("b", "c")], "src string, dst string"
         )
         assert k_core(edges, k=3, rounds=4).count() == 0
+
+    def test_default_converges_past_any_fixed_round_count(self, spark):
+        """A 25-node path at k=2 peels one endpoint layer per bulk
+        sweep (~12 sweeps to the empty 2-core); the convergence
+        default must reach the true (empty) core where a fixed
+        rounds=10 run still reports phantom survivors."""
+        from py_sema_spark.operators.graph import k_core
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(24)], "src long, dst long"
+        )
+        assert k_core(edges, k=2).count() == 0          # converged
+        assert k_core(edges, k=2, rounds=10).count() > 0  # fixed-round gap
+
+
+class TestGraphDegenerateInputs:
+    def test_pagerank_null_endpoint_mass_conserved(self, spark):
+        """NULL is not a vertex: edges touching NULL drop, N counts
+        real nodes only, and total rank mass stays 1 (before the
+        round-3 fix, node 2's whole contribution grouped under NULL
+        and vanished at the join back to the node set)."""
+        from py_sema_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, None)], "src long, dst long"
+        )
+        rows = pagerank(edges, iterations=5).collect()
+        assert {r.node for r in rows} == {1, 2}
+        assert sum(r.rank for r in rows) == pytest.approx(1.0)
+
+    def test_label_propagation_keeps_self_loop_only_node(self, spark):
+        """Published LPA assigns every vertex a community: a node
+        whose only incident edge is a self-loop keeps its own label
+        instead of vanishing from the assignment."""
+        from py_sema_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(5, 5), (1, 2)], "src long, dst long"
+        )
+        got = {r.node: r.label
+               for r in label_propagation(edges, iterations=2).collect()}
+        # the 1–2 pair oscillates under synchronous sweeps (expected);
+        # the pinned property is node 5's presence with its own label
+        assert set(got) == {1, 2, 5}
+        assert got[5] == 5
 
 
 class TestFuzzyNamePairs:
