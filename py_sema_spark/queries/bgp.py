@@ -54,7 +54,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sparql_expr import Resolver, parse_expr
+from .sparql_expr import XSD_STRING, Resolver, parse_expr
 
 _TERM_RE = re.compile(
     r"""\?(?P<var>[A-Za-z_][A-Za-z0-9_]*)
@@ -580,6 +580,14 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         subselects.append(sm.group(1).strip())
         where = where[: sm.start()] + " " + where[sm.end() :]
 
+    # The group extractors below are brace-blind regexes ([^{}]*
+    # bodies) applied in a fixed order. A group NESTED inside another
+    # (EXISTS inside OPTIONAL, OPTIONAL inside a UNION branch, GRAPH
+    # inside OPTIONAL, …) would be extracted from the inside out and
+    # silently hoisted to top-level scope — wrong results, not an
+    # error. Refuse loudly instead.
+    _reject_nested_groups(where)
+
     # GRAPH ?g { … } | GRAPH <iri> { … } — named-graph blocks over a
     # quads table (g column). Extracted first (brace-delimited).
     graphs: List[Tuple[Term, list]] = []
@@ -738,6 +746,48 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 # ---------------------------------------------------------------------
 
 
+_GROUP_KEYWORDS = re.compile(
+    r"(?is)\b(OPTIONAL|MINUS|UNION|GRAPH|EXISTS|VALUES)\b"
+)
+_GROUP_OPENERS = re.compile(
+    r"(?is)\b(OPTIONAL|MINUS|(?:NOT\s+)?EXISTS"
+    r"|GRAPH\s+(?:\?[A-Za-z_]\w*|<[^>]*>|[A-Za-z_][\w.-]*:[\w.%-]*))\s*\{"
+    r"|\{"
+)
+
+
+def _reject_nested_groups(where: str) -> None:
+    """SPARQL group scoping guard: every brace-delimited group this
+    compiler extracts must be flat (no nested ``{`` and no further
+    group keyword inside), because the extraction regexes are applied
+    to the whole WHERE text in a fixed order and would hoist an inner
+    group out of its enclosing scope (e.g. FILTER EXISTS inside
+    OPTIONAL would gate the WHOLE solution set instead of the optional
+    extension). Sub-SELECTs are extracted before this check runs."""
+    for m in _GROUP_OPENERS.finditer(where):
+        start = m.end() - 1  # the '{'
+        depth = 0
+        for j in range(start, len(where)):
+            ch = where[j]
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    body = where[start + 1 : j]
+                    kw = _GROUP_KEYWORDS.search(body)
+                    if "{" in body or kw:
+                        raise NotImplementedError(
+                            "nested group "
+                            f"({(kw.group(1) if kw else '{…}').upper()}) "
+                            "inside a brace-delimited block is not "
+                            "supported by this compiler (flat groups "
+                            "only — the extractor would hoist it out "
+                            "of scope)"
+                        )
+                    break
+
+
 def _compile_patterns(
     triples: DataFrame,
     patterns: Sequence[Tuple[Term, Path | Term, Term]],
@@ -752,18 +802,35 @@ def _compile_patterns(
     variable's name when the block is ``GRAPH ?g`` — property-path
     patterns need it to keep their closure per-graph."""
     plan = None
+    gates: List[str] = []
     for i, (s, p, o) in enumerate(patterns):
         if isinstance(p, Path) and not p.is_simple_iri:
             part = _compile_path_pattern(triples, s, p, o, gvar)
+            if part.columns == ["_pmatch"]:
+                # uniquify the all-constant-path existence gate so two
+                # groups' gates can never collide into a join key
+                gname = f"_pmatch_{tag}{i}"
+                part = part.withColumnRenamed("_pmatch", gname)
+                gates.append(gname)
         else:
             pred = Term("iri", p.args) if isinstance(p, Path) else p
             part = _compile_triple(
                 triples, s, pred, o, needs, f"{tag}{i}", extra
             )
+            if part.columns == [f"_m{tag}{i}"]:
+                gates.append(f"_m{tag}{i}")
         if plan is None:
             plan = part
         elif part is not None:
             plan = _join_shared(plan, part)
+    # existence gates have done their job (the 0-or-1-row cross join
+    # already gated the group); dropping them keeps internal columns
+    # from leaking into cross-group joins. A group that is ONLY gates
+    # keeps them — the caller still needs a frame to gate on.
+    if plan is not None and gates:
+        keep = [c for c in plan.columns if c not in gates]
+        if keep:
+            plan = plan.drop(*gates)
     return plan
 
 
@@ -824,6 +891,23 @@ def _compile_path_pattern(
             F.struct(F.col("g").alias("g"), F.col("o").alias("v")).alias("o"),
         )
     pairs = _compile_path(triples, path)
+    # SPARQL §18.4 ALP: a zero-length path evaluates from the given
+    # term ITSELF, even when that term appears nowhere in the graph —
+    # the closure's zero-length component only pairs graph terms, so a
+    # constant endpoint absent from the data needs its reflexive row
+    # added (ASK { <x> <p>* <x> } is true for any <x>). GRAPH-var mode
+    # skips this: zero-length inside GRAPH ?g has no graph to bind.
+    if gvar is None and path.op in ("star", "opt"):
+        const = None
+        if s.kind != "var":
+            const = s.value
+        elif o.kind != "var":
+            const = o.value
+        if const is not None:
+            refl = triples.sparkSession.createDataFrame(
+                [(const, const)], "src string, dst string"
+            )
+            pairs = pairs.unionByName(refl).distinct()
     cols = []
     if gvar is not None:
         # src.g == dst.g by construction (every path join matched the
@@ -841,7 +925,12 @@ def _compile_path_pattern(
     if o.kind == "var":
         if s.kind == "var" and o.value == s.value:
             pairs = pairs.where(F.col("src") == F.col("dst"))
-            cols = [F.col("src").alias(s.value)]
+            # keep the GRAPH ?g binding (cols[0]) — rebuilding the
+            # list from scratch dropped it, so ?g either failed
+            # projection or silently stopped keying downstream joins
+            cols = ([F.col(gvar)] if gvar is not None else []) + [
+                F.col("src").alias(s.value)
+            ]
         else:
             cols.append(F.col("dst").alias(o.value))
     else:
@@ -903,8 +992,20 @@ def _compile_triple(
             )
             if term.lang:
                 df = df.where(F.col("o_lang") == term.lang)
-            if term.dt:
+            elif term.dt and term.dt != XSD_STRING:
                 df = df.where(F.col("o_datatype") == term.dt)
+            else:
+                # plain literal (≡ xsd:string per RDF 1.1): BGP
+                # matching is RDF-term equality — "chat" must NOT
+                # match "chat"@en or "chat"^^xsd:token just because
+                # the lexical forms coincide
+                df = df.where(
+                    F.col("o_lang").isNull()
+                    & (
+                        F.col("o_datatype").isNull()
+                        | (F.col("o_datatype") == XSD_STRING)
+                    )
+                )
     # repeated variable within one pattern → equality filter
     names = [t.value for t in (s, p, o) if t.kind == "var"]
     if len(set(names)) != len(names):
@@ -1391,11 +1492,27 @@ def bgp_select(
             _compile_patterns(triples, g, needs, tag=f"u{k}")
             for k, g in enumerate(q["unions"])
         ]
+        # an empty branch ({} UNION {…}) contributes one empty
+        # solution — a single all-NULL-padded row, not a crash
+        branches = [
+            b if b is not None else triples.sparkSession.range(1).select()
+            for b in branches
+        ]
         all_cols: List[str] = []
         for b in branches:
             for c in b.columns:
                 if c not in all_cols:
                     all_cols.append(c)
+        # vars not bound by EVERY branch are NULL-padded below; a
+        # base-pattern join on such a var would need SPARQL
+        # compatible-mapping semantics (unbound joins with anything,
+        # output merges the bound value) — not an equi-join. Refuse
+        # loudly rather than silently dropping the padded solutions.
+        padded = {
+            c
+            for c in all_cols
+            if any(c not in b.columns for b in branches) and "__" not in c
+        }
         aligned = []
         for b in branches:
             for c in all_cols:
@@ -1408,8 +1525,18 @@ def bgp_select(
         if plan is None:
             plan = ublock
         else:
-            shared = [c for c in plan.columns if c in ublock.columns]
-            plan = plan.join(ublock, shared) if shared else plan.crossJoin(ublock)
+            clash = padded & {c for c in plan.columns}
+            if clash:
+                raise NotImplementedError(
+                    "UNION branches bind variable(s) "
+                    f"{sorted(clash)} only in some branches while the "
+                    "base pattern also binds them; compatible-mapping "
+                    "join is not supported"
+                )
+            # _join_shared, NOT a plain join: companion __lang/__dt
+            # columns are legitimately NULL and must compare null-
+            # safely (a plain key would drop every plain-literal row)
+            plan = _join_shared(plan, ublock)
 
     values_vars, values_rows = q["values"]
     if values_vars:
@@ -1428,16 +1555,27 @@ def bgp_select(
             )
 
     if plan is None:
-        raise ValueError("empty WHERE clause")
+        # SPARQL: the empty group pattern has exactly ONE solution
+        # (the empty mapping) — ASK {} is true, SELECT * WHERE {}
+        # yields one row binding nothing
+        plan = triples.sparkSession.range(1).select()
 
-    for group in q["optionals"]:
-        sub = _compile_patterns(triples, group, needs, tag="o")
+    # per-group tags: two OPTIONAL groups each containing an all-
+    # constant pattern would otherwise both emit an existence-gate
+    # column named _mo0, which the second group's _join_shared would
+    # treat as a spurious (and never-matching) join key
+    for k, group in enumerate(q["optionals"]):
+        sub = _compile_patterns(triples, group, needs, tag=f"o{k}_")
+        if sub is None:
+            continue  # OPTIONAL {} extends nothing — no-op
         if not any(c in plan.columns for c in sub.columns):
             raise ValueError("OPTIONAL group shares no variable with base")
         plan = _join_shared(plan, sub, "left")
 
-    for group in q["minuses"]:
-        sub = _compile_patterns(triples, group, needs, tag="m")
+    for k, group in enumerate(q["minuses"]):
+        sub = _compile_patterns(triples, group, needs, tag=f"m{k}_")
+        if sub is None:
+            continue  # MINUS {}: empty domain is disjoint — removes nothing
         shared = [c for c in plan.columns if c in sub.columns]
         # SPARQL §8.3: MINUS with disjoint domains removes nothing
         if shared:
@@ -1449,14 +1587,25 @@ def bgp_select(
     for e, _needs, _evars, alias in q["binds"]:
         plan = plan.withColumn(alias, e.col(resolver))
 
-    for f in q["filters"]:
+    for fk, f in enumerate(q["filters"]):
         if f.kind == "expr":
             missing = [v for v in f.vars if v not in plan.columns]
             if missing:
-                raise ValueError(f"FILTER references unbound vars: {missing}")
+                # SPARQL 17.2: an unbound variable makes the
+                # expression a type error, and FILTER treats errors as
+                # false — every solution is removed (NOT a query
+                # error: conformant endpoints return an empty result)
+                plan = plan.where(F.lit(False))
+                continue
             plan = plan.where(f.expr.col(resolver))
         else:
-            sub = _compile_patterns(triples, f.group, {}, tag="x")
+            sub = _compile_patterns(triples, f.group, {}, tag=f"x{fk}_")
+            if sub is None:
+                # EXISTS {} is true for every solution; NOT EXISTS {}
+                # false for every solution
+                if f.kind == "not_exists":
+                    plan = plan.where(F.lit(False))
+                continue
             shared = [c for c in plan.columns if c in sub.columns]
             if not shared:
                 raise ValueError("EXISTS group shares no variable with base")
@@ -1522,12 +1671,19 @@ def bgp_select(
     if q["distinct"]:
         out = out.distinct()
     if q["order_by"]:
-        out = out.orderBy(
-            *[
-                F.col(v).desc() if desc else F.col(v).asc()
-                for v, desc in q["order_by"]
-            ]
-        )
+        # SPARQL 15.1 orders numeric literals by VALUE; the value
+        # columns are strings, so a bare string sort would yield
+        # "10" < "2" < "9". Composite key: numeric interpretation
+        # first (numbers sort by value, before all non-numerics —
+        # a conformant consistent total order), lexical as tiebreak.
+        keys = []
+        for v, desc in q["order_by"]:
+            num = F.col(v).try_cast("double")
+            if desc:
+                keys += [num.desc_nulls_first(), F.col(v).desc()]
+            else:
+                keys += [num.asc_nulls_last(), F.col(v).asc()]
+        out = out.orderBy(*keys)
     if q["offset"] is not None:
         out = out.offset(q["offset"])
     if q["limit"] is not None:

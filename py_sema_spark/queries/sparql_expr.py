@@ -253,6 +253,9 @@ class _Parser:
                     self._need(name, "lang")
                 elif "dt" in lit_side.meta:
                     self._need(name, "dt")
+                elif "plain" in lit_side.meta:
+                    self._need(name, "lang")
+                    self._need(name, "dt")
 
         def _term_extra(r: Resolver) -> Column | None:
             """var =/!= tagged-or-typed literal: RDF-term equality also
@@ -267,6 +270,13 @@ class _Parser:
                         "lang"].lower()
                 if "dt" in lit_side.meta:
                     return r.dt(name).eqNullSafe(F.lit(lit_side.meta["dt"]))
+                if "plain" in lit_side.meta:
+                    # plain literal ≡ xsd:string: the var must carry no
+                    # lang tag and no (non-string) datatype
+                    return (r.lang(name) == "") & (
+                        r.dt(name).isNull()
+                        | (r.dt(name) == XSD_STRING)
+                    )
             return None
 
         def _cmp(r: Resolver, l=l, rr=rr, op=op, numeric=numeric) -> Column:
@@ -349,6 +359,12 @@ class _Parser:
                 meta["lang"] = tok.lang
             elif tok.dt:
                 meta["dt"] = self._expand_dt(tok.dt)
+            else:
+                # a PLAIN string literal (≡ xsd:string): = / != against
+                # a var must also check the var carries no lang tag and
+                # no non-string datatype (RDFterm-equal) — "chat"@en is
+                # NOT equal to plain "chat"
+                meta["plain"] = True
             return Expr(lambda r, v=tok.value: F.lit(v), "str", meta)
         if tok.kind == "number":
             v = float(tok.value) if "." in tok.value or "e" in tok.value.lower() else int(tok.value)

@@ -128,15 +128,38 @@ class TestListsAndSugar:
         assert [x[0] for x in r] == ["urn:c:1"]
 
     def test_object_list(self, triples):
-        # ?o1, ?o2 both range over the subject's prefLabels
+        # ?o1, ?o2 both range over the subject's prefLabels; the
+        # stored literal is "Alpha"@en, so the pattern literal must
+        # carry the tag (RDF-term equality)
         r = rows(
             bgp_select(
                 triples,
-                'SELECT ?s WHERE { ?s skos:prefLabel "Alpha" , ?any . }',
+                'SELECT ?s WHERE { ?s skos:prefLabel "Alpha"@en , ?any . }',
                 PFX,
             )
         )
         assert [x[0] for x in r] == ["urn:c:1"]
+
+    def test_plain_literal_does_not_match_tagged(self, triples):
+        """BGP matching is RDF-term equality: plain "Alpha" must NOT
+        match "Alpha"@en just because the lexical forms coincide."""
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s WHERE { ?s skos:prefLabel "Alpha" . }',
+                PFX,
+            )
+        )
+        assert r == []
+        # the untagged dc:identifier literal still matches plainly
+        r2 = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s WHERE { ?s dc:identifier "G3" . }',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r2] == ["urn:c:3"]
 
 
 class TestExpressions:
@@ -846,3 +869,126 @@ class TestTermEqualityFilters:
             'FILTER(?v = "5"^^<http://www.w3.org/2001/XMLSchema#integer>) }',
         )
         assert rows(out) == [("urn:a",)]
+
+
+class TestRound3CompilerFixes:
+    """Pins for the round-3 SPARQL-semantics review findings."""
+
+    def test_filter_eq_plain_literal_ignores_tagged(self, triples):
+        """RDFterm-equal: "Alpha"@en = "Alpha" is a type error → false
+        (17.4.1.7); only the tagged compare matches."""
+        r = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s WHERE { ?s skos:prefLabel ?l . FILTER(?l = "Alpha") }',
+                PFX,
+            )
+        )
+        assert r == []
+        r2 = rows(
+            bgp_select(
+                triples,
+                'SELECT ?s WHERE { ?s skos:prefLabel ?l . '
+                'FILTER(?l = "Alpha"@en) }',
+                PFX,
+            )
+        )
+        assert [x[0] for x in r2] == ["urn:c:1"]
+
+    def test_nested_group_rejected_loudly(self, triples):
+        """An EXISTS inside OPTIONAL would be regex-hoisted to the
+        outer scope (silently gating the whole solution set) — the
+        compiler must refuse it instead."""
+        with pytest.raises(NotImplementedError, match="nested group"):
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s a skos:Concept OPTIONAL { "
+                "?s skos:prefLabel ?l FILTER EXISTS { ?s skos:broader ?b } } }",
+                PFX,
+            )
+
+    def test_unbound_filter_var_yields_empty_not_error(self, triples):
+        """17.2: an unbound variable is a type error; FILTER treats
+        errors as false — empty result, not a query failure."""
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s WHERE { ?s a skos:Concept . FILTER(?nope > 1) }",
+                PFX,
+            )
+        )
+        assert r == []
+
+    def test_order_by_numeric_value_not_lexicographic(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:age", "2", "literal", None, None),
+                ("urn:b", "urn:age", "9", "literal", None, None),
+                ("urn:c", "urn:age", "10", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df, "SELECT ?n WHERE { ?s <urn:age> ?n } ORDER BY ?n"
+        ).collect()
+        assert [r.n for r in out] == ["2", "9", "10"]
+        out_d = bgp_select(
+            df, "SELECT ?n WHERE { ?s <urn:age> ?n } ORDER BY DESC(?n)"
+        ).collect()
+        assert [r.n for r in out_d] == ["10", "9", "2"]
+
+    def test_zero_length_path_out_of_graph_constant(self, triples):
+        """§18.4 ALP: ZeroOrMorePath evaluates from the given term
+        itself, even when it appears nowhere in the graph."""
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?x WHERE { <urn:absent> skos:broader* ?x }",
+                PFX,
+            )
+        )
+        assert r == [("urn:absent",)]
+
+    def test_two_optionals_with_constant_gates_do_not_collide(self, triples):
+        """Two OPTIONAL groups each opening with an all-constant
+        triple used to both emit a gate column _mo0, which the second
+        group's join treated as a never-matching key."""
+        r = rows(
+            bgp_select(
+                triples,
+                "SELECT ?s ?l1 ?l2 WHERE { ?s a skos:Concept "
+                "OPTIONAL { <urn:col:1> skos:member <urn:c:1> . "
+                "?s skos:prefLabel ?l1 } "
+                "OPTIONAL { <urn:col:1> skos:member <urn:c:2> . "
+                "?s skos:altLabel ?l2 } }",
+                PFX,
+            )
+        )
+        assert ("urn:c:1", "Alpha", "A") in r
+
+    def test_graph_var_same_var_path_keeps_g(self, spark):
+        """GRAPH ?g { ?x <p>+ ?x }: the ?g binding must survive the
+        same-variable endpoint rebuild."""
+        quads = spark.createDataFrame(
+            [
+                ("urn:g1", "urn:a", "http://ex/p", "urn:b", "iri", None, None),
+                ("urn:g1", "urn:b", "http://ex/p", "urn:a", "iri", None, None),
+                ("urn:g2", "urn:a", "http://ex/p", "urn:z", "iri", None, None),
+            ],
+            "g string, s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        got = sorted(
+            (r.g, r.x)
+            for r in bgp_select(
+                quads,
+                "SELECT ?g ?x WHERE { GRAPH ?g { ?x <http://ex/p>+ ?x } }",
+            ).collect()
+        )
+        assert got == [("urn:g1", "urn:a"), ("urn:g1", "urn:b")]
+
+    def test_empty_where_is_one_empty_solution(self, triples):
+        from py_sema_spark.queries.bgp import bgp_ask
+
+        assert bgp_ask(triples, "ASK WHERE { }").first().ask is True
