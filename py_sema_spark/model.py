@@ -87,11 +87,26 @@ def skolemize(df: DataFrame, src_col: str = "src_url") -> DataFrame:
     """
 
     def _sk(col: Column) -> Column:
+        # escape the delimiter inside the parts before joining:
+        # ('http://x/a|b', '_:c') and ('http://x/a', 'b|_:c') must NOT
+        # hash the same — pipes are legal (and common unencoded) in
+        # crawled URLs
+        def _esc(c: Column) -> Column:
+            return F.replace(
+                F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                F.lit("|"),
+                F.lit("\\|"),
+            )
+
         return F.concat(
             F.lit("urn:skolem:"),
             F.substring(
                 F.sha2(
-                    F.concat_ws("|", F.coalesce(F.col(src_col), F.lit("")), col),
+                    F.concat_ws(
+                        "|",
+                        _esc(F.coalesce(F.col(src_col), F.lit(""))),
+                        _esc(col),
+                    ),
                     256,
                 ),
                 1,
@@ -298,20 +313,61 @@ class GraphRegistry:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._pointer = path + "_CURRENT"
+
+    def _current_dir(self):
+        import os
+
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as fh:
+                name = fh.read().strip()
+            if name:
+                return os.path.join(self.path + "_versions", name)
+        import os.path as _p
+
+        # legacy layout: the parquet dir itself (pre-pointer registries)
+        return self.path if _p.exists(self.path) else None
 
     def load(self) -> DataFrame:
-        # Only a missing path means "empty registry". Any other read
-        # failure (corrupt part-file, permissions) must propagate:
-        # swallowing it would make the next touch() overwrite the
-        # registry with only the newly-touched rows, silently wiping
-        # every other graph's lastmod.
-        try:
-            return self.spark.read.schema(self.SCHEMA).parquet(self.path)
-        except Exception as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return self.spark.createDataFrame([], self.SCHEMA)
-            raise
+        # Only a missing registry means "empty". Any other read
+        # failure (corrupt part-file, dangling pointer, permissions)
+        # must propagate: swallowing it would make the next touch()
+        # overwrite the registry with only the newly-touched rows,
+        # silently wiping every other graph's lastmod.
+        cur = self._current_dir()
+        if cur is None:
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.spark.read.schema(self.SCHEMA).parquet(cur)
+
+    def _commit(self, rows) -> None:
+        """Versioned commit: write the new snapshot to a fresh dir,
+        then atomically swing the pointer file (os.replace). A plain
+        ``mode("overwrite")`` on the live path is delete-then-write —
+        a concurrent load() in that window sees an EMPTY registry and
+        the next touch() persists the wipe; a crash mid-write loses
+        the registry entirely. Concurrent touches remain last-writer-
+        wins on the pointer (the Iceberg version is MERGE INTO with a
+        real atomic snapshot commit)."""
+        import os
+        import shutil as _sh
+        import uuid
+
+        name = uuid.uuid4().hex
+        vdir = os.path.join(self.path + "_versions", name)
+        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(vdir)
+        tmp = self._pointer + "." + name
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, self._pointer)
+        # best-effort cleanup of superseded snapshots + legacy dir
+        base = self.path + "_versions"
+        for old in os.listdir(base):
+            if old != name:
+                _sh.rmtree(os.path.join(base, old), ignore_errors=True)
+        if os.path.isdir(self.path):
+            _sh.rmtree(self.path, ignore_errors=True)
 
     def touch(self, graphs: list[str]) -> None:
         import datetime as _dt
@@ -326,13 +382,8 @@ class GraphRegistry:
             .unionByName(new)
         )
         # registry is tiny by contract: collect severs the lineage on
-        # self.path so one atomic overwrite suffices (the previous
-        # .tmp double-write was racy under concurrent touch) — the
-        # cluster-scale stand-in is MERGE INTO on an Iceberg table
-        rows = merged.collect()
-        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(self.path)
+        # the live snapshot before committing the replacement
+        self._commit(merged.collect())
 
     def lastmod_ts(self, graph: str):
         rows = self.load().where(F.col("graph") == graph).collect()
@@ -350,33 +401,53 @@ class GraphRegistry:
         if ts is None:
             return False
         ref = reference_time or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        if ref.tzinfo is not None:
+            # registry timestamps are naive UTC; normalize aware
+            # inputs instead of raising a naive/aware TypeError
+            # (mirrors store.verify_max_age_of_key)
+            ref = ref.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return (ref - ts).total_seconds() / 60.0 <= age_minutes
 
     def drop(self, graph: str) -> None:
-        rows = self.load().where(F.col("graph") != graph).collect()
-        self.spark.createDataFrame(rows, self.SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(self.path)
+        self._commit(self.load().where(F.col("graph") != graph).collect())
 
 
 def graph_diff(
-    old: DataFrame, new: DataFrame, keys: tuple = ("s", "p", "o")
+    old: DataFrame, new: DataFrame, keys: tuple | None = None
 ) -> DataFrame:
-    """Snapshot-over-snapshot triple diff: ``(op, s, p, o)`` with
+    """Snapshot-over-snapshot triple diff: ``(op, <keys>)`` with
     op ∈ {added, removed} — the crawl-delta view a KG store publishes
     per ingest (the reference's graph subtract, rdflib ``g1 - g2`` in
     store.py:73's semantics, in both directions at once).
+
+    The default key is FULL RDF-term identity — every triple column
+    both frames share, including ``o_kind``/``o_datatype``/``o_lang``:
+    per RDF 1.1, ``"x"@en`` vs ``"x"@fr``, or a literal vs an IRI with
+    the same lexical form, are DIFFERENT triples (comparing only
+    s,p,o silently reported them unchanged). The metadata columns are
+    legitimately NULL, so the anti-joins compare null-safely.
 
     Two left-anti joins on the triple key. Both sides arrive bucketed
     by subject hash (`write_bucketed`), so on a real cluster the
     anti-joins co-locate shuffle-free; unchanged triples (the vast
     majority between adjacent crawls) never leave their partition.
     """
+    if keys is None:
+        keys = [
+            c
+            for c in ("s", "p", "o", "o_kind", "o_datatype", "o_lang")
+            if c in old.columns and c in new.columns
+        ]
     ks = list(keys)
-    added = new.select(*ks).join(old.select(*ks), ks, "left_anti").select(
-        F.lit("added").alias("op"), *ks
-    )
-    removed = old.select(*ks).join(new.select(*ks), ks, "left_anti").select(
-        F.lit("removed").alias("op"), *ks
-    )
+
+    def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+        l, r = left.select(*ks).alias("_l"), right.select(*ks).alias("_r")
+        cond = None
+        for k in ks:
+            c = F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+            cond = c if cond is None else cond & c
+        return l.join(r, cond, "left_anti")
+
+    added = _anti(new, old).select(F.lit("added").alias("op"), *ks)
+    removed = _anti(old, new).select(F.lit("removed").alias("op"), *ks)
     return added.unionByName(removed)

@@ -2564,7 +2564,7 @@ _register(
     KG_SQL
     + r"""
 SELECT concat(
-  CASE WHEN s LIKE '_:%' THEN s ELSE concat('<', s, '>') END,
+  CASE WHEN substr(s, 1, 2) = '_:' THEN s ELSE concat('<', s, '>') END,
   ' <', p, '> ',
   CASE WHEN o_kind = 'iri' THEN concat('<', o, '>')
        WHEN o_kind = 'bnode' THEN o
@@ -2613,7 +2613,7 @@ per_sp AS (
 )
 SELECT s,
        concat(
-         CASE WHEN s LIKE '_:%' THEN s ELSE concat('<', s, '>') END,
+         CASE WHEN substr(s, 1, 2) = '_:' THEN s ELSE concat('<', s, '>') END,
          ' ',
          array_to_string(
            list_sort(list(concat('<', p, '> ', objstr))),

@@ -48,6 +48,36 @@ def _escape_nt(col: Column) -> Column:
     return out
 
 
+def _escape_iri(col: Column) -> Column:
+    """IRIREF escaping: the N-Triples grammar forbids whitespace,
+    ``< > " { } | ^ \\`` and backtick inside ``<...>`` — a dirty
+    extracted href (``href="a b.ttl"``) would otherwise emit an
+    unparseable line and corrupt the whole dump for line-based
+    diffing. Offending characters become UCHAR (``\\uXXXX``) escapes,
+    which preserve term identity (percent-encoding would mint a
+    different IRI). Backslash first. Remaining C0 controls are not
+    expected to survive extraction and are left as-is.
+    """
+    out = col
+    for ch, esc in (
+        ("\\", "\\u005C"),
+        (" ", "\\u0020"),
+        ("\t", "\\u0009"),
+        ("\n", "\\u000A"),
+        ("\r", "\\u000D"),
+        ("<", "\\u003C"),
+        (">", "\\u003E"),
+        ('"', "\\u0022"),
+        ("{", "\\u007B"),
+        ("}", "\\u007D"),
+        ("|", "\\u007C"),
+        ("^", "\\u005E"),
+        ("`", "\\u0060"),
+    ):
+        out = F.replace(out, F.lit(ch), F.lit(esc))
+    return out
+
+
 def ntriples_line_col() -> Column:
     """One N-Triples line from (s,p,o,o_kind,o_datatype,o_lang) cols.
 
@@ -60,9 +90,14 @@ def ntriples_line_col() -> Column:
     )
     subj = F.when(
         F.col("s").startswith("_:"), F.col("s")
-    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    ).otherwise(F.concat(F.lit("<"), _escape_iri(F.col("s")), F.lit(">")))
     return F.concat(
-        subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" ."),
+        subj,
+        F.lit(" <"),
+        _escape_iri(F.col("p")),
+        F.lit("> "),
+        obj,
+        F.lit(" ."),
     )
 
 
@@ -87,7 +122,7 @@ def _obj_nt_col(o, o_kind, o_datatype, o_lang) -> Column:
     """Object term in N-Triples/Turtle surface syntax (shared by the
     NT line builder and the Turtle block builder)."""
     return (
-        F.when(o_kind == "iri", F.concat(F.lit("<"), o, F.lit(">")))
+        F.when(o_kind == "iri", F.concat(F.lit("<"), _escape_iri(o), F.lit(">")))
         .when(o_kind == "bnode", o)
         .otherwise(
             F.concat(
@@ -269,7 +304,15 @@ def unique_filename_col(
         "-_",
     )
     base = F.substring(digest_b64, 1, 13)
-    path = F.parse_url(url, F.lit("PATH"))
+    # parse_url rejects URLs urllib tolerates (embedded spaces, odd
+    # authorities) — an ANSI error, NULL otherwise — which would
+    # cascade into a NULL (or thrown) filename. try_parse_url + a
+    # regex path fallback keeps every row's name usable and still
+    # unique (digest-prefixed).
+    path = F.coalesce(
+        F.try_parse_url(url, F.lit("PATH")),
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/[^?#]*)", 1),
+    )
     segs = F.filter(
         F.split(F.substring_index(path, ".", 1), "/"), lambda x: x != ""
     )
@@ -322,7 +365,17 @@ def files_as_corpus(
             paths.extend(sorted(_glob.glob(p, recursive=True)))
     if not paths:
         raise FileNotFoundError(f"no files matched {pats}")
-    df = spark.read.format("binaryFile").load(paths)
+    # the matched paths are LITERAL file names, but Hadoop treats load
+    # paths as globs — a file literally named 'report[2024].ttl' would
+    # fail (or silently match a different file); escape metacharacters
+    def _hadoop_glob_escape(p: str) -> str:
+        return "".join(
+            "\\" + ch if ch in "*?[]{}\\" else ch for ch in p
+        )
+
+    df = spark.read.format("binaryFile").load(
+        [_hadoop_glob_escape(p) for p in paths]
+    )
     return df.select(
         F.col("path").alias("url"),
         F.col("modificationTime").alias("warc_ts"),
@@ -358,11 +411,20 @@ def aggregate_files(
     from .model import dedup_triples
     from .operators.extract import extract_structured, triples_of
 
+    from .model import skolemize
+
     if isinstance(patterns, str):
         patterns = parse_globs_spec(patterns)
     corpus = files_as_corpus(spark, patterns, root=root)
+    # skolemize BEFORE the cross-file dedup: blank-node labels are
+    # document-scoped ('_:b0' in file A is a different node than
+    # '_:b0' in file B) — deduping raw labels would capture bnodes
+    # across files and merge unrelated nodes (the streaming twin,
+    # streaming.py stream_extract_triples, already skolemizes; rdflib
+    # avoids it by minting fresh ids per parse)
     return dedup_triples(
-        triples_of(extract_structured(corpus)), keys=["s", "p", "o"]
+        skolemize(triples_of(extract_structured(corpus))),
+        keys=["s", "p", "o"],
     )
 
 

@@ -46,6 +46,16 @@ class ParquetTripleStore:
 
         return self.workdir / ("g=" + quote(key, safe=""))
 
+    def _stage_dir(self) -> str:
+        """A unique staging dir OUTSIDE the graph-dir namespace.
+        ``str(gdir) + '.tmp'`` collided with the real directory of key
+        '<key>.tmp' (quote leaves '.' unescaped) — an insert of 'a'
+        would overwrite and then delete graph 'a.tmp' — and a fixed
+        suffix also races two concurrent writers of the same key."""
+        import uuid
+
+        return str(self.workdir / "_stage" / uuid.uuid4().hex)
+
     # ---- contract ----
 
     @property
@@ -63,11 +73,12 @@ class ParquetTripleStore:
             merged = dedup_triples(existing.unionByName(incoming))
         else:
             merged = dedup_triples(incoming)
-        merged.write.mode("overwrite").parquet(str(gdir) + ".tmp")
-        self.spark.read.parquet(str(gdir) + ".tmp").write.mode(
+        stage = self._stage_dir()
+        merged.write.mode("overwrite").parquet(stage)
+        self.spark.read.parquet(stage).write.mode(
             "overwrite"
         ).parquet(str(gdir))
-        shutil.rmtree(str(gdir) + ".tmp", ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         self.registry.touch([ng])
 
     def drop_graph_for_key(self, key: str) -> None:
@@ -200,15 +211,16 @@ class ParquetTripleStore:
             self.registry.touch(changed)
 
     def _overwrite_graph(self, key: str, triples: DataFrame) -> None:
-        """Two-step overwrite via ``.tmp`` so a plan that reads the
-        graph's own parquet can safely replace it (Iceberg: an atomic
-        snapshot commit)."""
+        """Two-step overwrite via a unique staging dir so a plan that
+        reads the graph's own parquet can safely replace it (Iceberg:
+        an atomic snapshot commit)."""
         gdir = self._graph_dir(key)
-        triples.write.mode("overwrite").parquet(str(gdir) + ".tmp")
-        self.spark.read.parquet(str(gdir) + ".tmp").write.mode(
+        stage = self._stage_dir()
+        triples.write.mode("overwrite").parquet(stage)
+        self.spark.read.parquet(stage).write.mode(
             "overwrite"
         ).parquet(str(gdir))
-        shutil.rmtree(str(gdir) + ".tmp", ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def verify_max_age_of_key(self, key: str, reference_time) -> bool:
         """True iff the graph is NOT older than the reference time

@@ -308,3 +308,99 @@ class TestStoreUpdateReviewRegressions:
         # epoch-seconds form still works
         assert store.verify_max_age_of_key(
             "k1", past.timestamp()) is True
+
+
+class TestStoreRound3Regressions:
+    TS = ("s string, p string, o string, o_kind string, "
+          "o_datatype string, o_lang string")
+
+    def _t(self, spark, s, o):
+        return spark.createDataFrame(
+            [(s, EX + "p", o, "literal", None, None)], self.TS
+        )
+
+    def test_tmp_suffixed_sibling_key_not_clobbered(self, spark, tmp_path):
+        """The old staging path str(gdir)+'.tmp' was exactly the graph
+        dir of key '<key>.tmp' — inserting 'a' overwrote and then
+        DELETED graph 'a.tmp'."""
+        from py_sema_spark.store import ParquetTripleStore
+
+        store = ParquetTripleStore(spark, str(tmp_path / "store"))
+        store.insert_for_key(self._t(spark, "urn:x", "1"), "a.tmp")
+        store.insert_for_key(self._t(spark, "urn:y", "2"), "a")
+        assert store.graph_for_key("a.tmp").count() == 1
+        assert store.graph_for_key("a").count() == 1
+        assert sorted(store.keys) == ["a", "a.tmp"]
+
+    def test_registry_versioned_commit_and_aware_time(self, spark, tmp_path):
+        """Registry commits swing an atomic pointer file (no delete-
+        then-write window where load() sees empty); verify_max_age
+        normalizes timezone-aware reference times."""
+        import datetime as dt
+        import os
+
+        from py_sema_spark.model import GraphRegistry
+
+        reg = GraphRegistry(spark, str(tmp_path / "_registry"))
+        reg.touch(["urn:g1"])
+        reg.touch(["urn:g2"])
+        assert sorted(reg.named_graphs()) == ["urn:g1", "urn:g2"]
+        assert os.path.exists(str(tmp_path / "_registry") + "_CURRENT")
+        # exactly one live snapshot remains after each commit
+        vdir = str(tmp_path / "_registry") + "_versions"
+        assert len(os.listdir(vdir)) == 1
+        reg.drop("urn:g1")
+        assert reg.named_graphs() == ["urn:g2"]
+        aware = dt.datetime.now(dt.timezone.utc)
+        assert reg.verify_max_age("urn:g2", 60, reference_time=aware)
+
+    def test_registry_legacy_layout_migrates(self, spark, tmp_path):
+        """A pre-pointer registry (parquet at the bare path) is read
+        on first load and upgraded on the next commit."""
+        from py_sema_spark.model import GraphRegistry
+
+        path = str(tmp_path / "_registry")
+        import datetime as dt
+
+        legacy = spark.createDataFrame(
+            [("urn:old", dt.datetime(2024, 1, 1))],
+            GraphRegistry.SCHEMA,
+        )
+        legacy.coalesce(1).write.parquet(path)
+        reg = GraphRegistry(spark, path)
+        assert reg.named_graphs() == ["urn:old"]
+        reg.touch(["urn:new"])
+        assert sorted(reg.named_graphs()) == ["urn:new", "urn:old"]
+
+    def test_graph_diff_full_term_identity(self, spark):
+        """"x"@en → "x"@fr is a change per RDF 1.1; comparing only
+        (s,p,o) reported it as no-op."""
+        from py_sema_spark.model import graph_diff
+
+        old = spark.createDataFrame(
+            [("urn:s", EX + "p", "x", "literal", None, "en")], self.TS
+        )
+        new = spark.createDataFrame(
+            [("urn:s", EX + "p", "x", "literal", None, "fr")], self.TS
+        )
+        ops = sorted(r.op for r in graph_diff(old, new).collect())
+        assert ops == ["added", "removed"]
+        # identity diff stays empty (null-safe metadata compare)
+        assert graph_diff(old, old).count() == 0
+
+    def test_skolemize_delimiter_injection(self, spark):
+        """('http://x/a|b', '_:c') and ('http://x/a', 'b|_:c') must
+        mint DIFFERENT skolem IRIs."""
+        from py_sema_spark.model import skolemize
+
+        df = spark.createDataFrame(
+            [
+                ("_:c", EX + "p", "v", "literal", None, None, "http://x/a|b"),
+                ("b|_:c", EX + "p", "v", "literal", None, None, "http://x/a"),
+            ],
+            self.TS + ", src_url string",
+        )
+        # only true bnode labels are rewritten; craft both as bnodes
+        df = df.withColumn("s", F.concat(F.lit("_:"), F.col("s")))
+        out = [r.s for r in skolemize(df).collect()]
+        assert out[0] != out[1]

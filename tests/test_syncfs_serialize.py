@@ -460,3 +460,62 @@ class TestTasksReviewRegressions:
         )
         assert doc["frag"] == "{out_dir}/q{"
         assert doc["ok"] == "/tmp/x/a"
+
+
+class TestSerializeRound3bFindings:
+    TS = ("s string, p string, o string, o_kind string, "
+          "o_datatype string, o_lang string")
+
+    def test_iri_with_forbidden_chars_escaped_as_uchar(self, spark):
+        """IRIREF forbids spaces/angle brackets; a dirty extracted
+        href must serialize as \\uXXXX escapes (term-preserving), not
+        as an unparseable raw line."""
+        df = spark.createDataFrame(
+            [("http://x/a b", "urn:p", "http://y/<c>", "iri", None, None)],
+            self.TS,
+        )
+        line = ntriples_lines(df).collect()[0]["line"]
+        assert line == (
+            "<http://x/a\\u0020b> <urn:p> "
+            "<http://y/\\u003Cc\\u003E> ."
+        )
+
+    def test_unique_filename_survives_unparseable_url(self, spark):
+        """java.net.URI rejects embedded spaces → parse_url NULL; the
+        name must fall back to a regex path extract, never go NULL."""
+        df = spark.createDataFrame(
+            [("https://x.org/my file.ttl", "text/turtle")],
+            "url string, mime string",
+        )
+        got = df.select(
+            unique_filename_col(F.col("url"), F.col("mime")).alias("f")
+        ).collect()[0]["f"]
+        assert got is not None and got.endswith("-my file.ttl")
+
+    def test_files_as_corpus_glob_metachar_filename(self, spark, tmp_path):
+        """Hadoop treats load paths as globs: a file literally named
+        with brackets must still load (paths are escaped)."""
+        from py_sema_spark.serialize import files_as_corpus
+
+        p = tmp_path / "report[2024].ttl"
+        p.write_text('<urn:a> <urn:p> "v" .\n')
+        corpus = files_as_corpus(spark, [str(tmp_path / "*.ttl")])
+        assert corpus.count() == 1
+
+    def test_aggregate_files_skolemizes_per_file_bnodes(
+        self, spark, tmp_path
+    ):
+        """'_:b0' in two different files is two different nodes: the
+        aggregator must not capture them into one (nor dedup away a
+        second file's identical-looking bnode triple)."""
+        (tmp_path / "f1.ttl").write_text(
+            '_:b0 <urn:p> "Alice" .\n'
+        )
+        (tmp_path / "f2.ttl").write_text(
+            '_:b0 <urn:p> "Alice" .\n'
+        )
+        out = aggregate_files(spark, [str(tmp_path / "*.ttl")])
+        rows = out.collect()
+        assert len(rows) == 2                       # no cross-file dedup
+        assert len({r.s for r in rows}) == 2        # distinct skolem IRIs
+        assert all(r.s.startswith("urn:skolem:") for r in rows)
