@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "quality_score",
+    "text_normalize",
     "quality_percentile",
     "doc_fingerprint",
     "label_centroids",

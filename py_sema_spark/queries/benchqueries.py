@@ -5150,3 +5150,49 @@ SELECT url, mime_type, profile, in_requested, in_detected, found,
 FROM joined
 """,
 )
+
+
+def _text_normalize(spark, sf):
+    """Unicode canonicalization pass: deterministic per-doc dirt
+    (decomposed accent, tabs, BEL control, NBSP, CRLF, trailing
+    spaces) injected so the fixture genuinely exercises NFC folding
+    and the cleanup chain; md5 of the normalized text pins byte-level
+    agreement between CPython unicodedata and DuckDB utf8proc."""
+    from ..operators.normalize import normalize_text
+
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" Cafe\u0301\t\tx\x07\u00a0y\r\nz  "),
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", dirty.alias("text")
+    )
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_md5"),
+        "was_changed",
+        F.length("text_norm").alias("norm_len"),
+    )
+
+
+def _text_normalize_sql() -> str:
+    from ..operators.normalize import normalize_sql_expr
+
+    expr = normalize_sql_expr("t")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' Cafe' || chr(769) || chr(9) || chr(9) || 'x' || chr(7)
+         || chr(160) || 'y' || chr(13) || chr(10) || 'z  ' AS t
+  FROM documents
+)
+SELECT doc_id,
+  md5({expr}) AS norm_md5,
+  ({expr} <> t) AS was_changed,
+  CAST(length({expr}) AS INT) AS norm_len
+FROM d
+"""
+
+
+_register("text_normalize", _text_normalize, _text_normalize_sql())
