@@ -63,9 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotation policy: the driver's correctness sweep records only the FIRST 50
 # entries of queries().  Names already green in a prior round's
 # CORRECTNESS_r{N}.json rotate to the back so every query eventually gets a
-# driver-attested row.  _ATTESTED = union of CORRECTNESS_r01/r02 green names;
-# extend it each round with the newly recorded ones.
-_ATTESTED = {
+# driver-attested row.  The attested set is read dynamically from the
+# CORRECTNESS_r*.json files the driver leaves in the repo root (green rows
+# only), so each round rotates automatically; _ATTESTED_SEED is the
+# r01+r02 union kept as a fallback for environments without those files.
+_ATTESTED_SEED = {
     "all_triples", "rdf_predicates", "rdf_predicates_count", "rdf_types",
     "skos_collection", "skos_collection_member_count", "bodc_find",
     "bodc_listing", "broader_terms", "skos_broader_depth",
@@ -90,9 +92,27 @@ _ATTESTED = {
 }
 
 
+def _attested() -> set:
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = set(_ATTESTED_SEED)
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                out.add(name)
+    return out
+
+
 def _rotated(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _ATTESTED}
-    seen = {k: v for k, v in d.items() if k in _ATTESTED}
+    attested = _attested()
+    fresh = {k: v for k, v in d.items() if k not in attested}
+    seen = {k: v for k, v in d.items() if k in attested}
     return {**fresh, **seen}
 
 
