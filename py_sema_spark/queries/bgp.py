@@ -1568,8 +1568,13 @@ def bgp_select(
         sub = _compile_patterns(triples, group, needs, tag=f"o{k}_")
         if sub is None:
             continue  # OPTIONAL {} extends nothing — no-op
-        if not any(c in plan.columns for c in sub.columns):
-            raise ValueError("OPTIONAL group shares no variable with base")
+        # §18.5 LeftJoin also covers the disjoint-variable case: every
+        # mapping pair is compatible, so a non-empty optional group
+        # cross-extends each solution and an empty one leaves the left
+        # rows unextended — exactly what _join_shared's constant-key
+        # left join produces when there are no shared columns. (The
+        # cross product is user-authored semantics; Catalyst plans the
+        # tiny disjoint side as a broadcast.)
         plan = _join_shared(plan, sub, "left")
 
     for k, group in enumerate(q["minuses"]):
@@ -1608,7 +1613,13 @@ def bgp_select(
                 continue
             shared = [c for c in plan.columns if c in sub.columns]
             if not shared:
-                raise ValueError("EXISTS group shares no variable with base")
+                # disjoint EXISTS is a global gate: the substituted
+                # group is the same for every solution, so all rows
+                # survive or none do. One driver-side emptiness probe
+                # on the (pattern-bounded) sub-frame at compile time.
+                if (f.kind == "exists") == sub.isEmpty():
+                    plan = plan.where(F.lit(False))
+                continue
             how = "left_semi" if f.kind == "exists" else "left_anti"
             plan = _join_shared(plan, sub.select(*shared).distinct(), how)
 
