@@ -181,6 +181,133 @@ def canon(rows, distinct):
     return sorted(rows, key=lambda r: tuple((x is None, x or "") for x in r))
 
 
+# ---- property-path differential ----
+#
+# AST := alt of 1-2 seqs; seq := 1-3 units; unit := [^]<pred>[+*?].
+# Serialized without parens, which the spec's precedence (| < / <
+# unary) parses back to the same tree. Naive eval mirrors §18.4/18.5:
+# closures (+ * ?) are duplicate-free ALP sets over the node universe
+# subjects ∪ objects; seq/alt keep bag multiplicity.
+
+
+def gen_unit(rng):
+    return (
+        rng.choice(PREDS),
+        rng.random() < 0.3,
+        rng.choice([None] * 11 + ["+", "+", "*", "*", "?"]),
+    )
+
+
+def gen_path_ast(rng):
+    return [
+        [gen_unit(rng) for _ in range(rng.randrange(1, 4))]
+        for _ in range(1 if rng.random() < 0.7 else 2)
+    ]
+
+
+def path_text(ast):
+    return "|".join(
+        "/".join(
+            ("^" if inv else "") + "<%s>" % pred + (mod or "")
+            for (pred, inv, mod) in seq
+        )
+        for seq in ast
+    )
+
+
+def graph_nodes(graph):
+    return {s for (s, _, _, _) in graph} | {o for (_, _, o, _) in graph}
+
+
+def set_closure(pairs):
+    pairs = set(pairs)
+    while True:
+        grown = pairs | {
+            (a, d) for (a, b) in pairs for (c, d) in pairs if b == c
+        }
+        if grown == pairs:
+            return pairs
+        pairs = grown
+
+
+def unit_pairs(graph, unit):
+    pred, inv, mod = unit
+    base = [(s, o) for (s, p, o, _k) in graph if p == pred]
+    if inv:
+        base = [(b, a) for (a, b) in base]
+    if mod is None:
+        return base
+    zero = {(n, n) for n in graph_nodes(graph)}
+    if mod == "+":
+        return sorted(set_closure(base))
+    if mod == "*":
+        return sorted(set_closure(base) | zero)
+    return sorted(set(base) | zero)  # '?'
+
+
+def eval_path(graph, ast):
+    out = []
+    for seq in ast:
+        bag = unit_pairs(graph, seq[0])
+        for unit in seq[1:]:
+            nxt = unit_pairs(graph, unit)
+            bag = [(a, d) for (a, b) in bag for (c, d) in nxt if b == c]
+        out.extend(bag)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_differential_property_paths(spark, seed):
+    rng = random.Random(900 + seed)
+    graph = make_graph(rng)
+    df = spark.createDataFrame(
+        [(s, p, o, kind, None, None) for (s, p, o, kind) in graph],
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    )
+
+    ast = gen_path_ast(rng)
+    pairs = eval_path(graph, ast)
+
+    src_const = rng.random() < 0.2 and rng.choice(SUBJECTS)
+    distinct = rng.random() < 0.5
+    extra = None
+    if rng.random() < 0.3:
+        extra = rng.choice(PREDS)
+
+    if src_const:
+        sols = [{"y": (b,)} for (a, b) in pairs if a == src_const]
+        proj, head = ["y"], "<%s> %s ?y ." % (src_const, path_text(ast))
+    else:
+        sols = [{"x": (a,), "y": (b,)} for (a, b) in pairs]
+        proj, head = ["x", "y"], "?x %s ?y ." % path_text(ast)
+    body = head
+    if extra:
+        nxt = [(s, o) for (s, p, o, _k) in graph if p == extra]
+        sols = [
+            {**mu, "z": (c,)}
+            for mu in sols
+            for (b, c) in nxt
+            if b == mu["y"][0]
+        ]
+        proj = proj + ["z"]
+        body += " ?y <%s> ?z ." % extra
+
+    q = "SELECT %s%s WHERE { %s }" % (
+        "DISTINCT " if distinct else "",
+        " ".join("?" + v for v in proj),
+        body,
+    )
+    expected = project(sols, proj, distinct)
+    got = canon(
+        [tuple(r) for r in bgp_select(df, q, {}).collect()], distinct
+    )
+    assert got == expected, (
+        f"seed={seed}\nquery={q}\ngraph={graph}\n"
+        f"expected={expected}\ngot={got}"
+    )
+
+
 @pytest.mark.parametrize("seed", range(50))
 def test_differential_bgp_optional_filter(spark, seed):
     rng = random.Random(100 + seed)
