@@ -23,7 +23,7 @@ from html.parser import HTMLParser
 from typing import List, Optional
 from urllib.parse import urljoin
 
-from .terms import RDF_TYPE, Triple, iri, literal
+from .terms import RDF_TYPE, XSD, Triple, iri, literal
 
 URL_VALUE_ATTR = {
     "a": "href", "area": "href", "link": "href",
@@ -127,10 +127,10 @@ class _MicrodataParser(HTMLParser):
                     self._emit(cur_item, name, val)
             elif tag == "meta" and attrs.get("content") is not None:
                 for name in itemprop.split():
-                    self._emit(cur_item, name, literal(attrs["content"]))
+                    self._emit(cur_item, name, literal(attrs["content"], datatype=XSD + "string"))
             elif tag == "time" and attrs.get("datetime"):
                 for name in itemprop.split():
-                    self._emit(cur_item, name, literal(attrs["datetime"]))
+                    self._emit(cur_item, name, literal(attrs["datetime"], datatype=XSD + "string"))
             elif not is_void:
                 for name in itemprop.split():
                     self._open_props.append(
@@ -145,7 +145,7 @@ class _MicrodataParser(HTMLParser):
         while self._open_props and self._open_props[-1].depth == self._depth:
             prop = self._open_props.pop()
             text = " ".join("".join(prop.buf).split())
-            self._emit(prop.item, prop.name, literal(text))
+            self._emit(prop.item, prop.name, literal(text, datatype=XSD + "string"))
         while self._item_stack and self._item_stack[-1][0] == self._depth:
             self._item_stack.pop()
         self._depth -= 1
@@ -163,6 +163,6 @@ def parse_microdata(html_text: str, base: str = "") -> List[Triple]:
     # markup (legal HTML, common in crawls) must not drop its literals
     for prop in p._open_props:
         text = " ".join("".join(prop.buf).split())
-        p._emit(prop.item, prop.name, literal(text))
+        p._emit(prop.item, prop.name, literal(text, datatype=XSD + "string"))
     p._open_props.clear()
     return p.triples

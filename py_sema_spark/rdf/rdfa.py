@@ -167,6 +167,8 @@ class _RdfaParser(HTMLParser):
                     self.triples.append(Triple(subj, p, target))
             elif attrs.get("content") is not None:
                 dt = self._curie(attrs.get("datatype", ""), ctx)
+                if not dt and not lang:
+                    dt = XSD + "string"  # parser-family plain-literal form
                 for p in preds:
                     self.triples.append(
                         Triple(
@@ -176,6 +178,8 @@ class _RdfaParser(HTMLParser):
                     )
             elif not is_void:
                 dt = self._curie(attrs.get("datatype", ""), ctx)
+                if not dt and not lang:
+                    dt = XSD + "string"  # parser-family plain-literal form
                 self._open_lits.append(
                     _OpenLiteral(
                         subj, preds, self._depth, dt,

@@ -52,6 +52,12 @@ def bnode(label: str) -> Term:
 def literal(
     value: str, datatype: Optional[str] = None, lang: Optional[str] = None
 ) -> Term:
+    """Lang-tagged literals carry datatype None (rdf:langString is
+    implied). Parser convention: every parser in this package passes
+    an EXPLICIT ``XSD + "string"`` for plain literals, so a logical
+    triple extracted from two formats on the same page is one tuple
+    under the 6-column dedup key (serializers omit xsd:string on
+    output either way)."""
     if lang:
         datatype = None
     return Term(value, KIND_LITERAL, datatype, lang)
