@@ -524,6 +524,50 @@ class _Filter:
 _DEPTH2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
 
 
+def _scan_balanced(text: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching ``text[open_idx] == '('``.
+    Quote-aware: parentheses inside double-quoted literals (with
+    backslash escapes) don't count. Replaces the fixed-depth _DEPTH2
+    regex where expression bodies can nest arbitrarily (FILTER/BIND —
+    ``STRLEN(UCASE(SUBSTR(…)))`` is depth 4 already)."""
+    depth = 0
+    i, n = open_idx, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            i += 1
+            while i < n and text[i] != '"':
+                i += 2 if text[i] == "\\" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses at {text[open_idx:open_idx+40]!r}")
+
+
+def _extract_calls(where: str, keyword: str) -> Tuple[str, List[str]]:
+    """Find every ``KEYWORD ( body )`` (case-insensitive, balanced,
+    quote-aware), return (where-with-calls-blanked, [body, …])."""
+    bodies: List[str] = []
+    out: List[str] = []
+    pos = 0
+    rx = re.compile(r"(?is)\b" + keyword + r"\s*\(")
+    while True:
+        m = rx.search(where, pos)
+        if not m:
+            out.append(where[pos:])
+            return "".join(out), bodies
+        end = _scan_balanced(where, m.end() - 1)
+        bodies.append(where[m.end() : end - 1])
+        out.append(where[pos : m.start()])
+        out.append(" ")
+        tail = re.match(r"\s*\.", where[end:])
+        pos = end + (tail.end() if tail else 0)
+
+
 def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     """→ dict with the parsed query (see keys below); raises ValueError
     on anything outside the subset."""
@@ -664,24 +708,21 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
             values_rows = [[v] for v in _values_row_terms(vbody, prefixes)]
         where = where.replace(vm.group(0), " ")
 
-    # BIND(expr AS ?v)
+    # BIND(expr AS ?v) — balanced-paren scan, arbitrary nesting depth
     binds: List[Tuple[object, Dict, set, str]] = []
-    for bm in re.finditer(
-        r"(?is)BIND\s*\((?P<body>" + _DEPTH2 + r")\)", where
-    ):
-        bbody = bm.group("body")
+    where, bind_bodies = _extract_calls(where, "BIND")
+    for bbody in bind_bodies:
         am = re.match(r"(?is)^(?P<expr>.*)\s+AS\s+\?(?P<alias>\w+)\s*$", bbody)
         if not am:
             raise ValueError(f"unsupported BIND: {bbody!r}")
         e, needs, evars = parse_expr(am.group("expr"), prefixes)
         binds.append((e, needs, evars, am.group("alias")))
-    where = re.sub(r"(?is)BIND\s*\(" + _DEPTH2 + r"\)\s*\.?", " ", where)
 
-    # FILTER(expr)
-    for fm in re.finditer(r"(?is)FILTER\s*\((" + _DEPTH2 + r")\)", where):
-        e, needs, evars = parse_expr(fm.group(1), prefixes)
+    # FILTER(expr) — same scan
+    where, filter_bodies = _extract_calls(where, "FILTER")
+    for fbody in filter_bodies:
+        e, needs, evars = parse_expr(fbody, prefixes)
         filters.append(_Filter("expr", expr=e, needs=needs, vars=evars))
-    where = re.sub(r"(?is)FILTER\s*\(" + _DEPTH2 + r"\)\s*\.?", " ", where)
 
     patterns = _parse_patterns(where, prefixes)
 
