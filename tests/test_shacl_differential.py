@@ -1,0 +1,214 @@
+"""Differential testing of the SHACL validator.
+
+Random shape graphs (datatype / min-max count / sh:in / pattern /
+length / nodeKind / class / hasValue / closed with ignored
+properties) run against random typed instance graphs twice: through
+``shacl.validate``'s DataFrame compilation and through a direct
+Python mirror of the same SHACL-core semantics. The
+(focus, shape, path, constraint, value) violation sets must match
+exactly — the hand-written suite pins each constraint in isolation,
+this pins their cross product and the per-focus counting edges
+(zero-valued minCount, closed × ignored, literal values under
+sh:class…).
+"""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_sema_spark.shacl import (
+    XSD,
+    NodeShape,
+    PropertyShape,
+    validate,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+CLASSES = ["urn:C0", "urn:C1"]
+PREDS = [f"urn:q{i}" for i in range(4)]
+SUBJECTS = [f"urn:i:{i}" for i in range(10)]
+LIT_VALUES = ["aa", "bcd", "Xyz9", "", "hello world"]
+INT_VALUES = ["0", "3", "42", "-7"]
+
+
+def make_graph(rng):
+    rows = set()
+    for s in SUBJECTS:
+        if rng.random() < 0.8:
+            rows.add((s, RDF_TYPE, rng.choice(CLASSES), "iri", None, None))
+        for _ in range(rng.randrange(0, 5)):
+            p = rng.choice(PREDS)
+            r = rng.random()
+            if r < 0.35:
+                rows.add((s, p, rng.choice(LIT_VALUES), "literal",
+                          XSD + "string", None))
+            elif r < 0.5:
+                rows.add((s, p, rng.choice(INT_VALUES), "literal",
+                          XSD + "integer", None))
+            elif r < 0.6:
+                rows.add((s, p, rng.choice(LIT_VALUES), "literal",
+                          None, "en"))
+            elif r < 0.85:
+                rows.add((s, p, rng.choice(SUBJECTS), "iri", None, None))
+            else:
+                rows.add((s, p, "_:b%d" % rng.randrange(2), "bnode",
+                          None, None))
+    return sorted(rows, key=lambda t: tuple(x or "" for x in t))
+
+
+def make_shapes(rng):
+    shapes = []
+    for k in range(rng.randrange(1, 3)):
+        props = []
+        for j in range(rng.randrange(1, 4)):
+            ps = PropertyShape(path=rng.choice(PREDS))
+            picks = rng.sample(
+                ["datatype", "max", "min", "in", "pattern", "len",
+                 "kind", "class", "hasvalue"],
+                rng.randrange(1, 3),
+            )
+            if "datatype" in picks:
+                ps.datatype = rng.choice(
+                    [XSD + "string", XSD + "integer", RDF_LANGSTRING]
+                )
+            if "max" in picks:
+                ps.max_count = rng.randrange(0, 3)
+            if "min" in picks:
+                ps.min_count = rng.randrange(0, 3)
+            if "in" in picks:
+                ps.in_values = rng.sample(
+                    LIT_VALUES + SUBJECTS, rng.randrange(1, 4)
+                )
+            if "pattern" in picks:
+                ps.pattern = rng.choice(["^a", "c", "9$", "o w", "^$"])
+            if "len" in picks:
+                ps.min_length = rng.randrange(0, 3)
+                ps.max_length = ps.min_length + rng.randrange(0, 6)
+            if "kind" in picks:
+                ps.node_kind = rng.choice([
+                    "http://www.w3.org/ns/shacl#IRI",
+                    "http://www.w3.org/ns/shacl#Literal",
+                    "http://www.w3.org/ns/shacl#BlankNodeOrIRI",
+                ])
+            if "class" in picks:
+                ps.class_ = rng.choice(CLASSES)
+            if "hasvalue" in picks:
+                ps.has_value = rng.choice(LIT_VALUES + SUBJECTS)
+            props.append(ps)
+        shapes.append(
+            NodeShape(
+                iri="urn:shape:%d" % k,
+                target_class=rng.choice(CLASSES),
+                closed=rng.random() < 0.3,
+                ignored=[RDF_TYPE] if rng.random() < 0.5 else [],
+                properties=props,
+            )
+        )
+    return shapes
+
+
+def effective_dt(kind, dt, lang):
+    if kind != "literal":
+        return None
+    if dt:
+        return dt
+    return RDF_LANGSTRING if lang else XSD + "string"
+
+
+def naive_validate(graph, shapes):
+    out = set()
+    for shape in shapes:
+        focus = sorted(
+            {s for (s, p, o, k, _d, _l) in graph
+             if p == RDF_TYPE and o == shape.target_class}
+        )
+        ftrips = [t for t in graph if t[0] in set(focus)]
+        for ps in shape.properties:
+            vals = [t for t in ftrips if t[1] == ps.path]
+
+            def viol(focus_s, constraint, value):
+                out.add((focus_s, shape.iri, ps.path, constraint, value))
+
+            if ps.datatype:
+                for (s, _p, o, k, d, l) in vals:
+                    if k != "literal" or effective_dt(k, d, l) != ps.datatype:
+                        viol(s, "datatype", o)
+            if ps.max_count is not None:
+                for f in focus:
+                    n = sum(1 for t in vals if t[0] == f)
+                    if n > ps.max_count:
+                        viol(f, "maxCount", str(n))
+            if ps.min_count is not None:
+                for f in focus:
+                    n = sum(1 for t in vals if t[0] == f)
+                    if n < ps.min_count:
+                        viol(f, "minCount", str(n))
+            if ps.in_values is not None:
+                for (s, _p, o, *_rest) in vals:
+                    if o not in ps.in_values:
+                        viol(s, "in", o)
+            if ps.pattern is not None:
+                for (s, _p, o, k, *_rest) in vals:
+                    if k == "bnode" or not re.search(ps.pattern, o):
+                        viol(s, "pattern", o)
+            if ps.min_length is not None or ps.max_length is not None:
+                for (s, _p, o, k, *_rest) in vals:
+                    bad = k == "bnode"
+                    if ps.min_length is not None and len(o) < ps.min_length:
+                        bad = True
+                    if ps.max_length is not None and len(o) > ps.max_length:
+                        bad = True
+                    if bad:
+                        viol(s, "length", o)
+            if ps.has_value is not None:
+                for f in focus:
+                    if not any(t[0] == f and t[2] == ps.has_value
+                               for t in vals):
+                        viol(f, "hasValue", None)
+            if ps.node_kind is not None:
+                allowed = {
+                    "http://www.w3.org/ns/shacl#IRI": {"iri"},
+                    "http://www.w3.org/ns/shacl#Literal": {"literal"},
+                    "http://www.w3.org/ns/shacl#BlankNodeOrIRI":
+                        {"bnode", "iri"},
+                }[ps.node_kind]
+                for (s, _p, o, k, *_rest) in vals:
+                    if k not in allowed:
+                        viol(s, "nodeKind", o)
+            if ps.class_ is not None:
+                typed = {s for (s, p, o, *_r) in graph
+                         if p == RDF_TYPE and o == ps.class_}
+                for (s, _p, o, k, *_rest) in vals:
+                    if k == "literal" or o not in typed:
+                        viol(s, "class", o)
+        if shape.closed:
+            allowed = {p.path for p in shape.properties} | set(shape.ignored)
+            for (s, p, o, *_rest) in ftrips:
+                if p not in allowed:
+                    out.add((s, shape.iri, p, "closed", o))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_shacl(spark, seed):
+    rng = random.Random(7000 + seed)
+    graph = make_graph(rng)
+    shapes = make_shapes(rng)
+    df = spark.createDataFrame(
+        graph,
+        "s string, p string, o string, o_kind string, "
+        "o_datatype string, o_lang string",
+    )
+    got = {
+        (r["focus"], r["shape"], r["path"], r["constraint"], r["value"])
+        for r in validate(df, shapes).collect()
+    }
+    expected = naive_validate(graph, shapes)
+    assert got == expected, (
+        f"seed={seed}\nshapes={shapes}\n"
+        f"only_spark={sorted(got - expected, key=str)}\n"
+        f"only_naive={sorted(expected - got, key=str)}"
+    )
