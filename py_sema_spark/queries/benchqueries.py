@@ -2851,6 +2851,94 @@ WHERE t.p = '{RDF}type' AND t.o = '{SKOS}Concept'
 """,
 )
 
+# ---- nested group graph patterns (the recursive algebra compiler:
+# queries/algebra.py — SPARQL §18.2.2.6 translation; the reference
+# gets these through rdflib's evaluator, the flat extractor refuses
+# them with NotImplementedError and bgp_select falls back) ----
+
+_register(
+    "sparql_optional_scoped_filter",
+    # FILTER *inside* OPTIONAL = LeftJoin condition (§18.2.2.6): odd
+    # customers keep their row with ?alt unbound, never dropped
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        """SELECT ?c ?alt WHERE {
+             ?c a <http://www.example.org/Customer> .
+             ?c skos:broader ?n .
+             OPTIONAL { ?c skos:altLabel ?alt
+                        FILTER(langMatches(lang(?alt), "en")) }
+           }""",
+    ),
+    KG_SQL
+    + f"""
+SELECT b.s AS c, al.o AS alt
+FROM triples t
+JOIN triples b ON b.s = t.s AND b.p = '{SKOS}broader'
+LEFT JOIN triples al ON al.s = t.s AND al.p = '{SKOS}altLabel'
+  AND (lower(coalesce(al.o_lang, '')) = 'en'
+       OR starts_with(lower(coalesce(al.o_lang, '')), 'en-'))
+WHERE t.p = '{RDF}type' AND t.o = '{EX}Customer'
+""",
+)
+
+_register(
+    "sparql_union_optional",
+    # a UNION branch carrying its own OPTIONAL; the union's padded ?n
+    # var exercises column alignment, the base join stays an equi-join
+    # because ?c is certain in both branches
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        """SELECT ?c ?lbl WHERE {
+             ?c a <http://www.example.org/Customer> .
+             { ?c skos:altLabel ?lbl
+               FILTER(langMatches(lang(?lbl), "en")) }
+             UNION
+             { ?c skos:broader ?n OPTIONAL { ?n skos:prefLabel ?lbl } }
+           }""",
+    ),
+    KG_SQL
+    + f"""
+SELECT t.s AS c, u.lbl AS lbl
+FROM triples t
+JOIN (
+  SELECT al.s AS cs, al.o AS lbl FROM triples al
+  WHERE al.p = '{SKOS}altLabel'
+    AND (lower(coalesce(al.o_lang, '')) = 'en'
+         OR starts_with(lower(coalesce(al.o_lang, '')), 'en-'))
+  UNION ALL
+  SELECT b.s AS cs, pl.o AS lbl FROM triples b
+  LEFT JOIN triples pl ON pl.s = b.o AND pl.p = '{SKOS}prefLabel'
+  WHERE b.p = '{SKOS}broader'
+) u ON u.cs = t.s
+WHERE t.p = '{RDF}type' AND t.o = '{EX}Customer'
+""",
+)
+
+_register(
+    "sparql_nested_minus",
+    # MINUS whose group carries its own FILTER (nested scope): §8.3
+    # compatibility over the shared ?c
+    lambda spark, sf: _bgp(
+        spark,
+        sf,
+        """SELECT ?c WHERE {
+             ?c a <http://www.example.org/Customer> .
+             MINUS { ?c <http://www.w3.org/2002/07/owl#deprecated> ?d
+                     FILTER(?d = "true") }
+           }""",
+    ),
+    KG_SQL
+    + f"""
+SELECT t.s AS c FROM triples t
+WHERE t.p = '{RDF}type' AND t.o = '{EX}Customer'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples d
+    WHERE d.s = t.s AND d.p = '{OWL}deprecated' AND d.o = 'true')
+""",
+)
+
 # ---- SPARQL graph-building forms: CONSTRUCT / DESCRIBE / ASK (the
 # reference accepts every rdflib query form through one select entry
 # point; each compiles to columnar projections of the solution plan) --

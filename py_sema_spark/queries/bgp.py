@@ -37,6 +37,13 @@ SAMPLE / GROUP_CONCAT(?v; SEPARATOR="…"). Determinism choices (the
 spec leaves them open, the DuckDB oracles mirror them): SAMPLE = MIN;
 GROUP_CONCAT concatenates in sorted order.
 
+NESTED group graph patterns (OPTIONAL inside OPTIONAL, FILTER/BIND/
+sub-SELECT scoped inside a group, UNION branches with their own
+groups, …) are NOT handled by the flat extractor here — it refuses
+them with NotImplementedError and :func:`bgp_select` falls back to
+the recursive §18.2 algebra compiler in :mod:`.algebra`, which also
+covers compatible-mapping joins over maybe-bound variables.
+
 Scale: each pattern with a bound predicate prunes to its predicate
 slice before any join (pushdown on ``p``); bound subjects/objects
 prune further; VALUES compiles to a broadcast join; EXISTS/NOT EXISTS
@@ -610,19 +617,44 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 
     where = m.group("w")
 
-    # { SELECT … } sub-queries (depth-2 braces: the inner WHERE has its
-    # own block) — extracted first, compiled recursively, joined on
-    # shared variables
+    # { SELECT … } sub-queries — extracted ONLY at top level of the
+    # WHERE (balanced scan), compiled recursively, joined on shared
+    # variables. A sub-SELECT nested inside another group (OPTIONAL {
+    # { SELECT … } }, a UNION branch) must NOT be hoisted out of its
+    # scope: it stays in place, the nested-group check below refuses,
+    # and the algebra path compiles it where it belongs.
     subselects: List[str] = []
-    _SUBSEL = re.compile(
-        r"(?is)\{\s*(SELECT\s+(?:[^{}]|\{[^{}]*\})*)\}"
-    )
-    while True:
-        sm = _SUBSEL.search(where)
-        if not sm:
-            break
-        subselects.append(sm.group(1).strip())
-        where = where[: sm.start()] + " " + where[sm.end() :]
+    parts: List[str] = []
+    i, pos = 0, 0
+    while i < len(where):
+        ch = where[i]
+        if ch == '"':
+            i += 1
+            while i < len(where) and where[i] != '"':
+                i += 2 if where[i] == "\\" else 1
+            i += 1
+            continue
+        if ch == "<":
+            j = where.find(">", i + 1)
+            i = (j + 1) if j != -1 else i + 1
+            continue
+        if ch == "{":
+            inner, after = _balanced_block(where, i)
+            preceded = re.search(
+                r"(?is)\b(?:OPTIONAL|MINUS|UNION|EXISTS|VALUES"
+                r"|GRAPH\s+\S+)\s*$",
+                where[:i],
+            )
+            if not preceded and re.match(r"(?is)\s*SELECT\b", inner):
+                subselects.append(inner.strip())
+                parts.append(where[pos:i])
+                parts.append(" ")
+                pos = after
+            i = after
+            continue
+        i += 1
+    parts.append(where[pos:])
+    where = "".join(parts)
 
     # The group extractors below are brace-blind regexes ([^{}]*
     # bodies) applied in a fixed order. A group NESTED inside another
@@ -788,7 +820,8 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 
 
 _GROUP_KEYWORDS = re.compile(
-    r"(?is)\b(OPTIONAL|MINUS|UNION|GRAPH|EXISTS|VALUES)\b"
+    r"(?is)\b(OPTIONAL|MINUS|UNION|GRAPH|EXISTS|VALUES|FILTER|BIND|SELECT)"
+    r"\b"
 )
 _GROUP_OPENERS = re.compile(
     r"(?is)\b(OPTIONAL|MINUS|(?:NOT\s+)?EXISTS"
@@ -798,15 +831,22 @@ _GROUP_OPENERS = re.compile(
 
 
 def _reject_nested_groups(where: str) -> None:
-    """SPARQL group scoping guard: every brace-delimited group this
-    compiler extracts must be flat (no nested ``{`` and no further
-    group keyword inside), because the extraction regexes are applied
-    to the whole WHERE text in a fixed order and would hoist an inner
-    group out of its enclosing scope (e.g. FILTER EXISTS inside
-    OPTIONAL would gate the WHOLE solution set instead of the optional
-    extension). Sub-SELECTs are extracted before this check runs."""
+    """SPARQL group scoping guard: every brace-delimited group the
+    FLAT extractor handles must be flat (no nested ``{`` and no
+    group/FILTER/BIND/sub-SELECT keyword inside), because the
+    extraction regexes are applied to the whole WHERE text in a fixed
+    order and would hoist an inner construct out of its enclosing
+    scope (e.g. FILTER inside OPTIONAL belongs to the LeftJoin
+    condition, not the whole solution set). Raising
+    NotImplementedError here routes the query to the recursive
+    algebra compiler (:mod:`.algebra`) — so a false positive (a
+    keyword inside a quoted literal, say) costs a plan shape, never
+    correctness. Top-level sub-SELECTs are extracted before this
+    check runs; bare ``{…}`` groups that are not UNION branches or
+    VALUES bodies also route to the algebra path."""
     for m in _GROUP_OPENERS.finditer(where):
         start = m.end() - 1  # the '{'
+        bare = m.group(0).strip() == "{"
         depth = 0
         for j in range(start, len(where)):
             ch = where[j]
@@ -821,11 +861,22 @@ def _reject_nested_groups(where: str) -> None:
                         raise NotImplementedError(
                             "nested group "
                             f"({(kw.group(1) if kw else '{…}').upper()}) "
-                            "inside a brace-delimited block is not "
-                            "supported by this compiler (flat groups "
-                            "only — the extractor would hoist it out "
-                            "of scope)"
+                            "inside a brace-delimited block — routing "
+                            "to the recursive algebra compiler"
                         )
+                    if bare:
+                        is_union = re.search(
+                            r"(?is)\bUNION\s*$", where[: m.start()]
+                        ) or re.match(r"(?is)\s*UNION\b", where[j + 1 :])
+                        is_values = re.search(
+                            r"(?is)\bVALUES\s+(?:\([?\w\s]*\)|\?\w+)\s*$",
+                            where[: m.start()],
+                        )
+                        if not (is_union or is_values):
+                            raise NotImplementedError(
+                                "bare group graph pattern — routing to "
+                                "the recursive algebra compiler"
+                            )
                     break
 
 
@@ -1451,13 +1502,93 @@ def bgp_select(
     _extra_needs: Optional[Dict[str, set]] = None,
     _keep_meta: bool = False,
 ) -> DataFrame:
-    """Compile + run a SPARQL SELECT (see module docstring for the
-    subset) against a triples DataFrame; columns are the projected
-    variable names. OPTIONAL groups compile to left joins on their
-    shared variables (J3); FILTERs to Column predicates, which
-    Catalyst pushes down into the pattern slices where legal;
-    EXISTS/NOT EXISTS to LeftSemi/LeftAnti joins; GROUP BY +
-    aggregates to a hash aggregate (map-side partials for free).
+    """Compile + run a SPARQL SELECT against a triples DataFrame;
+    columns are the projected variable names.
+
+    Two compilation paths share one solution-modifier tail:
+
+    - the FLAT extractor below (regex group extraction — the fast,
+      battle-tested path for the un-nested subset in the module
+      docstring), and
+    - the RECURSIVE algebra compiler (:mod:`.algebra`, SPARQL §18.2
+      translation with compatible-mapping joins) for everything the
+      flat path refuses with NotImplementedError: nested group graph
+      patterns (OPTIONAL inside OPTIONAL, UNION branches with their
+      own OPTIONAL/FILTER, FILTER EXISTS inside a group, GRAPH around
+      groups) and UNION blocks whose branch-padded variables would
+      need a compatible-mapping join against the base pattern.
+
+    The split keeps the flat path's plans byte-identical for existing
+    queries (zero regression surface) while the algebra path extends
+    coverage; both end in :func:`_finalize_select`.
+    """
+    try:
+        return _bgp_select_flat(
+            triples,
+            sparql,
+            prefixes,
+            _extra_needs=_extra_needs,
+            _keep_meta=_keep_meta,
+        )
+    except NotImplementedError:
+        from .algebra import algebra_select
+
+        return algebra_select(
+            triples,
+            sparql,
+            prefixes,
+            _extra_needs=_extra_needs,
+            _keep_meta=_keep_meta,
+        )
+
+
+def _parse_having(
+    text: str, prefixes: Dict[str, str]
+) -> Tuple[object, List["AggItem"], Dict[str, set]]:
+    """HAVING body → (expr, synthetic AggItems, companion needs):
+    aggregate calls are rewritten to synthetic ``?__hN`` vars computed
+    alongside the SELECT aggregates, then the remainder expr-parses."""
+    having_aggs: List[AggItem] = []
+    counter = [0]
+
+    def _sub_agg(mm: re.Match) -> str:
+        am = _AGG_RE.match(mm.group(0))
+        if not am:
+            return mm.group(0)
+        alias = f"__h{counter[0]}"
+        counter[0] += 1
+        var = None if am.group("arg") == "*" else am.group("arg")[1:]
+        having_aggs.append(
+            AggItem(
+                am.group("fn").upper(), bool(am.group("distinct")),
+                var, am.group("sep"), alias,
+            )
+        )
+        return "?" + alias
+
+    text = re.sub(
+        r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\([^()]*\)",
+        _sub_agg,
+        text,
+    )
+    having_expr, h_needs, _ = parse_expr(text, prefixes)
+    return having_expr, having_aggs, h_needs
+
+
+def _bgp_select_flat(
+    triples: DataFrame,
+    sparql: str,
+    prefixes: Optional[Dict[str, str]] = None,
+    *,
+    _extra_needs: Optional[Dict[str, set]] = None,
+    _keep_meta: bool = False,
+) -> DataFrame:
+    """The flat-extraction path (see :func:`bgp_select`). OPTIONAL
+    groups compile to left joins on their shared variables (J3);
+    FILTERs to Column predicates, which Catalyst pushes down into the
+    pattern slices where legal; EXISTS/NOT EXISTS to LeftSemi/LeftAnti
+    joins; GROUP BY + aggregates to a hash aggregate (map-side
+    partials for free).
 
     ``_extra_needs``/``_keep_meta`` are the internal CONSTRUCT hooks:
     request term metadata (``v__kind``/``__lang``/``__dt``) for extra
@@ -1472,31 +1603,9 @@ def bgp_select(
     having_expr = None
     having_aggs: List[AggItem] = []
     if q["having"]:
-        # rewrite aggregate calls to synthetic vars, then expr-parse
-        text = q["having"]
-        counter = [0]
-
-        def _sub_agg(mm: re.Match) -> str:
-            am = _AGG_RE.match(mm.group(0))
-            if not am:
-                return mm.group(0)
-            alias = f"__h{counter[0]}"
-            counter[0] += 1
-            var = None if am.group("arg") == "*" else am.group("arg")[1:]
-            having_aggs.append(
-                AggItem(
-                    am.group("fn").upper(), bool(am.group("distinct")),
-                    var, am.group("sep"), alias,
-                )
-            )
-            return "?" + alias
-
-        text = re.sub(
-            r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\([^()]*\)",
-            _sub_agg,
-            text,
+        having_expr, having_aggs, h_needs = _parse_having(
+            q["having"], q["prefixes"]
         )
-        having_expr, h_needs, _ = parse_expr(text, q["prefixes"])
         needs = _merge_needs(needs, h_needs)
 
     plan = _compile_patterns(triples, q["patterns"], needs)
@@ -1664,6 +1773,25 @@ def bgp_select(
             how = "left_semi" if f.kind == "exists" else "left_anti"
             plan = _join_shared(plan, sub.select(*shared).distinct(), how)
 
+    return _finalize_select(plan, q, having_expr, having_aggs, _keep_meta)
+
+
+def _finalize_select(
+    plan: DataFrame,
+    q: Dict,
+    having_expr,
+    having_aggs: List["AggItem"],
+    _keep_meta: bool,
+    *,
+    pad_unbound: bool = False,
+) -> DataFrame:
+    """Shared solution-modifier tail (both compiler paths): GROUP BY /
+    aggregates / HAVING, SELECT expressions, projection, DISTINCT,
+    value-ordered ORDER BY, OFFSET/LIMIT. ``pad_unbound``: the algebra
+    path projects never-bound variables as NULL columns (SPARQL
+    semantics for vars that are syntactically in scope but bound by no
+    branch); the flat path keeps its historical loud error."""
+    resolver = Resolver()
     aggs: List[AggItem] = q["aggs"]
     if aggs or q["group_by"] or having_aggs:
         group_cols = q["group_by"]
@@ -1692,9 +1820,12 @@ def bgp_select(
         )
         missing = [v for v in proj_cols if v not in grouped.columns]
         if missing:
-            raise ValueError(
-                f"projected vars not in GROUP BY/aggregates: {missing}"
-            )
+            if not pad_unbound:
+                raise ValueError(
+                    f"projected vars not in GROUP BY/aggregates: {missing}"
+                )
+            for v in missing:
+                grouped = grouped.withColumn(v, F.lit(None).cast("string"))
         out = grouped.select(*proj_cols)
     else:
         for body, alias in q["proj_exprs"]:
@@ -1705,12 +1836,22 @@ def bgp_select(
                 if v not in plan.columns
             ]
             if missing:
-                raise ValueError(f"SELECT expression references unbound: {missing}")
+                if not pad_unbound:
+                    raise ValueError(
+                        f"SELECT expression references unbound: {missing}"
+                    )
+                # SPARQL §17.2: the unbound var is a per-row type
+                # error → the projected expression is unbound (NULL)
+                for v in missing:
+                    plan = plan.withColumn(v, F.lit(None).cast("string"))
             plan = plan.withColumn(alias, e.col(resolver))
         proj_cols = q["proj"] + [alias for _, alias in q["proj_exprs"]]
         missing = [v for v in proj_cols if v not in plan.columns]
         if missing:
-            raise ValueError(f"projected vars not bound: {missing}")
+            if not pad_unbound:
+                raise ValueError(f"projected vars not bound: {missing}")
+            for v in missing:
+                plan = plan.withColumn(v, F.lit(None).cast("string"))
         if _keep_meta:
             proj_cols = proj_cols + [
                 c

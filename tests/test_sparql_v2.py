@@ -895,17 +895,38 @@ class TestRound3CompilerFixes:
         )
         assert [x[0] for x in r2] == ["urn:c:1"]
 
-    def test_nested_group_rejected_loudly(self, triples):
-        """An EXISTS inside OPTIONAL would be regex-hoisted to the
-        outer scope (silently gating the whole solution set) — the
-        compiler must refuse it instead."""
-        with pytest.raises(NotImplementedError, match="nested group"):
-            bgp_select(
-                triples,
-                "SELECT ?s WHERE { ?s a skos:Concept OPTIONAL { "
-                "?s skos:prefLabel ?l FILTER EXISTS { ?s skos:broader ?b } } }",
-                PFX,
+    def test_nested_group_routes_to_algebra(self, triples):
+        """An EXISTS inside OPTIONAL would be regex-hoisted by the
+        flat extractor (silently gating the whole solution set) — it
+        must route to the recursive algebra compiler, which fuses the
+        EXISTS into the LeftJoin condition (§18.2.2.6): concepts keep
+        their label only where a broader link exists, everything else
+        survives unextended."""
+        out = bgp_select(
+            triples,
+            "SELECT ?s ?l WHERE { ?s a skos:Concept OPTIONAL { "
+            "?s skos:prefLabel ?l FILTER EXISTS { ?s skos:broader ?b } } } "
+            "ORDER BY ?s",
+            PFX,
+        )
+        got = rows(out)
+        # every concept appears exactly once (left rows never drop);
+        # ?l is bound only where the EXISTS gate held
+        subjects = [r[0] for r in got]
+        assert subjects == sorted(set(subjects))
+        with_l = {r[0] for r in got if r[1] is not None}
+        broader = {
+            r[0]
+            for r in rows(
+                bgp_select(
+                    triples,
+                    "SELECT ?s WHERE { ?s skos:broader ?b . "
+                    "?s skos:prefLabel ?l }",
+                    PFX,
+                )
             )
+        }
+        assert with_l == broader
 
     def test_unbound_filter_var_yields_empty_not_error(self, triples):
         """17.2: an unbound variable is a type error; FILTER treats
