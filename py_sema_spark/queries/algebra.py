@@ -838,5 +838,5 @@ def algebra_select(
         "prefixes": prefixes,
     }
     return _bgp._finalize_select(
-        plan, q, having_expr, having_aggs, _keep_meta, pad_unbound=True
+        plan, q, having_expr, having_aggs, _keep_meta
     )

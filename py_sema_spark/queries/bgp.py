@@ -1782,15 +1782,16 @@ def _finalize_select(
     having_expr,
     having_aggs: List["AggItem"],
     _keep_meta: bool,
-    *,
-    pad_unbound: bool = False,
 ) -> DataFrame:
     """Shared solution-modifier tail (both compiler paths): GROUP BY /
     aggregates / HAVING, SELECT expressions, projection, DISTINCT,
-    value-ordered ORDER BY, OFFSET/LIMIT. ``pad_unbound``: the algebra
-    path projects never-bound variables as NULL columns (SPARQL
-    semantics for vars that are syntactically in scope but bound by no
-    branch); the flat path keeps its historical loud error."""
+    value-ordered ORDER BY, OFFSET/LIMIT.
+
+    Never-bound projected variables (and expressions over them)
+    project as NULL columns — §17.2 type-error-→-unbound semantics,
+    matching rdflib. Projecting a non-grouped, non-aggregate variable
+    in an aggregate query stays a loud error (§19.8 projection
+    restriction — a query error, not an unbound)."""
     resolver = Resolver()
     aggs: List[AggItem] = q["aggs"]
     if aggs or q["group_by"] or having_aggs:
@@ -1820,12 +1821,9 @@ def _finalize_select(
         )
         missing = [v for v in proj_cols if v not in grouped.columns]
         if missing:
-            if not pad_unbound:
-                raise ValueError(
-                    f"projected vars not in GROUP BY/aggregates: {missing}"
-                )
-            for v in missing:
-                grouped = grouped.withColumn(v, F.lit(None).cast("string"))
+            raise ValueError(
+                f"projected vars not in GROUP BY/aggregates: {missing}"
+            )
         out = grouped.select(*proj_cols)
     else:
         for body, alias in q["proj_exprs"]:
@@ -1836,10 +1834,6 @@ def _finalize_select(
                 if v not in plan.columns
             ]
             if missing:
-                if not pad_unbound:
-                    raise ValueError(
-                        f"SELECT expression references unbound: {missing}"
-                    )
                 # SPARQL §17.2: the unbound var is a per-row type
                 # error → the projected expression is unbound (NULL)
                 for v in missing:
@@ -1848,8 +1842,6 @@ def _finalize_select(
         proj_cols = q["proj"] + [alias for _, alias in q["proj_exprs"]]
         missing = [v for v in proj_cols if v not in plan.columns]
         if missing:
-            if not pad_unbound:
-                raise ValueError(f"projected vars not bound: {missing}")
             for v in missing:
                 plan = plan.withColumn(v, F.lit(None).cast("string"))
         if _keep_meta:

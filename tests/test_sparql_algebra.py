@@ -455,8 +455,7 @@ def canon(rows_):
     )
 
 
-@pytest.mark.parametrize("seed", range(30))
-def test_differential_nested_algebra(spark, seed):
+def _run_differential(spark, seed, runner):
     rng = random.Random(7100 + seed)
     graph = make_graph(rng)
     df = spark.createDataFrame(
@@ -475,5 +474,20 @@ def test_differential_nested_algebra(spark, seed):
         tuple(mu.get(v, (None,))[0] for v in proj)
         for mu in naive_group(graph, elems)
     ]
-    got = [tuple(r) for r in algebra_select(df, sparql).collect()]
+    got = [tuple(r) for r in runner(df, sparql).collect()]
     assert canon(got) == canon(expected), sparql
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_differential_nested_algebra(spark, seed):
+    _run_differential(spark, seed, algebra_select)
+
+
+@pytest.mark.parametrize("seed", range(30, 45))
+def test_differential_routed_bgp_select(spark, seed):
+    """Same generator through the public entry point: flat-compatible
+    trees compile on the flat path, nested ones must be REFUSED there
+    and fall back — if the flat extractor ever wrongly accepts a
+    nested query (scope-hoist bug), the naive-evaluator comparison
+    catches the wrong results here."""
+    _run_differential(spark, seed, bgp_select)

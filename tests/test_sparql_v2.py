@@ -465,9 +465,14 @@ class TestParseErrors:
                 triples, "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p", PFX
             )
 
-    def test_unbound_projection(self, triples):
-        with pytest.raises(ValueError):
-            bgp_select(triples, "SELECT ?zzz WHERE { ?s ?p ?o }", PFX)
+    def test_unbound_projection_pads_null(self, triples):
+        """A projected variable bound nowhere in the pattern is
+        unbound in every solution (rdflib parity) — a NULL column,
+        not a query error."""
+        out = bgp_select(triples, "SELECT ?zzz WHERE { ?s ?p ?o }", PFX)
+        rows_ = out.collect()
+        assert len(rows_) > 0
+        assert all(r[0] is None for r in rows_)
 
     def test_values_arity_mismatch(self):
         with pytest.raises(ValueError):
