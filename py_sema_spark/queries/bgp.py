@@ -316,6 +316,70 @@ def _values_row_terms(text: str, prefixes: Dict[str, str]) -> List[str]:
 _PATH_OPS = set("/|^+*?()!")
 
 
+_BN_COUNTER = [0]
+
+
+def _desugar_bnode_lists(text: str) -> str:
+    """Turtle-style blank-node syntax in triple patterns → fresh
+    variables: ``[]`` becomes ``?__bnN``; ``[ p o ; p2 o2 ]`` becomes
+    ``?__bnN`` in place plus an appended ``?__bnN p o ; p2 o2``
+    statement (nested brackets recurse). Blank-node labels scope to
+    one BGP (§19.6), so appending within the same pattern text is
+    exact; the synthetic ``__bn`` vars join like any var but are
+    excluded from SELECT * (rdflib likewise hides bnode bindings
+    behind its own labels)."""
+    out: List[str] = []
+    pending: List[Tuple[str, str]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "<":
+            j = text.find(">", i + 1)
+            j = j if j != -1 else n - 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "[":
+            depth = 0
+            j = i
+            while j < n:
+                cj = text[j]
+                if cj == '"':
+                    j += 1
+                    while j < n and text[j] != '"':
+                        j += 2 if text[j] == "\\" else 1
+                elif cj == "[":
+                    depth += 1
+                elif cj == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced brackets in {text[i:i+60]!r}")
+            inner = _desugar_bnode_lists(text[i + 1 : j])
+            _BN_COUNTER[0] += 1
+            var = f"?__bn{_BN_COUNTER[0]}"
+            out.append(var)
+            if inner.strip(" \t\r\n."):
+                pending.append((var, inner))
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    result = "".join(out)
+    for var, inner in pending:
+        result = f"{result} . {var} {inner} "
+    return result
+
+
 def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Path | Term, Term]]:
     """Tokenize first, then treat '.' as a statement separator only
     *between* term tokens — dots inside <IRI>s, quoted literals, and
@@ -325,7 +389,11 @@ def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Path | Term, Term]]
 
     Each statement is ``subject path object``: the first and last
     items must be terms, everything between is handed to the property
-    path parser (a single IRI term is the plain-triple case)."""
+    path parser (a single IRI term is the plain-triple case).
+    Blank-node bracket syntax desugars to fresh ``?__bn`` vars
+    first (:func:`_desugar_bnode_lists`)."""
+    if "[" in text:
+        text = _desugar_bnode_lists(text)
     statements: List[list] = []
     cur: List = []
 
@@ -764,7 +832,14 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
             p for g in unions for p in g
         ] + [p for _, g in graphs for p in g]:
             for t in tp:
-                if isinstance(t, Term) and t.kind == "var" and t.value not in seen:
+                if (
+                    isinstance(t, Term)
+                    and t.kind == "var"
+                    and t.value not in seen
+                    # synthetic vars (desugared blank nodes, anon)
+                    # join internally but never project via *
+                    and not t.value.startswith("__")
+                ):
                     seen.append(t.value)
         for gterm, _ in graphs:
             if gterm.kind == "var" and gterm.value not in seen:

@@ -117,6 +117,46 @@ class TestPropertyPaths:
 
 
 class TestListsAndSugar:
+    def test_bnode_property_list_object_position(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:p", "_:b1", "bnode", None, None),
+                ("_:b1", "urn:q", "x", "literal", None, None),
+                ("urn:d", "urn:p", "urn:e", "iri", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        r = rows(
+            bgp_select(
+                df, 'SELECT ?s WHERE { ?s <urn:p> [ <urn:q> "x" ] . }'
+            )
+        )
+        assert r == [("urn:a",)]
+        # anonymous [] matches any object; SELECT * hides the
+        # synthetic variable (rdflib parity: bnode bindings are not
+        # projected by *)
+        star = bgp_select(df, "SELECT * WHERE { ?s <urn:p> [] . }")
+        assert star.columns == ["s"]
+        assert sorted(x[0] for x in rows(star)) == ["urn:a", "urn:d"]
+
+    def test_bnode_property_list_subject_position(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("_:b1", "urn:q", "x", "literal", None, None),
+                ("_:b1", "urn:r", "y", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        r = rows(
+            bgp_select(
+                df,
+                'SELECT ?v WHERE { [ <urn:q> "x" ] <urn:r> ?v . }',
+            )
+        )
+        assert r == [("y",)]
+
     def test_predicate_object_list(self, triples):
         r = rows(
             bgp_select(
