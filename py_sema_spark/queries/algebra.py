@@ -767,8 +767,11 @@ def algebra_select(
     head = re.sub(r"(?is)\bWHERE\s*$", "", body[m.end() : wb])
     tail = body[after:]
 
-    hm = re.match(r"(?is)\s*(DISTINCT\s+)?(?P<proj>.*?)\s*$", head)
-    distinct = bool(hm.group(1))
+    hm = re.match(
+        r"(?is)\s*(DISTINCT\s+|REDUCED\s+)?(?P<proj>.*?)\s*$", head
+    )
+    # REDUCED is a bag-preserving no-op (conformant per §9.3)
+    distinct = bool(hm.group(1)) and hm.group(1).strip().upper() == "DISTINCT"
     proj_raw = hm.group("proj").strip()
 
     tm = re.match(

@@ -287,8 +287,10 @@ def _values_row_terms(text: str, prefixes: Dict[str, str]) -> List[str]:
     """Tokenize one VALUES row: RDF terms plus the bare numeric /
     boolean shorthands the grammar allows (previously these were
     silently skipped, turning ``VALUES ?x { 1 2 3 }`` into zero rows).
-    UNDEF is rejected explicitly — partial bindings need outer-join
-    semantics this engine doesn't model."""
+    UNDEF parses to None — a partial binding. The flat path refuses
+    those rows (its VALUES join is a plain equi-join) and routes to
+    the algebra compiler, whose compatible-mapping join gives UNDEF
+    its §10.2 semantics (joins with anything, stays unbound)."""
     out: List[str] = []
     i, n = 0, len(text)
     while i < n:
@@ -303,10 +305,11 @@ def _values_row_terms(text: str, prefixes: Dict[str, str]) -> List[str]:
         m = _VALUES_EXTRA_RE.match(text, i)
         if m:
             if m.group("undef"):
-                raise ValueError("UNDEF in VALUES is not supported")
-            out.append(
-                m.group(0).lower() if m.group("bool") else m.group(0)
-            )
+                out.append(None)
+            else:
+                out.append(
+                    m.group(0).lower() if m.group("bool") else m.group(0)
+                )
             i = m.end()
             continue
         raise ValueError(f"unsupported VALUES token at {text[i:]!r}")
@@ -654,7 +657,8 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     body = re.sub(r"(?i)\bPREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>", "", sparql)
 
     m = re.search(
-        r"(?is)\bSELECT\s+(DISTINCT\s+)?(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
+        r"(?is)\bSELECT\s+(DISTINCT\s+|REDUCED\s+)?"
+        r"(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
         r"\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
         r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s()]+?))?"
@@ -664,7 +668,10 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     )
     if not m:
         raise ValueError(f"unsupported SPARQL (SELECT subset): {sparql!r}")
-    distinct = bool(m.group(1))
+    # REDUCED permits (but does not require) duplicate elimination —
+    # keeping the bag unchanged is conformant and free
+    distinct = bool(m.group(1)) and m.group(1).strip().upper() == "DISTINCT"
+
     proj_raw = m.group("proj").strip()
     limit = int(m.group("limit")) if m.group("limit") else None
     offset = int(m.group("offset")) if m.group("offset") else None
@@ -806,6 +813,12 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
                 values_rows.append(row)
         else:
             values_rows = [[v] for v in _values_row_terms(vbody, prefixes)]
+        if any(v is None for row in values_rows for v in row):
+            raise NotImplementedError(
+                "VALUES with UNDEF (partial bindings need the "
+                "compatible-mapping join) — routing to the recursive "
+                "algebra compiler"
+            )
         where = where.replace(vm.group(0), " ")
 
     # BIND(expr AS ?v) — balanced-paren scan, arbitrary nesting depth

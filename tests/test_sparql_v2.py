@@ -514,6 +514,48 @@ class TestParseErrors:
         assert len(rows_) > 0
         assert all(r[0] is None for r in rows_)
 
+    def test_values_undef_partial_bindings(self, spark):
+        """§10.2: UNDEF joins with anything and leaves the var as the
+        solution's own binding — needs the compatible-mapping join, so
+        the flat path refuses and the algebra path computes it."""
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:name", "Alice", "literal", None, None),
+                ("urn:b", "urn:name", "Bob", "literal", None, None),
+                ("urn:a", "urn:age", "30", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df,
+            """SELECT ?s ?n ?a WHERE {
+                 ?s <urn:name> ?n .
+                 OPTIONAL { ?s <urn:age> ?a }
+                 VALUES (?n ?a) { ("Alice" UNDEF) (UNDEF "99") }
+               } ORDER BY ?s""",
+        )
+        assert rows(out) == [
+            ("urn:a", "Alice", "30"),
+            ("urn:b", "Bob", "99"),
+        ]
+
+    def test_select_reduced_is_bag_noop(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:name", "X", "literal", None, None),
+                ("urn:b", "urn:name", "X", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df, "SELECT REDUCED ?n WHERE { ?s <urn:name> ?n }"
+        )
+        # keeping the bag unchanged is conformant (§9.3 permits, does
+        # not require, duplicate elimination)
+        assert sorted(rows(out)) == [("X",), ("X",)]
+
     def test_values_arity_mismatch(self):
         with pytest.raises(ValueError):
             parse_select(
