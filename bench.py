@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "sparql_groupby",
     "sparql_construct",
     "sparql_update",
+    "sparql_optional_scoped_filter",
+    "sparql_union_optional",
     "graph_diff",
     "gopher_quality",
     "quality_audit",

@@ -777,7 +777,7 @@ def algebra_select(
     tm = re.match(
         r"(?is)\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _bgp._DEPTH2 + r")\))?"
-        r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s()]+?))?"
+        r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
         r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
         r"\s*(?:OFFSET\s+(?P<offset>\d+))?\s*$",
         tail,
@@ -789,15 +789,7 @@ def algebra_select(
         if tm.group("group")
         else []
     )
-    order_by: List[Tuple[str, bool]] = []
-    if tm.group("order"):
-        for om in re.finditer(
-            r"(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", tm.group("order")
-        ):
-            if om.group(3):
-                order_by.append((om.group(3), False))
-            else:
-                order_by.append((om.group(2), om.group(1).upper() == "DESC"))
+    order_by = _bgp._parse_order_conditions(tm.group("order") or "")
 
     elements = parse_group_body(where, prefixes)
 

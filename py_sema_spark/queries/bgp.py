@@ -661,7 +661,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         r"(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
         r"\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
-        r"\s*(?:ORDER\s+BY\s+(?P<order>[?\w\s()]+?))?"
+        r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
         r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
         r"\s*(?:OFFSET\s+(?P<offset>\d+))?\s*$",
         body,
@@ -680,15 +680,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         if m.group("group")
         else []
     )
-    order_by: List[Tuple[str, bool]] = []
-    if m.group("order"):
-        for om in re.finditer(
-            r"(?i)(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", m.group("order")
-        ):
-            if om.group(3):
-                order_by.append((om.group(3), False))
-            else:
-                order_by.append((om.group(2), om.group(1).upper() == "DESC"))
+    order_by = _parse_order_conditions(m.group("order") or "")
 
     where = m.group("w")
 
@@ -1630,6 +1622,46 @@ def bgp_select(
         )
 
 
+def _parse_order_conditions(text: str) -> List[Tuple[str, str, bool]]:
+    """ORDER BY clause text → [(kind, payload, desc), …] where kind is
+    ``var`` (payload = bare variable name, value-ordered composite
+    sort) or ``expr`` (payload = expression text for
+    :func:`.sparql_expr.parse_expr`). Accepts ``?v``, ``ASC(…)`` /
+    ``DESC(…)`` with arbitrary expression bodies, and bare function
+    calls (``ORDER BY STRLEN(?x)``)."""
+    out: List[Tuple[str, str, bool]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace() or text[i] == ",":
+            i += 1
+            continue
+        m = re.match(r"(?i)(ASC|DESC)\s*\(", text[i:])
+        if m:
+            end = _scan_balanced(text, i + m.end() - 1)
+            inner = text[i + m.end() : end - 1].strip()
+            desc = m.group(1).upper() == "DESC"
+            vm = re.fullmatch(r"\?(\w+)", inner)
+            if vm:
+                out.append(("var", vm.group(1), desc))
+            else:
+                out.append(("expr", inner, desc))
+            i = end
+            continue
+        vm = re.match(r"\?(\w+)", text[i:])
+        if vm:
+            out.append(("var", vm.group(1), False))
+            i += vm.end()
+            continue
+        fm = re.match(r"[A-Za-z_][\w.:]*\s*\(", text[i:])
+        if fm:
+            end = _scan_balanced(text, i + fm.end() - 1)
+            out.append(("expr", text[i:end], False))
+            i = end
+            continue
+        raise ValueError(f"unsupported ORDER BY condition at {text[i:]!r}")
+    return out
+
+
 def _parse_having(
     text: str, prefixes: Dict[str, str]
 ) -> Tuple[object, List["AggItem"], Dict[str, set]]:
@@ -1949,13 +1981,26 @@ def _finalize_select(
         # "10" < "2" < "9". Composite key: numeric interpretation
         # first (numbers sort by value, before all non-numerics —
         # a conformant consistent total order), lexical as tiebreak.
+        # Expression conditions compile through the FILTER/BIND
+        # expression layer and sort by the same composite.
         keys = []
-        for v, desc in q["order_by"]:
-            num = F.col(v).try_cast("double")
-            if desc:
-                keys += [num.desc_nulls_first(), F.col(v).desc()]
+        for kind, payload, desc in q["order_by"]:
+            if kind == "var":
+                col = F.col(payload)
             else:
-                keys += [num.asc_nulls_last(), F.col(v).asc()]
+                e, _needs, evars = parse_expr(payload, q["prefixes"])
+                missing = [v for v in evars if v not in out.columns]
+                if missing:
+                    raise ValueError(
+                        "ORDER BY expression references variables "
+                        f"outside the projection: {missing}"
+                    )
+                col = e.col(resolver)
+            num = col.try_cast("double")
+            if desc:
+                keys += [num.desc_nulls_first(), col.desc()]
+            else:
+                keys += [num.asc_nulls_last(), col.asc()]
         out = out.orderBy(*keys)
     if q["offset"] is not None:
         out = out.offset(q["offset"])

@@ -514,6 +514,28 @@ class TestParseErrors:
         assert len(rows_) > 0
         assert all(r[0] is None for r in rows_)
 
+    def test_order_by_expression(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:name", "Al", "literal", None, None),
+                ("urn:b", "urn:name", "Celeste", "literal", None, None),
+                ("urn:c", "urn:name", "Bobby", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df,
+            "SELECT ?n WHERE { ?s <urn:name> ?n } ORDER BY STRLEN(?n)",
+        )
+        assert [r[0] for r in out.collect()] == ["Al", "Bobby", "Celeste"]
+        out2 = bgp_select(
+            df,
+            "SELECT ?n WHERE { ?s <urn:name> ?n } "
+            "ORDER BY DESC(STRLEN(?n)) ?n",
+        )
+        assert [r[0] for r in out2.collect()] == ["Celeste", "Bobby", "Al"]
+
     def test_values_undef_partial_bindings(self, spark):
         """§10.2: UNDEF joins with anything and leaves the var as the
         solution's own binding — needs the compatible-mapping join, so
