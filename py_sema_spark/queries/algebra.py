@@ -775,7 +775,7 @@ def algebra_select(
     proj_raw = hm.group("proj").strip()
 
     tm = re.match(
-        r"(?is)\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
+        r"(?is)\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _bgp._DEPTH2 + r")\))?"
         r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
         r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
@@ -784,11 +784,7 @@ def algebra_select(
     )
     if not tm:
         raise ValueError(f"unsupported solution modifiers: {tail!r}")
-    group_by = (
-        [v[1:] for v in tm.group("group").split() if v.startswith("?")]
-        if tm.group("group")
-        else []
-    )
+    group_by = _bgp._parse_group_conditions(tm.group("group") or "")
     order_by = _bgp._parse_order_conditions(tm.group("order") or "")
 
     elements = parse_group_body(where, prefixes)

@@ -659,7 +659,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     m = re.search(
         r"(?is)\bSELECT\s+(DISTINCT\s+|REDUCED\s+)?"
         r"(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
-        r"\s*(?:GROUP\s+BY\s+(?P<group>[?\w\s]+?))?"
+        r"\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
         r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
         r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
@@ -675,11 +675,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     proj_raw = m.group("proj").strip()
     limit = int(m.group("limit")) if m.group("limit") else None
     offset = int(m.group("offset")) if m.group("offset") else None
-    group_by = (
-        [v[1:] for v in m.group("group").split() if v.startswith("?")]
-        if m.group("group")
-        else []
-    )
+    group_by = _parse_group_conditions(m.group("group") or "")
     order_by = _parse_order_conditions(m.group("order") or "")
 
     where = m.group("w")
@@ -1662,6 +1658,45 @@ def _parse_order_conditions(text: str) -> List[Tuple[str, str, bool]]:
     return out
 
 
+def _parse_group_conditions(text: str) -> List[Tuple[str, str, Optional[str]]]:
+    """GROUP BY clause text → [(kind, payload, alias), …]: ``var``
+    (bare variable), or ``expr`` — ``(expr AS ?v)`` groups on a new
+    projectable binding, ``(expr)`` / bare function calls group on an
+    internal synthetic column."""
+    out: List[Tuple[str, str, Optional[str]]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace() or c == ",":
+            i += 1
+            continue
+        vm = re.match(r"\?(\w+)", text[i:])
+        if vm:
+            out.append(("var", vm.group(1), None))
+            i += vm.end()
+            continue
+        if c == "(":
+            end = _scan_balanced(text, i)
+            inner = text[i + 1 : end - 1]
+            am = re.match(
+                r"(?is)^(?P<e>.*)\s+AS\s+\?(?P<a>\w+)\s*$", inner
+            )
+            if am:
+                out.append(("expr", am.group("e"), am.group("a")))
+            else:
+                out.append(("expr", inner, None))
+            i = end
+            continue
+        fm = re.match(r"[A-Za-z_][\w.:]*\s*\(", text[i:])
+        if fm:
+            end = _scan_balanced(text, i + fm.end() - 1)
+            out.append(("expr", text[i:end], None))
+            i = end
+            continue
+        raise ValueError(f"unsupported GROUP BY condition at {text[i:]!r}")
+    return out
+
+
 def _parse_having(
     text: str, prefixes: Dict[str, str]
 ) -> Tuple[object, List["AggItem"], Dict[str, set]]:
@@ -1915,7 +1950,20 @@ def _finalize_select(
     resolver = Resolver()
     aggs: List[AggItem] = q["aggs"]
     if aggs or q["group_by"] or having_aggs:
-        group_cols = q["group_by"]
+        group_cols: List[str] = []
+        for k, (kind, payload, alias) in enumerate(q["group_by"]):
+            if kind == "var":
+                group_cols.append(payload)
+                continue
+            # (expr AS ?v) binds a projectable grouping var; a bare
+            # expression groups on an internal synthetic column
+            name = alias or f"__g{k}"
+            e, _e_needs, evars = parse_expr(payload, q["prefixes"])
+            for v in evars:
+                if v not in plan.columns:
+                    plan = plan.withColumn(v, F.lit(None).cast("string"))
+            plan = plan.withColumn(name, e.col(resolver))
+            group_cols.append(name)
         agg_cols = [a.column() for a in aggs] + [a.column() for a in having_aggs]
         if not agg_cols:
             raise ValueError("GROUP BY without aggregates in SELECT")

@@ -514,6 +514,30 @@ class TestParseErrors:
         assert len(rows_) > 0
         assert all(r[0] is None for r in rows_)
 
+    def test_group_by_expression(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:name", "Al", "literal", None, None),
+                ("urn:b", "urn:name", "Bo", "literal", None, None),
+                ("urn:c", "urn:name", "Celeste", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_select(
+            df,
+            "SELECT ?len (COUNT(*) AS ?n) WHERE { ?s <urn:name> ?nm } "
+            "GROUP BY (STRLEN(?nm) AS ?len) ORDER BY ?len",
+        )
+        assert [tuple(r) for r in out.collect()] == [(2, 2), (7, 1)]
+        # bare expression: internal grouping column, not projectable
+        out2 = bgp_select(
+            df,
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s <urn:name> ?nm } "
+            "GROUP BY STRLEN(?nm) ORDER BY DESC(?n)",
+        )
+        assert [r[0] for r in out2.collect()] == [2, 1]
+
     def test_order_by_expression(self, spark):
         df = spark.createDataFrame(
             [
