@@ -255,7 +255,14 @@ def _collect_needs(elements: List[tuple], prefixes) -> Dict[str, set]:
         for el in elems:
             k = el[0]
             if k == "filter":
-                _, n, _ = parse_expr(el[1], prefixes)
+                text = el[1]
+                if re.search(r"(?is)\bEXISTS\s*\{", text):
+                    text, markers = _rewrite_exists_in_expr(
+                        text, prefixes, [0]
+                    )
+                    for _name, sub_elems in markers:
+                        walk(sub_elems)
+                _, n, _ = parse_expr(text, prefixes)
                 _merge_into(needs, n)
             elif k == "bind":
                 _, n, _ = parse_expr(el[1], prefixes)
@@ -675,19 +682,85 @@ def _left_join_with_exists(
     return Rel(out, set(G.certain))
 
 
+def _rewrite_exists_in_expr(
+    text: str, prefixes, counter: list
+) -> Tuple[str, List[Tuple[str, List[tuple]]]]:
+    """EXISTS groups embedded in a boolean FILTER expression →
+    synthetic string-comparison terms: each ``[NOT] EXISTS {…}``
+    becomes ``(?__exN = "true")`` / ``(?__exN != "true")`` and the
+    marker column is computed by a semi/anti split before the filter
+    runs (:func:`_mark_exists`). String equality sidesteps EBV: a
+    plain-literal "false" would be truthy under §17.2.2."""
+    markers: List[Tuple[str, List[tuple]]] = []
+    out: List[str] = []
+    i = 0
+    rx = re.compile(r"(?is)\b(NOT\s+)?EXISTS\s*\{")
+    while True:
+        m = rx.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        inner, after = _bgp._balanced_block(text, m.end() - 1)
+        name = f"__ex{counter[0]}"
+        counter[0] += 1
+        markers.append((name, parse_group_body(inner, prefixes)))
+        op = "!=" if m.group(1) else "="
+        out.append(text[i : m.start()])
+        # STR() compares lexically — no companion-metadata predicates
+        # (the marker is an internal column, not an RDF term)
+        out.append(f'(STR(?{name}) {op} "true")')
+        i = after
+    return "".join(out), markers
+
+
+def _mark_exists(rel: Rel, elems: List[tuple], name: str, ctx: _Ctx, spark) -> Rel:
+    """Add a ``name`` column holding "true"/"false" per solution row:
+    whether the EXISTS group has a compatible solution. Semi/anti
+    split (never a row-multiplying join), bag-exact."""
+    sub = _compile_group(elems, ctx, spark)
+    shared = sorted(rel.vars & sub.vars)
+    if not shared:
+        val = "false" if sub.df.isEmpty() else "true"
+        return Rel(rel.df.withColumn(name, F.lit(val)), set(rel.certain))
+    proj = [c for c in sub.df.columns if c.split("__", 1)[0] in shared]
+    sub_rel = Rel(
+        sub.df.select(*proj).distinct(), set(sub.certain) & set(shared)
+    )
+    pos = _compatible_join(rel, sub_rel, "left_semi").df.withColumn(
+        name, F.lit("true")
+    )
+    neg = _compatible_join(rel, sub_rel, "left_anti").df.withColumn(
+        name, F.lit("false")
+    )
+    return Rel(pos.unionByName(neg), set(rel.certain))
+
+
 def _apply_filters(
     rel: Rel, filters: List[str], exists: List[tuple], ctx: _Ctx, spark
 ) -> Rel:
-    df = rel.df
+    cur = rel
     for text in filters:
+        if re.search(r"(?is)\bEXISTS\s*\{", text):
+            text, markers = _rewrite_exists_in_expr(
+                text, ctx.prefixes, ctx.counter
+            )
+            for name, elems in markers:
+                cur = _mark_exists(cur, elems, name, ctx, spark)
+        df = cur.df
         _e, _n, evars = parse_expr(text, ctx.prefixes)
-        missing = [v for v in evars if v not in df.columns]
+        missing = [
+            v for v in evars if v not in df.columns and not v.startswith("__ex")
+        ]
         if missing:
             # §17.2: a never-bound var is a type error on every row
-            df = df.where(F.lit(False))
+            cur = Rel(df.where(F.lit(False)), set(cur.certain))
             continue
         df = df.where(_e.col(_ColsResolver(df.columns)))
-    out = Rel(df, set(rel.certain))
+        drop = [c for c in df.columns if c.startswith("__ex")]
+        if drop:
+            df = df.drop(*drop)
+        cur = Rel(df, set(cur.certain))
+    out = cur
     for _k, negated, elems in exists:
         sub = _compile_group(elems, ctx, spark)
         shared = sorted(out.vars & sub.vars)

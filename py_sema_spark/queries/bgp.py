@@ -750,20 +750,30 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         where,
     )
 
-    # FILTER [NOT] EXISTS { … } — before OPTIONAL (both use braces)
+    # FILTER [NOT] EXISTS { … } — before OPTIONAL (both use braces).
+    # Parens must be absent or a COMPLETE wrapper: a partial match on
+    # FILTER(EXISTS {…} && expr) would strand the boolean tail in the
+    # pattern text — that form stays in place for the _extract_calls
+    # pass below, which routes it to the algebra compiler.
     filters: List[_Filter] = []
-    for fm in re.finditer(
-        r"(?is)FILTER\s*\(?\s*(NOT\s+)?EXISTS\s*\{([^{}]*)\}\s*\)?", where
-    ):
+    _F_EXISTS = re.compile(
+        r"(?is)FILTER\s*(?:\(\s*(?P<n1>NOT\s+)?EXISTS\s*\{(?P<g1>[^{}]*)\}"
+        r"\s*\)|(?P<n2>NOT\s+)?EXISTS\s*\{(?P<g2>[^{}]*)\})"
+    )
+    for fm in _F_EXISTS.finditer(where):
         filters.append(
             _Filter(
-                "not_exists" if fm.group(1) else "exists",
-                group=_parse_patterns(fm.group(2), prefixes),
+                "not_exists" if (fm.group("n1") or fm.group("n2"))
+                else "exists",
+                group=_parse_patterns(
+                    fm.group("g1")
+                    if fm.group("g1") is not None
+                    else fm.group("g2"),
+                    prefixes,
+                ),
             )
         )
-    where = re.sub(
-        r"(?is)FILTER\s*\(?\s*(NOT\s+)?EXISTS\s*\{[^{}]*\}\s*\)?", " ", where
-    )
+    where = _F_EXISTS.sub(" ", where)
 
     optionals = []
     for om in re.finditer(r"(?is)OPTIONAL\s*\{([^{}]*)\}", where):
@@ -822,6 +832,11 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     # FILTER(expr) — same scan
     where, filter_bodies = _extract_calls(where, "FILTER")
     for fbody in filter_bodies:
+        if re.search(r"(?is)\bEXISTS\s*\{", fbody):
+            raise NotImplementedError(
+                "EXISTS embedded in a boolean FILTER expression — "
+                "routing to the recursive algebra compiler"
+            )
         e, needs, evars = parse_expr(fbody, prefixes)
         filters.append(_Filter("expr", expr=e, needs=needs, vars=evars))
 

@@ -188,6 +188,27 @@ class TestPinnedNested:
         )
         assert rows(out) == [("urn:g1", "urn:b"), ("urn:g2", "urn:c")]
 
+    def test_exists_in_boolean_filter_disjunction(self, small):
+        """EXISTS embedded in a boolean expression compiles via a
+        semi/anti marker split — urn:a qualifies through EXISTS
+        (knows urn:c), urn:b through the name disjunct."""
+        out = bgp_select(
+            small,
+            """SELECT ?s WHERE { ?s <urn:name> ?n
+                 FILTER(EXISTS { ?s <urn:knows> ?k } || ?n = "Bob")
+               } ORDER BY ?s""",
+        )
+        assert rows(out) == [("urn:a",), ("urn:b",)]
+
+    def test_not_exists_in_boolean_filter_conjunction(self, small):
+        out = bgp_select(
+            small,
+            """SELECT ?s WHERE { ?s <urn:name> ?n
+                 FILTER(NOT EXISTS { ?s <urn:knows> ?k } && ?n != "Zed")
+               } ORDER BY ?s""",
+        )
+        assert rows(out) == [("urn:b",)]
+
     def test_bind_inside_nested_group(self, small):
         out = bgp_select(
             small,
