@@ -492,12 +492,16 @@ _AGG_RE = re.compile(
 
 
 class AggItem:
-    __slots__ = ("fn", "distinct", "var", "sep", "alias")
+    __slots__ = ("fn", "distinct", "var", "sep", "alias", "arg_expr")
 
-    def __init__(self, fn, distinct, var, sep, alias):
+    def __init__(self, fn, distinct, var, sep, alias, arg_expr=None):
         self.fn, self.distinct, self.var, self.sep, self.alias = (
             fn, distinct, var, sep, alias,
         )
+        # aggregate over an EXPRESSION argument (SUM(xsd:integer(?v))):
+        # _finalize_select materializes it as a synthetic input column
+        # pre-groupBy and points ``var`` at it
+        self.arg_expr = arg_expr
 
     def column(self):
         c = F.col(self.var) if self.var else None
@@ -549,6 +553,60 @@ def _split_select_items(proj_raw: str) -> List[str]:
     return items
 
 
+_AGG_CALL_RE = re.compile(
+    r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\("
+)
+_AGG_INNER_RE = re.compile(
+    r'(?is)^\s*(?P<distinct>DISTINCT\s+)?(?P<arg>.*?)'
+    r'(?:\s*;\s*SEPARATOR\s*=\s*"(?P<sep>[^"]*)")?\s*$'
+)
+
+
+def _rewrite_agg_calls(
+    body: str, prefix: str
+) -> Tuple[str, List[AggItem]]:
+    """Replace every aggregate call in ``body`` with a synthetic
+    ``?{prefix}N`` variable and return the AggItems that compute them.
+    Balanced-paren scan, so expression arguments
+    (``SUM(xsd:integer(?v))``) and compound aggregate arithmetic
+    (``SUM(?x) + COUNT(*)``) both work; the rewritten remainder
+    evaluates over the grouped frame referencing the synthetic
+    aliases."""
+    items: List[AggItem] = []
+    out: List[str] = []
+    i = 0
+    while True:
+        m = _AGG_CALL_RE.search(body, i)
+        if not m:
+            out.append(body[i:])
+            break
+        end = _scan_balanced(body, m.end() - 1)
+        inner = body[m.end() : end - 1]
+        im = _AGG_INNER_RE.match(inner)
+        arg = im.group("arg").strip()
+        alias = f"{prefix}{len(items)}"
+        if arg == "*":
+            var, arg_expr = None, None
+        elif re.fullmatch(r"\?\w+", arg):
+            var, arg_expr = arg[1:], None
+        else:
+            var, arg_expr = None, arg
+        items.append(
+            AggItem(
+                m.group(1).upper(),
+                bool(im.group("distinct")),
+                var,
+                im.group("sep"),
+                alias,
+                arg_expr=arg_expr,
+            )
+        )
+        out.append(body[i : m.start()])
+        out.append("?" + alias)
+        i = end
+    return "".join(out), items
+
+
 def _parse_select_items(
     proj_raw: str,
 ) -> Tuple[List[str], List[AggItem], List[Tuple[str, str]]]:
@@ -578,8 +636,23 @@ def _parse_select_items(
                     alias,
                 )
             )
-        else:
-            exprs.append((body, alias))
+            continue
+        if _AGG_CALL_RE.search(body):
+            rewritten, call_items = _rewrite_agg_calls(
+                body, f"__s{len(aggs)}_"
+            )
+            if len(call_items) == 1 and rewritten.strip() == (
+                "?" + call_items[0].alias
+            ):
+                # a single aggregate with an expression argument —
+                # no projection wrapper needed
+                call_items[0].alias = alias
+                aggs.append(call_items[0])
+            else:
+                aggs.extend(call_items)
+                exprs.append((rewritten, alias))
+            continue
+        exprs.append((body, alias))
     return plain, aggs, exprs
 
 
@@ -1717,30 +1790,9 @@ def _parse_having(
 ) -> Tuple[object, List["AggItem"], Dict[str, set]]:
     """HAVING body → (expr, synthetic AggItems, companion needs):
     aggregate calls are rewritten to synthetic ``?__hN`` vars computed
-    alongside the SELECT aggregates, then the remainder expr-parses."""
-    having_aggs: List[AggItem] = []
-    counter = [0]
-
-    def _sub_agg(mm: re.Match) -> str:
-        am = _AGG_RE.match(mm.group(0))
-        if not am:
-            return mm.group(0)
-        alias = f"__h{counter[0]}"
-        counter[0] += 1
-        var = None if am.group("arg") == "*" else am.group("arg")[1:]
-        having_aggs.append(
-            AggItem(
-                am.group("fn").upper(), bool(am.group("distinct")),
-                var, am.group("sep"), alias,
-            )
-        )
-        return "?" + alias
-
-    text = re.sub(
-        r"(?is)\b(COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\([^()]*\)",
-        _sub_agg,
-        text,
-    )
+    alongside the SELECT aggregates (balanced-paren scan, so
+    expression arguments work), then the remainder expr-parses."""
+    text, having_aggs = _rewrite_agg_calls(text, "__h")
     having_expr, h_needs, _ = parse_expr(text, prefixes)
     return having_expr, having_aggs, h_needs
 
@@ -1979,6 +2031,17 @@ def _finalize_select(
                     plan = plan.withColumn(v, F.lit(None).cast("string"))
             plan = plan.withColumn(name, e.col(resolver))
             group_cols.append(name)
+        for a in list(aggs) + list(having_aggs):
+            if a.arg_expr is not None:
+                name = f"__ain_{a.alias}"
+                e, _e_needs, evars = parse_expr(a.arg_expr, q["prefixes"])
+                for v in evars:
+                    if v not in plan.columns:
+                        plan = plan.withColumn(
+                            v, F.lit(None).cast("string")
+                        )
+                plan = plan.withColumn(name, e.col(resolver))
+                a.var = name
         agg_cols = [a.column() for a in aggs] + [a.column() for a in having_aggs]
         if not agg_cols:
             raise ValueError("GROUP BY without aggregates in SELECT")
@@ -1999,7 +2062,8 @@ def _finalize_select(
             grouped = grouped.withColumn(alias, e.col(resolver))
         proj_cols = (
             [v for v in q["proj"]]
-            + [a.alias for a in aggs]
+            # synthetic ?__sN aggregates feed proj_exprs, never project
+            + [a.alias for a in aggs if not a.alias.startswith("__")]
             + [alias for _, alias in q["proj_exprs"]]
         )
         missing = [v for v in proj_cols if v not in grouped.columns]

@@ -44,7 +44,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
-XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = XSD_NS + "string"
 
 # ---------------------------------------------------------------------
 # tokenizer
@@ -56,7 +57,7 @@ _TOKEN_RE = re.compile(
       | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
       | (?P<string>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[A-Za-z][A-Za-z0-9-]*)|\^\^(?P<dt>\S+?(?=[,)\s]|$)))?
       | (?P<number>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
-      | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z0-9_.%-]+)?)
       | (?P<op>&&|\|\||!=|<=|>=|[=<>!+\-*/(),;])
     )""",
     re.VERBOSE,
@@ -370,6 +371,8 @@ class _Parser:
             v = float(tok.value) if "." in tok.value or "e" in tok.value.lower() else int(tok.value)
             return Expr(lambda r, v=v: F.lit(v), "num")
         if tok.kind == "iri":
+            if self.accept_op("("):
+                return self.cast_call(tok.value)
             return Expr(lambda r, v=tok.value: F.lit(v), "str")
         if tok.kind == "name":
             up = tok.value.upper()
@@ -377,16 +380,62 @@ class _Parser:
                 return Expr(lambda r: F.lit(True), "bool")
             if up == "FALSE":
                 return Expr(lambda r: F.lit(False), "bool")
+            if ":" in tok.value:
+                pfx, _, local = tok.value.partition(":")
+                if self.prefixes and pfx in self.prefixes:
+                    iri = self.prefixes[pfx] + local
+                    if self.accept_op("("):
+                        # XSD constructor cast (§17.5): xsd:integer(?v)
+                        return self.cast_call(iri)
+                    # bare prefixed name (CURIE) → IRI constant
+                    return Expr(lambda r, v=iri: F.lit(v), "str")
+                raise ValueError(
+                    f"unknown prefix in expression name {tok.value!r}"
+                )
             if self.accept_op("("):
                 return self.call(up)
-            # bare prefixed name (CURIE) → IRI constant
-            if ":" in tok.value and self.prefixes:
-                pfx, _, local = tok.value.partition(":")
-                if pfx in self.prefixes:
-                    iri = self.prefixes[pfx] + local
-                    return Expr(lambda r, v=iri: F.lit(v), "str")
             raise ValueError(f"unsupported bare name {tok.value!r} in expression")
         raise ValueError(f"unexpected token {tok!r}")
+
+    # -- XSD constructor casts (§17.5 XPath constructor functions) --
+    def cast_call(self, iri: str) -> Expr:
+        arg = self.expr()
+        self.expect_op(")")
+        local = iri[len(XSD_NS):] if iri.startswith(XSD_NS) else None
+        if local in ("integer", "int", "long", "short", "byte",
+                     "nonNegativeInteger", "positiveInteger",
+                     "negativeInteger", "nonPositiveInteger",
+                     "unsignedInt", "unsignedLong"):
+            # via double first so "2.7"^^string errors (NULL) but a
+            # numeric 2.7 truncates toward zero, mirroring XPath's
+            # decimal→integer cast
+            return Expr(
+                lambda r, a=arg: a.col(r).try_cast("double")
+                .try_cast("bigint"),
+                "num",
+            )
+        if local in ("double", "float", "decimal"):
+            return Expr(
+                lambda r, a=arg: a.col(r).try_cast("double"), "num"
+            )
+        if local == "string":
+            return Expr(lambda r, a=arg: a.col(r).cast("string"), "str")
+        if local == "boolean":
+            def _b(r, a=arg):
+                c = a.col(r).cast("string")
+                return (
+                    F.when(c.isin("true", "1"), F.lit(True))
+                    .when(c.isin("false", "0"), F.lit(False))
+                )
+            return Expr(_b, "bool")
+        if local in ("dateTime", "date"):
+            return Expr(
+                lambda r, a=arg: F.try_to_timestamp(
+                    a.col(r).cast("string")
+                ),
+                "any",
+            )
+        raise ValueError(f"unsupported function IRI <{iri}> in expression")
 
     # -- function calls (opening paren consumed) --
     def call(self, fname: str) -> Expr:

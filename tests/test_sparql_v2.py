@@ -514,6 +514,74 @@ class TestParseErrors:
         assert len(rows_) > 0
         assert all(r[0] is None for r in rows_)
 
+    def test_aggregate_expression_arguments(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:v", "1", "literal", None, None),
+                ("urn:a", "urn:v", "2", "literal", None, None),
+                ("urn:b", "urn:v", "5", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        xsd = {"xsd": "http://www.w3.org/2001/XMLSchema#"}
+        # compound aggregate arithmetic → synthetic aggregates feed a
+        # projection expression over the grouped frame
+        out = bgp_select(
+            df,
+            "SELECT ?s (SUM(?v) + COUNT(*) AS ?y) WHERE "
+            "{ ?s <urn:v> ?v } GROUP BY ?s ORDER BY ?s",
+        )
+        assert [tuple(r) for r in out.collect()] == [
+            ("urn:a", 5.0),
+            ("urn:b", 6.0),
+        ]
+        # expression argument (XSD constructor cast)
+        out2 = bgp_select(
+            df,
+            "SELECT ?s (SUM(xsd:integer(?v)) AS ?y) WHERE "
+            "{ ?s <urn:v> ?v } GROUP BY ?s ORDER BY ?s",
+            xsd,
+        )
+        assert [tuple(r) for r in out2.collect()] == [
+            ("urn:a", 3.0),
+            ("urn:b", 5.0),
+        ]
+        # DISTINCT over an expression; HAVING over an expression arg
+        out3 = bgp_select(
+            df,
+            "SELECT (COUNT(DISTINCT STR(?v)) AS ?n) WHERE "
+            "{ ?s <urn:v> ?v }",
+        )
+        assert [tuple(r) for r in out3.collect()] == [(3,)]
+        out4 = bgp_select(
+            df,
+            "SELECT ?s WHERE { ?s <urn:v> ?v } GROUP BY ?s "
+            "HAVING(SUM(xsd:integer(?v)) > 4) ORDER BY ?s",
+            xsd,
+        )
+        assert [tuple(r) for r in out4.collect()] == [("urn:b",)]
+
+    def test_xsd_constructor_casts_in_filter(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("urn:a", "urn:v", "1", "literal", None, None),
+                ("urn:b", "urn:v", "x", "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        xsd = {"xsd": "http://www.w3.org/2001/XMLSchema#"}
+        # the non-numeric literal is a cast error → type error → row
+        # dropped, not a job failure
+        out = bgp_select(
+            df,
+            "SELECT ?s WHERE { ?s <urn:v> ?v "
+            "FILTER(xsd:integer(?v) >= 1) }",
+            xsd,
+        )
+        assert rows(out) == [("urn:a",)]
+
     def test_group_by_expression(self, spark):
         df = spark.createDataFrame(
             [
