@@ -637,6 +637,34 @@ class _Parser:
         if f == "SAMETERM":
             arity(2)
             return Expr(lambda r, a=a: a[0].col(r).eqNullSafe(a[1].col(r)), "bool")
+        if f == "RAND":
+            arity(0)
+            return Expr(lambda r: F.rand(), "num")
+        if f == "NOW":
+            arity(0)
+            return Expr(lambda r: F.current_timestamp(), "any")
+        if f == "STRUUID":
+            arity(0)
+            return Expr(lambda r: F.expr("uuid()"), "str")
+        if f == "TZ":
+            # lexical timezone of an xsd:dateTime: "Z", "+05:00", or ""
+            arity(1)
+            return Expr(
+                lambda r, a=a: F.regexp_extract(
+                    a[0].col(r).cast("string"),
+                    r"(Z|[+-]\d{2}:\d{2})$", 1,
+                ),
+                "str",
+            )
+        if f in ("STRDT", "STRLANG"):
+            # value-space only: returns the lexical form. The term
+            # metadata (datatype/language) is NOT attached — companion
+            # columns exist only for pattern-bound variables, so a
+            # constructed term participates in comparisons by lexical
+            # value. Documented approximation (rdflib carries full
+            # terms here).
+            arity(2)
+            return Expr(lambda r, a=a: a[0].col(r).cast("string"), "str")
         raise ValueError(f"unsupported SPARQL function {f}()")
 
 
