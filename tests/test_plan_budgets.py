@@ -49,6 +49,12 @@ BUDGETS = {
     "pricing_summary": 2 + 2,
     "top_customers": 6 + 2,
     "topk_per_group": 2 + 2,
+    # algebra-path SPARQL (queries/algebra.py): certain-var analysis
+    # keeps every join a broadcast/hash equi-join — no BNLJ, 1-2
+    # exchanges (audited in PLANS.md)
+    "sparql_optional_scoped_filter": 2 + 2,
+    "sparql_union_optional": 2 + 2,
+    "sparql_nested_minus": 1 + 2,
 }
 
 

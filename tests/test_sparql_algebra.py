@@ -221,6 +221,42 @@ class TestPinnedNested:
         # CONCAT over unbound is a type error → ?tag unbound
         assert rows(out) == [("urn:a", None), ("urn:b", None)]
 
+    def test_construct_with_nested_group_keeps_metadata(self, small):
+        """CONSTRUCT falls back through bgp_select: _extra_needs /
+        _keep_meta must survive the algebra path so the template sees
+        term metadata (the lang tag rides into the output graph)."""
+        from py_sema_spark.queries.bgp import bgp_construct
+
+        df = small.sparkSession.createDataFrame(
+            [
+                ("urn:a", "urn:name", "Alice", "literal", None, "en"),
+                ("urn:b", "urn:name", "Bob", "literal", None, None),
+                ("urn:a", "urn:knows", "urn:b", "iri", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        out = bgp_construct(
+            df,
+            """CONSTRUCT { ?s <urn:tag> ?n } WHERE {
+                 ?s <urn:knows> ?k
+                 { ?s <urn:name> ?n
+                   FILTER(langMatches(lang(?n), "en")) } }""",
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            ("urn:a", "urn:tag", "Alice", "literal", None, "en")
+        ]
+
+    def test_ask_with_nested_optional(self, small):
+        from py_sema_spark.queries.bgp import bgp_ask
+
+        out = bgp_ask(
+            small,
+            'ASK { ?s <urn:p> ?x OPTIONAL { ?x <urn:age> ?a '
+            'FILTER(?a = "7") } }',
+        )
+        assert [tuple(r) for r in out.collect()] == [(True,)]
+
     def test_values_inside_nested_group(self, small):
         out = bgp_select(
             small,
