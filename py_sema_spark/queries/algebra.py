@@ -582,8 +582,11 @@ def _compile_elements(
             sub, sub_filters, sub_exists = _compile_elements(el[1], ctx, spark)
             if G is None:
                 G = _unit(spark)
-            if sub_exists:
-                # EXISTS in the LeftJoin condition can't ride an ON
+            if sub_exists or any(
+                re.search(r"(?is)\bEXISTS\s*\{", t) for t in sub_filters
+            ):
+                # EXISTS in the LeftJoin condition — standalone or
+                # embedded in a boolean filter — can't ride an ON
                 # clause (it's a per-row semi-check over the merged
                 # mapping): id the left rows, inner-join, filter,
                 # anti-join the unmatched left rows back in.

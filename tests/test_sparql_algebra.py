@@ -312,27 +312,45 @@ def gen_group(rng, depth):
     elems = [("triples", make_patterns(rng, rng.randrange(1, 3)))]
     for _ in range(rng.randrange(0, 3)):
         r = rng.random()
-        if depth < 2 and r < 0.30:
+        if depth < 2 and r < 0.28:
             elems.append(("optional", gen_group(rng, depth + 1)))
-        elif depth < 2 and r < 0.45:
+        elif depth < 2 and r < 0.42:
             elems.append(
                 ("union", [gen_group(rng, depth + 1),
                            gen_group(rng, depth + 1)])
             )
-        elif depth < 2 and r < 0.55:
+        elif depth < 2 and r < 0.52:
             elems.append(("minus", gen_group(rng, depth + 1)))
-        elif depth < 2 and r < 0.65:
+        elif depth < 2 and r < 0.60:
             elems.append(("group", gen_group(rng, depth + 1)))
-        elif depth < 2 and r < 0.75:
+        elif depth < 2 and r < 0.70:
             elems.append(
                 ("exists", rng.random() < 0.5,
                  [("triples", make_patterns(rng, 1))])
             )
-        else:
+        elif depth < 2 and r < 0.78:
+            # boolean-embedded EXISTS: FILTER(cond op [NOT]EXISTS{})
+            elems.append(
+                ("bexists",
+                 rng.choice(VARS), rng.choice(["=", "!="]),
+                 rng.choice(OBJ_LITS),
+                 rng.choice(["&&", "||"]),
+                 rng.random() < 0.5,
+                 [("triples", make_patterns(rng, 1))])
+            )
+        elif r < 0.88:
             elems.append(
                 ("filter", rng.choice(VARS),
                  rng.choice(["=", "!="]), rng.choice(OBJ_LITS))
             )
+        else:
+            # VALUES with possible UNDEF cells
+            var = rng.choice(VARS)
+            vals = [
+                (None if rng.random() < 0.3 else rng.choice(OBJ_LITS))
+                for _ in range(rng.randrange(1, 3))
+            ]
+            elems.append(("values1", var, vals))
     return elems
 
 
@@ -367,6 +385,18 @@ def render(elems):
                 "FILTER %sEXISTS { %s }"
                 % ("NOT " if el[1] else "", render(el[2]))
             )
+        elif k == "bexists":
+            _, var, op, lit, bop, neg, sub = el
+            out.append(
+                'FILTER(?%s %s "%s" %s %sEXISTS { %s })'
+                % (var, op, lit, bop, "NOT " if neg else "", render(sub))
+            )
+        elif k == "values1":
+            _, var, vals = el
+            cells = " ".join(
+                "UNDEF" if v is None else '"%s"' % v for v in vals
+            )
+            out.append("VALUES ?%s { %s }" % (var, cells))
         else:
             out.append('FILTER(?%s %s "%s")' % (el[1], el[2], el[3]))
     return " ".join(out)
@@ -421,9 +451,21 @@ def naive_group(graph, elems):
     return naive_apply_filters(graph, sols, filters, exists)
 
 
+def cond_holds(graph, mu, cond):
+    """One FILTER condition (plain or boolean-embedded EXISTS)."""
+    if cond[0] == "filter":
+        return fval(mu, cond)
+    # ("bexists", var, op, lit, bop, neg, sub)
+    _, var, op, lit, bop, neg, sub_elems = cond
+    left = fval(mu, ("filter", var, op, lit))
+    sub = naive_group(graph, sub_elems)
+    right = exists_holds(mu, sub) != neg
+    return (left and right) if bop == "&&" else (left or right)
+
+
 def naive_apply_filters(graph, sols, filters, exists):
     for cond in filters:
-        sols = [mu for mu in sols if fval(mu, cond)]
+        sols = [mu for mu in sols if cond_holds(graph, mu, cond)]
     for (_k, neg, sub_elems) in exists:
         sub = naive_group(graph, sub_elems)
         sols = [
@@ -453,7 +495,7 @@ def naive_elements(graph, elems):
 
             def cond_ok(merged, _sf=sfilters, _se=sexists):
                 for c in _sf:
-                    if not fval(merged, c):
+                    if not cond_holds(graph, merged, c):
                         return False
                 for (_k2, neg, sub_elems) in _se:
                     se = naive_group(graph, sub_elems)
@@ -500,6 +542,19 @@ def naive_elements(graph, elems):
             ]
         elif k == "exists":
             exists.append(el)
+        elif k == "bexists":
+            filters.append(el)
+        elif k == "values1":
+            var, vals = el[1], el[2]
+            part = [
+                ({} if v is None else {var: (v, "literal")}) for v in vals
+            ]
+            G = [
+                {**m1, **m2}
+                for m1 in G
+                for m2 in part
+                if compatible(m1, m2)
+            ]
         else:
             filters.append(el)
     return G, filters, exists
