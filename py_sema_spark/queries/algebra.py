@@ -83,16 +83,6 @@ _GRAPH_TERM = re.compile(
 )
 
 
-def _skip_string(text: str, i: int) -> int:
-    """i points at the opening quote; return index past the close."""
-    q = text[i]
-    i += 1
-    n = len(text)
-    while i < n and text[i] != q:
-        i += 2 if text[i] == "\\" else 1
-    return i + 1
-
-
 def parse_group_body(body: str, prefixes: Dict[str, str]) -> List[tuple]:
     """One GroupGraphPattern body (text between its braces) → ordered
     elements::
@@ -119,12 +109,9 @@ def parse_group_body(body: str, prefixes: Dict[str, str]) -> List[tuple]:
 
     while i < n:
         ch = body[i]
-        if ch in "\"'":
-            i = _skip_string(body, i)
-            continue
-        if ch == "<":
-            j = body.find(">", i + 1)
-            i = (j + 1) if j != -1 else i + 1
+        j = _bgp._skip_token(body, i)
+        if j != i:
+            i = j
             continue
         if ch == "{":
             flush(i)
@@ -527,25 +514,10 @@ def _compatible_join(
 
 
 def _compile_union(branches: List[Rel], spark) -> Rel:
-    all_cols: List[str] = []
-    for b in branches:
-        for c in b.df.columns:
-            if c not in all_cols:
-                all_cols.append(c)
-    aligned = []
-    for b in branches:
-        df = b.df
-        for c in all_cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
-        aligned.append(df.select(*all_cols))
-    out = aligned[0]
-    for df in aligned[1:]:
-        out = out.unionByName(df)
-    base = set(_base_vars(all_cols))
+    out, _partial = _bgp._align_union([b.df for b in branches])
     certain = {
         v
-        for v in base
+        for v in _base_vars(out.columns)
         if all(v in b.certain for b in branches)
     }
     return Rel(out, certain)
@@ -671,7 +643,14 @@ def _left_join_with_exists(
     over the merged mapping and the EXISTS terms as semi/anti joins,
     then anti-join the ids to recover unextended left rows."""
     lid = "__lj_id"
-    l = G.df.withColumn(lid, F.monotonically_increasing_id())
+    # the id'd frame feeds TWO plan branches (the join and the
+    # anti-join); monotonically_increasing_id is order-dependent, so
+    # the lineage must be cut ONCE or the branches could recompute
+    # divergent ids (AQE re-planning / task retry) and corrupt the
+    # Diff. localCheckpoint materializes the ids eagerly.
+    l = G.df.withColumn(
+        lid, F.monotonically_increasing_id()
+    ).localCheckpoint()
     Gl = Rel(l, set(G.certain))
     J = _compatible_join(Gl, sub, "inner")
     J = _apply_filters(J, sub_filters, sub_exists, ctx, spark)
@@ -865,8 +844,19 @@ def algebra_select(
 
     elements = parse_group_body(where, prefixes)
 
+    star = proj_raw == "*"
+    if star:
+        aggs: List[_bgp.AggItem] = []
+        proj_exprs: List[Tuple[str, str]] = []
+    else:
+        proj, aggs, proj_exprs = _bgp._parse_select_items(proj_raw)
+
     needs = _collect_needs(elements, prefixes)
     _merge_into(needs, _extra_needs or {})
+    _merge_into(
+        needs,
+        _bgp._modifier_needs(group_by, order_by, aggs, proj_exprs, prefixes),
+    )
 
     having_expr = None
     having_aggs: List[_bgp.AggItem] = []
@@ -881,12 +871,8 @@ def algebra_select(
     rel = _compile_group(elements, ctx, spark)
     plan = rel.df
 
-    if proj_raw == "*":
+    if star:
         proj = _base_vars(plan.columns)
-        aggs: List[_bgp.AggItem] = []
-        proj_exprs: List[Tuple[str, str]] = []
-    else:
-        proj, aggs, proj_exprs = _bgp._parse_select_items(proj_raw)
 
     # drop internal existence-gate columns before projection
     gates = [c for c in plan.columns if c.startswith(("_m", "_pmatch"))]

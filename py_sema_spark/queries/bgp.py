@@ -319,6 +319,31 @@ def _values_row_terms(text: str, prefixes: Dict[str, str]) -> List[str]:
 _PATH_OPS = set("/|^+*?()!")
 
 
+_IRI_TOKEN = re.compile(r"<[^<>\"{}|^`\\\s]*>")
+
+
+def _skip_token(text: str, i: int) -> int:
+    """The ONE quote/IRI-aware skip for every hand scanner in this
+    package: if ``text[i]`` opens a quoted string ('" or '), return
+    the index past its close (escape-aware); if it opens an IRI
+    (``<`` immediately followed by IRI characters up to ``>`` — NOT a
+    comparison operator, which is followed by whitespace/operands),
+    return the index past ``>``. Otherwise return ``i`` unchanged
+    (the caller treats the character normally)."""
+    c = text[i]
+    if c in "\"'":
+        j = i + 1
+        n = len(text)
+        while j < n and text[j] != c:
+            j += 2 if text[j] == "\\" else 1
+        return j + 1
+    if c == "<":
+        m = _IRI_TOKEN.match(text, i)
+        if m:
+            return m.end()
+    return i
+
+
 _BN_COUNTER = [0]
 
 
@@ -336,18 +361,10 @@ def _desugar_bnode_lists(text: str) -> str:
     i, n = 0, len(text)
     while i < n:
         c = text[i]
-        if c == '"':
-            j = i + 1
-            while j < n and text[j] != '"':
-                j += 2 if text[j] == "\\" else 1
-            out.append(text[i : j + 1])
-            i = j + 1
-            continue
-        if c == "<":
-            j = text.find(">", i + 1)
-            j = j if j != -1 else n - 1
-            out.append(text[i : j + 1])
-            i = j + 1
+        j = _skip_token(text, i)
+        if j != i:
+            out.append(text[i:j])
+            i = j
             continue
         if c == "[":
             depth = 0
@@ -465,6 +482,16 @@ def _parse_patterns(text: str, prefixes) -> List[Tuple[Term, Path | Term, Term]]
 
     patterns: List[Tuple[Term, Path | Term, Term]] = []
     for st in statements:
+        if (
+            len(st) == 1
+            and isinstance(st[0], Term)
+            and st[0].kind == "var"
+            and st[0].value.startswith("__bn")
+        ):
+            # a blank-node property list that WAS the whole statement
+            # ([ p o ] .) — its triples live in the appended desugared
+            # statements; the in-place substitute is vacuous
+            continue
         segments = split_on(st, ";")
         first = segments[0]
         if len(first) < 3 or not isinstance(first[0], Term):
@@ -731,7 +758,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
 
     m = re.search(
         r"(?is)\bSELECT\s+(DISTINCT\s+|REDUCED\s+)?"
-        r"(?P<proj>.*?)\s*WHERE\s*\{(?P<w>.*)\}"
+        r"(?P<proj>[^{]*?)\s*(?:WHERE\s*)?\{(?P<w>.*)\}"
         r"\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
         r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
@@ -764,15 +791,9 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     i, pos = 0, 0
     while i < len(where):
         ch = where[i]
-        if ch == '"':
-            i += 1
-            while i < len(where) and where[i] != '"':
-                i += 2 if where[i] == "\\" else 1
-            i += 1
-            continue
-        if ch == "<":
-            j = where.find(">", i + 1)
-            i = (j + 1) if j != -1 else i + 1
+        j = _skip_token(where, i)
+        if j != i:
+            i = j
             continue
         if ch == "{":
             inner, after = _balanced_block(where, i)
@@ -1011,37 +1032,49 @@ def _reject_nested_groups(where: str) -> None:
     for m in _GROUP_OPENERS.finditer(where):
         start = m.end() - 1  # the '{'
         bare = m.group(0).strip() == "{"
-        depth = 0
-        for j in range(start, len(where)):
-            ch = where[j]
-            if ch == "{":
-                depth += 1
-            elif ch == "}":
-                depth -= 1
-                if depth == 0:
-                    body = where[start + 1 : j]
-                    kw = _GROUP_KEYWORDS.search(body)
-                    if "{" in body or kw:
-                        raise NotImplementedError(
-                            "nested group "
-                            f"({(kw.group(1) if kw else '{…}').upper()}) "
-                            "inside a brace-delimited block — routing "
-                            "to the recursive algebra compiler"
-                        )
-                    if bare:
-                        is_union = re.search(
-                            r"(?is)\bUNION\s*$", where[: m.start()]
-                        ) or re.match(r"(?is)\s*UNION\b", where[j + 1 :])
-                        is_values = re.search(
-                            r"(?is)\bVALUES\s+(?:\([?\w\s]*\)|\?\w+)\s*$",
-                            where[: m.start()],
-                        )
-                        if not (is_union or is_values):
-                            raise NotImplementedError(
-                                "bare group graph pattern — routing to "
-                                "the recursive algebra compiler"
-                            )
-                    break
+        # quote-aware body extraction — a '}' inside a literal must
+        # not truncate the guarded body (the downstream extraction
+        # regexes are brace-blind, so an escaped construct would split
+        # mid-literal with a confusing error instead of routing)
+        body, after = _balanced_block(where, start)
+        # braces INSIDE quoted literals would also split the blind
+        # extraction regexes mid-literal — route those to algebra
+        # (whose scanners are quote-aware throughout)
+        k = 0
+        while k < len(body):
+            k2 = _skip_token(body, k)
+            if k2 != k:
+                if body[k] in "\"'" and (
+                    "{" in body[k:k2] or "}" in body[k:k2]
+                ):
+                    raise NotImplementedError(
+                        "brace inside a quoted literal in a group — "
+                        "routing to the recursive algebra compiler"
+                    )
+                k = k2
+            else:
+                k += 1
+        kw = _GROUP_KEYWORDS.search(body)
+        if "{" in body or kw:
+            raise NotImplementedError(
+                "nested group "
+                f"({(kw.group(1) if kw else '{…}').upper()}) "
+                "inside a brace-delimited block — routing "
+                "to the recursive algebra compiler"
+            )
+        if bare:
+            is_union = re.search(
+                r"(?is)\bUNION\s*$", where[: m.start()]
+            ) or re.match(r"(?is)\s*UNION\b", where[after:])
+            is_values = re.search(
+                r"(?is)\bVALUES\s+(?:\([?\w\s]*\)|\?\w+)\s*$",
+                where[: m.start()],
+            )
+            if not (is_union or is_values):
+                raise NotImplementedError(
+                    "bare group graph pattern — routing to "
+                    "the recursive algebra compiler"
+                )
 
 
 def _compile_patterns(
@@ -1088,6 +1121,36 @@ def _compile_patterns(
         if keep:
             plan = plan.drop(*gates)
     return plan
+
+
+def _align_union(branches: List[DataFrame]) -> Tuple[DataFrame, set]:
+    """NULL-pad UNION branches to the union of their columns (string
+    type — the engine's term columns) and fold with unionByName.
+    Returns (unioned df, partial) where ``partial`` is the set of base
+    variable columns NOT bound by every branch (the maybe-bound vars a
+    downstream join must treat with compatible-mapping semantics).
+    Shared by the flat extractor and the algebra compiler so the
+    padding rules can never diverge."""
+    all_cols: List[str] = []
+    for b in branches:
+        for c in b.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    partial = {
+        c
+        for c in all_cols
+        if any(c not in b.columns for b in branches) and "__" not in c
+    }
+    aligned = []
+    for b in branches:
+        for c in all_cols:
+            if c not in b.columns:
+                b = b.withColumn(c, F.lit(None).cast("string"))
+        aligned.append(b.select(*all_cols))
+    out = aligned[0]
+    for b in aligned[1:]:
+        out = out.unionByName(b)
+    return out, partial
 
 
 def _join_shared(
@@ -1785,6 +1848,27 @@ def _parse_group_conditions(text: str) -> List[Tuple[str, str, Optional[str]]]:
     return out
 
 
+def _modifier_needs(
+    group_by, order_by, aggs, proj_exprs, prefixes
+) -> Dict[str, set]:
+    """Companion-column needs of every expression OUTSIDE the WHERE
+    body: GROUP BY / ORDER BY expression conditions, aggregate
+    expression arguments, and SELECT projection expressions. These
+    compile against the solution frame, so a LANG()/DATATYPE()/
+    ISIRI() there needs its companion columns materialized by the
+    pattern compiler exactly like a FILTER's would."""
+    needs: Dict[str, set] = {}
+    texts: List[str] = []
+    texts += [p for kind, p, _a in group_by if kind == "expr"]
+    texts += [p for kind, p, _d in order_by if kind == "expr"]
+    texts += [a.arg_expr for a in aggs if a.arg_expr is not None]
+    texts += [body for body, _alias in proj_exprs]
+    for t in texts:
+        _e, n, _v = parse_expr(t, prefixes)
+        needs = _merge_needs(needs, n)
+    return needs
+
+
 def _parse_having(
     text: str, prefixes: Dict[str, str]
 ) -> Tuple[object, List["AggItem"], Dict[str, set]]:
@@ -1820,6 +1904,10 @@ def _bgp_select_flat(
     needs = _merge_needs(
         *[f.needs for f in q["filters"] if f.kind == "expr"],
         *[b[1] for b in q["binds"]],
+        _modifier_needs(
+            q["group_by"], q["order_by"], q["aggs"], q["proj_exprs"],
+            q["prefixes"],
+        ),
         _extra_needs or {},
     )
     having_expr = None
@@ -1870,30 +1958,13 @@ def _bgp_select_flat(
             b if b is not None else triples.sparkSession.range(1).select()
             for b in branches
         ]
-        all_cols: List[str] = []
-        for b in branches:
-            for c in b.columns:
-                if c not in all_cols:
-                    all_cols.append(c)
-        # vars not bound by EVERY branch are NULL-padded below; a
+        # vars not bound by EVERY branch are NULL-padded; a
         # base-pattern join on such a var would need SPARQL
         # compatible-mapping semantics (unbound joins with anything,
         # output merges the bound value) — not an equi-join. Refuse
-        # loudly rather than silently dropping the padded solutions.
-        padded = {
-            c
-            for c in all_cols
-            if any(c not in b.columns for b in branches) and "__" not in c
-        }
-        aligned = []
-        for b in branches:
-            for c in all_cols:
-                if c not in b.columns:
-                    b = b.withColumn(c, F.lit(None).cast("string"))
-            aligned.append(b.select(*all_cols))
-        ublock = aligned[0]
-        for b in aligned[1:]:
-            ublock = ublock.unionByName(b)
+        # loudly (→ algebra fallback) rather than silently dropping
+        # the padded solutions.
+        ublock, padded = _align_union(branches)
         if plan is None:
             plan = ublock
         else:

@@ -406,11 +406,17 @@ class _Parser:
                      "nonNegativeInteger", "positiveInteger",
                      "negativeInteger", "nonPositiveInteger",
                      "unsignedInt", "unsignedLong"):
-            # via double first so "2.7"^^string errors (NULL) but a
-            # numeric 2.7 truncates toward zero, mirroring XPath's
-            # decimal→integer cast
+            # XPath casting rules: string → integer requires an
+            # integer LEXICAL form ("2.7" is a type error → NULL;
+            # try_cast(bigint) gives exactly that), while a NUMERIC
+            # operand (hint num — already a number, e.g. a nested
+            # arithmetic result) truncates toward zero
+            if arg.hint == "num":
+                return Expr(
+                    lambda r, a=arg: a.col(r).try_cast("bigint"), "num"
+                )
             return Expr(
-                lambda r, a=arg: a.col(r).try_cast("double")
+                lambda r, a=arg: a.col(r).cast("string")
                 .try_cast("bigint"),
                 "num",
             )

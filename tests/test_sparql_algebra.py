@@ -268,6 +268,81 @@ class TestPinnedNested:
         assert rows(out) == [("urn:a", "Alice")]
 
 
+class TestReviewRegressions:
+    """Round-3 self-review findings (each reproduced, then fixed)."""
+
+    @pytest.fixture(scope="class")
+    def rdf(self, spark):
+        return spark.createDataFrame(
+            [
+                ("urn:a", "u:p", "1", "literal", None, None),
+                ("urn:a", "u:q", "r1", "literal", None, None),
+                ("urn:b", "u:p", "2", "literal", None, None),
+                ("urn:x", "u:v", "2.7", "literal", None, None),
+                ("urn:y", "u:v", "3", "literal", None, None),
+                ("urn:l", "u:l", "hello", "literal", None, "en"),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+
+    def test_lt_comparison_does_not_hoist_nested_subselect(self, rdf):
+        """'<' in a FILTER must not be read as an IRI opener — the
+        scan previously jumped across the OPTIONAL boundary and
+        hoisted its sub-SELECT to top level (silent wrong results:
+        0 rows instead of 2)."""
+        out = bgp_select(
+            rdf,
+            """SELECT ?s ?z WHERE { ?s <u:p> ?o . FILTER(?o < "9")
+                 OPTIONAL { ?s <u:q> ?r .
+                   { SELECT ?s ?z WHERE { ?s <u:nope> ?z } } } }""",
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            ("urn:a", None),
+            ("urn:b", None),
+        ]
+
+    def test_xsd_integer_rejects_decimal_lexical_form(self, rdf):
+        """XPath casting: string "2.7" → xsd:integer is a type error
+        (NULL), not a truncation to 2."""
+        out = bgp_select(
+            rdf,
+            "SELECT ?s (xsd:integer(?v) AS ?i) WHERE { ?s <u:v> ?v } "
+            "ORDER BY ?s",
+            {"xsd": "http://www.w3.org/2001/XMLSchema#"},
+        )
+        assert [tuple(r) for r in out.collect()] == [
+            ("urn:x", None),
+            ("urn:y", 3),
+        ]
+
+    def test_group_by_lang_materializes_companions(self, rdf):
+        out = bgp_select(
+            rdf,
+            "SELECT ?l (COUNT(*) AS ?c) WHERE { ?s <u:l> ?v } "
+            "GROUP BY (LANG(?v) AS ?l)",
+        )
+        assert [tuple(r) for r in out.collect()] == [("en", 1)]
+
+    def test_whole_statement_bnode_list(self, rdf):
+        from py_sema_spark.queries.bgp import _parse_patterns
+
+        pats = _parse_patterns('[ <http://p> "n" ] . ?s <http://q> ?o', {})
+        assert len(pats) == 2
+
+    def test_where_keyword_optional(self, rdf):
+        out = bgp_select(rdf, "SELECT ?s { ?s <u:p> ?o }")
+        assert sorted(r[0] for r in out.collect()) == ["urn:a", "urn:b"]
+
+    def test_brace_inside_quoted_literal_routes_to_algebra(self, rdf):
+        out = bgp_select(
+            rdf,
+            'SELECT ?s WHERE { ?s <u:p> ?o '
+            'OPTIONAL { ?s <u:q> "x}y" FILTER(?s = "a") } }',
+        )
+        assert sorted(r[0] for r in out.collect()) == ["urn:a", "urn:b"]
+
+
 # ---------------------------------------------------------------------
 # differential fuzz: naive recursive evaluator vs algebra_select
 # ---------------------------------------------------------------------
