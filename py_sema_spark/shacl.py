@@ -73,13 +73,23 @@ class PropertyShape:
     has_value: Optional[str] = None
     node_kind: Optional[str] = None
     class_: Optional[str] = None
+    min_exclusive: Optional[float] = None
+    max_exclusive: Optional[float] = None
+    equals: Optional[str] = None
+    disjoint: Optional[str] = None
+    language_in: Optional[List[str]] = None
+    unique_lang: bool = False
 
 
 @dataclass
 class NodeShape:
     iri: str
     target_class: Optional[str] = None
+    target_nodes: List[str] = field(default_factory=list)
+    target_subjects_of: Optional[str] = None
+    target_objects_of: Optional[str] = None
     closed: bool = False
+    deactivated: bool = False
     ignored: List[str] = field(default_factory=list)
     properties: List[PropertyShape] = field(default_factory=list)
 
@@ -113,10 +123,19 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             continue
         tc = one(s, SH + "targetClass")
         closed = one(s, SH + "closed")
+        deact = one(s, SH + "deactivated")
+        tso = one(s, SH + "targetSubjectsOf")
+        too = one(s, SH + "targetObjectsOf")
         shape = NodeShape(
             iri=s,
             target_class=tc.value if tc else None,
+            target_nodes=[
+                o.value for o in props.get(SH + "targetNode", [])
+            ],
+            target_subjects_of=tso.value if tso else None,
+            target_objects_of=too.value if too else None,
             closed=bool(closed and closed.value == "true"),
+            deactivated=bool(deact and deact.value == "true"),
             ignored=rdf_list(one(s, SH + "ignoredProperties")),
         )
         for pnode in props.get(SH + "property", []):
@@ -152,6 +171,11 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 ("has_value", "hasValue", lambda o: o.value),
                 ("node_kind", "nodeKind", lambda o: o.value),
                 ("class_", "class", lambda o: o.value),
+                ("min_exclusive", "minExclusive", lambda o: float(o.value)),
+                ("max_exclusive", "maxExclusive", lambda o: float(o.value)),
+                ("equals", "equals", lambda o: o.value),
+                ("disjoint", "disjoint", lambda o: o.value),
+                ("unique_lang", "uniqueLang", lambda o: o.value == "true"),
             ):
                 o = one(p, SH + pred)
                 if o is not None:
@@ -159,6 +183,9 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             ino = one(p, SH + "in")
             if ino is not None:
                 ps.in_values = rdf_list(ino)
+            li = one(p, SH + "languageIn")
+            if li is not None:
+                ps.language_in = rdf_list(li)
             shape.properties.append(ps)
         shapes.append(shape)
     return shapes
@@ -218,18 +245,46 @@ def validate(
     _visiting = _visiting or frozenset()
 
     for shape in shapes:
+        if shape.deactivated:
+            continue  # sh:deactivated true: shape contributes nothing
         if focus_override and shape.iri in focus_override:
             focus = focus_override[shape.iri]
-        elif shape.target_class:
-            focus = (
-                triples.where(
-                    (F.col("p") == RDF_TYPE) & (F.col("o") == shape.target_class)
-                )
-                .select(F.col("s").alias("focus"))
-                .distinct()
-            )
         else:
-            continue  # shape only reachable via sh:node
+            # union of every declared target (§2.1.3): class instances,
+            # explicit nodes, subjects-of, objects-of — each a pushed-
+            # down predicate slice
+            parts = []
+            if shape.target_class:
+                parts.append(
+                    triples.where(
+                        (F.col("p") == RDF_TYPE)
+                        & (F.col("o") == shape.target_class)
+                    ).select(F.col("s").alias("focus"))
+                )
+            if shape.target_nodes:
+                parts.append(
+                    spark.createDataFrame(
+                        [(n,) for n in shape.target_nodes], "focus string"
+                    )
+                )
+            if shape.target_subjects_of:
+                parts.append(
+                    triples.where(
+                        F.col("p") == shape.target_subjects_of
+                    ).select(F.col("s").alias("focus"))
+                )
+            if shape.target_objects_of:
+                parts.append(
+                    triples.where(
+                        F.col("p") == shape.target_objects_of
+                    ).select(F.col("o").alias("focus"))
+                )
+            if not parts:
+                continue  # shape only reachable via sh:node
+            focus = parts[0]
+            for p_ in parts[1:]:
+                focus = focus.unionByName(p_)
+            focus = focus.distinct()
 
         focus_s = focus.select(F.col("focus").alias("s"))
         # no broadcast hint: a targetClass focus set is DATA-sized (every
@@ -307,16 +362,92 @@ def validate(
                     f"value not less than <{ps.less_than}> value",
                 ))
 
-            if ps.min_inclusive is not None or ps.max_inclusive is not None:
-                v = F.col("o").cast("double")
+            if (
+                ps.min_inclusive is not None
+                or ps.max_inclusive is not None
+                or ps.min_exclusive is not None
+                or ps.max_exclusive is not None
+            ):
+                # try_cast: ANSI mode (Spark 4 default) makes a plain
+                # cast THROW on a non-numeric value mid-job; SHACL
+                # semantics make it a violation row instead
+                v = F.col("o").try_cast("double")
                 cond = F.lit(False)
                 if ps.min_inclusive is not None:
                     cond = cond | v.isNull() | (v < ps.min_inclusive)
                 if ps.max_inclusive is not None:
                     cond = cond | v.isNull() | (v > ps.max_inclusive)
+                if ps.min_exclusive is not None:
+                    cond = cond | v.isNull() | (v <= ps.min_exclusive)
+                if ps.max_exclusive is not None:
+                    cond = cond | v.isNull() | (v >= ps.max_exclusive)
+                lo = (
+                    ps.min_inclusive
+                    if ps.min_inclusive is not None
+                    else ps.min_exclusive
+                )
+                hi = (
+                    ps.max_inclusive
+                    if ps.max_inclusive is not None
+                    else ps.max_exclusive
+                )
                 out = out.unionByName(_viol(
                     vals.where(cond), shape.iri, ps.path, "range",
-                    f"value outside [{ps.min_inclusive}, {ps.max_inclusive}]",
+                    f"value outside [{lo}, {hi}]",
+                ))
+
+            if ps.language_in is not None:
+                bad = vals.where(
+                    (F.col("o_kind") != "literal")
+                    | F.col("o_lang").isNull()
+                    | ~F.lower(F.col("o_lang")).isin(
+                        [t.lower() for t in ps.language_in]
+                    )
+                )
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "languageIn",
+                    f"language tag not in {ps.language_in}",
+                ))
+
+            if ps.unique_lang:
+                dup = (
+                    vals.where(F.col("o_lang").isNotNull())
+                    .groupBy("s", F.lower(F.col("o_lang")).alias("lang"))
+                    .agg(F.count("*").alias("n"))
+                    .where(F.col("n") > 1)
+                )
+                out = out.unionByName(_viol(
+                    dup, shape.iri, ps.path, "uniqueLang",
+                    "language tag used more than once",
+                    value=F.col("lang"),
+                ))
+
+            if ps.equals:
+                # §4.6.1: violation for every value of path absent
+                # from equals-path, and vice versa (symmetric diff,
+                # per focus node)
+                other = shape_triples.where(
+                    F.col("p") == ps.equals
+                ).select("s", "o")
+                mine = vals.select("s", "o")
+                bad = mine.join(other, ["s", "o"], "left_anti").unionByName(
+                    other.join(mine, ["s", "o"], "left_anti")
+                )
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "equals",
+                    f"value sets of <{ps.path}> and <{ps.equals}> differ",
+                ))
+
+            if ps.disjoint:
+                other = shape_triples.where(
+                    F.col("p") == ps.disjoint
+                ).select("s", "o")
+                bad = vals.select("s", "o").join(
+                    other, ["s", "o"], "left_semi"
+                )
+                out = out.unionByName(_viol(
+                    bad, shape.iri, ps.path, "disjoint",
+                    f"value shared with <{ps.disjoint}>",
                 ))
 
             if ps.pattern is not None:

@@ -67,7 +67,8 @@ def make_shapes(rng):
             ps = PropertyShape(path=rng.choice(PREDS))
             picks = rng.sample(
                 ["datatype", "max", "min", "in", "pattern", "len",
-                 "kind", "class", "hasvalue"],
+                 "kind", "class", "hasvalue", "langin", "uniquelang",
+                 "equals", "disjoint", "range"],
                 rng.randrange(1, 3),
             )
             if "datatype" in picks:
@@ -97,16 +98,45 @@ def make_shapes(rng):
                 ps.class_ = rng.choice(CLASSES)
             if "hasvalue" in picks:
                 ps.has_value = rng.choice(LIT_VALUES + SUBJECTS)
+            if "langin" in picks:
+                ps.language_in = rng.sample(["en", "fr", "EN"], 2)
+            if "uniquelang" in picks:
+                ps.unique_lang = True
+            if "equals" in picks:
+                ps.equals = rng.choice(PREDS)
+            if "disjoint" in picks:
+                ps.disjoint = rng.choice(PREDS)
+            if "range" in picks:
+                if rng.random() < 0.5:
+                    ps.min_inclusive = float(rng.randrange(-5, 5))
+                else:
+                    ps.min_exclusive = float(rng.randrange(-5, 5))
+                if rng.random() < 0.5:
+                    ps.max_exclusive = float(rng.randrange(5, 50))
             props.append(ps)
-        shapes.append(
-            NodeShape(
-                iri="urn:shape:%d" % k,
-                target_class=rng.choice(CLASSES),
-                closed=rng.random() < 0.3,
-                ignored=[RDF_TYPE] if rng.random() < 0.5 else [],
-                properties=props,
-            )
+        shape = NodeShape(
+            iri="urn:shape:%d" % k,
+            closed=rng.random() < 0.3,
+            deactivated=rng.random() < 0.1,
+            ignored=[RDF_TYPE] if rng.random() < 0.5 else [],
+            properties=props,
         )
+        # target flavors (§2.1.3): class / explicit nodes /
+        # subjects-of / objects-of — sometimes combined
+        r = rng.random()
+        if r < 0.6:
+            shape.target_class = rng.choice(CLASSES)
+        elif r < 0.75:
+            shape.target_subjects_of = rng.choice(PREDS)
+        elif r < 0.9:
+            shape.target_objects_of = rng.choice(PREDS)
+        else:
+            shape.target_nodes = rng.sample(SUBJECTS, 2)
+        if rng.random() < 0.15:
+            shape.target_nodes = shape.target_nodes or rng.sample(
+                SUBJECTS, 1
+            )
+        shapes.append(shape)
     return shapes
 
 
@@ -118,14 +148,36 @@ def effective_dt(kind, dt, lang):
     return RDF_LANGSTRING if lang else XSD + "string"
 
 
+def to_num(o):
+    try:
+        return float(o)
+    except (TypeError, ValueError):
+        return None
+
+
 def naive_validate(graph, shapes):
     out = set()
     for shape in shapes:
-        focus = sorted(
-            {s for (s, p, o, k, _d, _l) in graph
-             if p == RDF_TYPE and o == shape.target_class}
-        )
-        ftrips = [t for t in graph if t[0] in set(focus)]
+        if shape.deactivated:
+            continue
+        fset = set()
+        if shape.target_class:
+            fset |= {s for (s, p, o, k, _d, _l) in graph
+                     if p == RDF_TYPE and o == shape.target_class}
+        fset |= set(shape.target_nodes)
+        if shape.target_subjects_of:
+            fset |= {t[0] for t in graph if t[1] == shape.target_subjects_of}
+        if shape.target_objects_of:
+            fset |= {t[2] for t in graph if t[1] == shape.target_objects_of}
+        if not (
+            shape.target_class
+            or shape.target_nodes
+            or shape.target_subjects_of
+            or shape.target_objects_of
+        ):
+            continue
+        focus = sorted(fset)
+        ftrips = [t for t in graph if t[0] in fset]
         for ps in shape.properties:
             vals = [t for t in ftrips if t[1] == ps.path]
 
@@ -184,6 +236,56 @@ def naive_validate(graph, shapes):
                 for (s, _p, o, k, *_rest) in vals:
                     if k == "literal" or o not in typed:
                         viol(s, "class", o)
+            if (
+                ps.min_inclusive is not None
+                or ps.max_inclusive is not None
+                or ps.min_exclusive is not None
+                or ps.max_exclusive is not None
+            ):
+                for (s, _p, o, *_rest) in vals:
+                    v = to_num(o)
+                    bad = v is None
+                    if ps.min_inclusive is not None and (
+                        v is None or v < ps.min_inclusive
+                    ):
+                        bad = True
+                    if ps.max_inclusive is not None and (
+                        v is None or v > ps.max_inclusive
+                    ):
+                        bad = True
+                    if ps.min_exclusive is not None and (
+                        v is None or v <= ps.min_exclusive
+                    ):
+                        bad = True
+                    if ps.max_exclusive is not None and (
+                        v is None or v >= ps.max_exclusive
+                    ):
+                        bad = True
+                    if bad:
+                        viol(s, "range", o)
+            if ps.language_in is not None:
+                allowed = {t.lower() for t in ps.language_in}
+                for (s, _p, o, k, _d, l) in vals:
+                    if k != "literal" or not l or l.lower() not in allowed:
+                        viol(s, "languageIn", o)
+            if ps.unique_lang:
+                for f in focus:
+                    langs = {}
+                    for (s, _p, _o, _k, _d, l) in vals:
+                        if s == f and l:
+                            langs[l.lower()] = langs.get(l.lower(), 0) + 1
+                    for lang, n in langs.items():
+                        if n > 1:
+                            viol(f, "uniqueLang", lang)
+            if ps.equals:
+                other = {(t[0], t[2]) for t in ftrips if t[1] == ps.equals}
+                mine = {(t[0], t[2]) for t in vals}
+                for (s, o) in (mine - other) | (other - mine):
+                    viol(s, "equals", o)
+            if ps.disjoint:
+                other = {(t[0], t[2]) for t in ftrips if t[1] == ps.disjoint}
+                for (s, o) in {(t[0], t[2]) for t in vals} & other:
+                    viol(s, "disjoint", o)
         if shape.closed:
             allowed = {p.path for p in shape.properties} | set(shape.ignored)
             for (s, p, o, *_rest) in ftrips:
