@@ -79,6 +79,11 @@ class PropertyShape:
     disjoint: Optional[str] = None
     language_in: Optional[List[str]] = None
     unique_lang: bool = False
+    # logical constraint components over VALUE-level constraint
+    # branches (sh:or ( [ sh:datatype … ] [ sh:nodeKind … ] ) …)
+    or_: Optional[List["PropertyShape"]] = None
+    and_: Optional[List["PropertyShape"]] = None
+    not_: Optional["PropertyShape"] = None
 
 
 @dataclass
@@ -154,38 +159,62 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                     "SHACL path expressions (sh:inversePath / sequence "
                     f"paths) are not supported: {p}"
                 )
+            def read_constraints(node_id: str, ps: PropertyShape):
+                for attr, pred, conv in (
+                    ("datatype", "datatype", lambda o: o.value),
+                    ("max_count", "maxCount", lambda o: int(o.value)),
+                    ("min_count", "minCount", lambda o: int(o.value)),
+                    ("less_than", "lessThan", lambda o: o.value),
+                    ("node", "node", lambda o: o.value),
+                    ("min_inclusive", "minInclusive",
+                     lambda o: float(o.value)),
+                    ("max_inclusive", "maxInclusive",
+                     lambda o: float(o.value)),
+                    ("name", "name", lambda o: o.value),
+                    ("pattern", "pattern", lambda o: o.value),
+                    ("flags", "flags", lambda o: o.value),
+                    ("min_length", "minLength", lambda o: int(o.value)),
+                    ("max_length", "maxLength", lambda o: int(o.value)),
+                    ("has_value", "hasValue", lambda o: o.value),
+                    ("node_kind", "nodeKind", lambda o: o.value),
+                    ("class_", "class", lambda o: o.value),
+                    ("min_exclusive", "minExclusive",
+                     lambda o: float(o.value)),
+                    ("max_exclusive", "maxExclusive",
+                     lambda o: float(o.value)),
+                    ("equals", "equals", lambda o: o.value),
+                    ("disjoint", "disjoint", lambda o: o.value),
+                    ("unique_lang", "uniqueLang",
+                     lambda o: o.value == "true"),
+                ):
+                    o = one(node_id, SH + pred)
+                    if o is not None:
+                        setattr(ps, attr, conv(o))
+                ino = one(node_id, SH + "in")
+                if ino is not None:
+                    ps.in_values = rdf_list(ino)
+                li = one(node_id, SH + "languageIn")
+                if li is not None:
+                    ps.language_in = rdf_list(li)
+
+            def read_branch(node_id: str) -> PropertyShape:
+                # a logical branch is a constraint-only shape (no
+                # sh:path of its own — it applies to the parent's)
+                b = PropertyShape(path="")
+                read_constraints(node_id, b)
+                return b
+
             ps = PropertyShape(path=path_t.value)
-            for attr, pred, conv in (
-                ("datatype", "datatype", lambda o: o.value),
-                ("max_count", "maxCount", lambda o: int(o.value)),
-                ("min_count", "minCount", lambda o: int(o.value)),
-                ("less_than", "lessThan", lambda o: o.value),
-                ("node", "node", lambda o: o.value),
-                ("min_inclusive", "minInclusive", lambda o: float(o.value)),
-                ("max_inclusive", "maxInclusive", lambda o: float(o.value)),
-                ("name", "name", lambda o: o.value),
-                ("pattern", "pattern", lambda o: o.value),
-                ("flags", "flags", lambda o: o.value),
-                ("min_length", "minLength", lambda o: int(o.value)),
-                ("max_length", "maxLength", lambda o: int(o.value)),
-                ("has_value", "hasValue", lambda o: o.value),
-                ("node_kind", "nodeKind", lambda o: o.value),
-                ("class_", "class", lambda o: o.value),
-                ("min_exclusive", "minExclusive", lambda o: float(o.value)),
-                ("max_exclusive", "maxExclusive", lambda o: float(o.value)),
-                ("equals", "equals", lambda o: o.value),
-                ("disjoint", "disjoint", lambda o: o.value),
-                ("unique_lang", "uniqueLang", lambda o: o.value == "true"),
-            ):
-                o = one(p, SH + pred)
-                if o is not None:
-                    setattr(ps, attr, conv(o))
-            ino = one(p, SH + "in")
-            if ino is not None:
-                ps.in_values = rdf_list(ino)
-            li = one(p, SH + "languageIn")
-            if li is not None:
-                ps.language_in = rdf_list(li)
+            read_constraints(p, ps)
+            oro = one(p, SH + "or")
+            if oro is not None:
+                ps.or_ = [read_branch(b) for b in rdf_list(oro)]
+            ando = one(p, SH + "and")
+            if ando is not None:
+                ps.and_ = [read_branch(b) for b in rdf_list(ando)]
+            noto = one(p, SH + "not")
+            if noto is not None:
+                ps.not_ = read_branch(noto.value)
             shape.properties.append(ps)
         shapes.append(shape)
     return shapes
@@ -221,6 +250,87 @@ def _effective_datatype():
             ).otherwise(F.lit(XSD + "string")),
         ),
     )
+
+
+_NODE_KIND_ALLOWED = {
+    SH + "IRI": ["iri"],
+    SH + "Literal": ["literal"],
+    SH + "BlankNode": ["bnode"],
+    SH + "BlankNodeOrIRI": ["bnode", "iri"],
+    SH + "BlankNodeOrLiteral": ["bnode", "literal"],
+    SH + "IRIOrLiteral": ["iri", "literal"],
+}
+
+
+def _value_cond(ps: PropertyShape):
+    """VALUE-level violation condition for a logical branch: a Column
+    that is True where the value violates the branch's constraints.
+    Branches support the Column-expressible constraint components
+    (datatype, nodeKind, pattern, length, range, in, languageIn);
+    join-backed or per-focus constraints inside sh:or/and/not raise a
+    clear error rather than silently passing."""
+    unsupported = [
+        n
+        for n, v in (
+            ("maxCount", ps.max_count), ("minCount", ps.min_count),
+            ("class", ps.class_), ("node", ps.node),
+            ("hasValue", ps.has_value), ("equals", ps.equals),
+            ("disjoint", ps.disjoint), ("lessThan", ps.less_than),
+            ("uniqueLang", ps.unique_lang or None),
+        )
+        if v is not None
+    ]
+    if unsupported:
+        raise NotImplementedError(
+            f"sh:{unsupported[0]} inside a logical constraint branch "
+            "is not supported (value-level constraints only)"
+        )
+    conds = []
+    if ps.datatype:
+        conds.append(
+            (F.col("o_kind") != "literal")
+            | (_effective_datatype() != ps.datatype)
+        )
+    if ps.node_kind:
+        allowed = _NODE_KIND_ALLOWED.get(ps.node_kind)
+        if allowed is not None:
+            conds.append(~F.col("o_kind").isin(allowed))
+    if ps.pattern is not None:
+        rx = f"(?{ps.flags}){ps.pattern}" if ps.flags else ps.pattern
+        conds.append((F.col("o_kind") == "bnode") | ~F.col("o").rlike(rx))
+    if ps.min_length is not None:
+        conds.append(
+            (F.col("o_kind") == "bnode")
+            | (F.length(F.col("o")) < ps.min_length)
+        )
+    if ps.max_length is not None:
+        conds.append(
+            (F.col("o_kind") == "bnode")
+            | (F.length(F.col("o")) > ps.max_length)
+        )
+    if ps.in_values is not None:
+        conds.append(~F.col("o").isin(ps.in_values))
+    v = F.col("o").try_cast("double")
+    if ps.min_inclusive is not None:
+        conds.append(v.isNull() | (v < ps.min_inclusive))
+    if ps.max_inclusive is not None:
+        conds.append(v.isNull() | (v > ps.max_inclusive))
+    if ps.min_exclusive is not None:
+        conds.append(v.isNull() | (v <= ps.min_exclusive))
+    if ps.max_exclusive is not None:
+        conds.append(v.isNull() | (v >= ps.max_exclusive))
+    if ps.language_in is not None:
+        conds.append(
+            (F.col("o_kind") != "literal")
+            | F.col("o_lang").isNull()
+            | ~F.lower(F.col("o_lang")).isin(
+                [t.lower() for t in ps.language_in]
+            )
+        )
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
 
 
 def validate(
@@ -518,6 +628,30 @@ def validate(
                 out = out.unionByName(_viol(
                     bad, shape.iri, ps.path, "class",
                     f"value is not an instance of <{ps.class_}>",
+                ))
+
+            if ps.or_:
+                cond = F.lit(True)
+                for b in ps.or_:
+                    cond = cond & _value_cond(b)  # violates EVERY branch
+                out = out.unionByName(_viol(
+                    vals.where(cond), shape.iri, ps.path, "or",
+                    "value conforms to no sh:or branch",
+                ))
+
+            if ps.and_:
+                cond = F.lit(False)
+                for b in ps.and_:
+                    cond = cond | _value_cond(b)  # violates ANY branch
+                out = out.unionByName(_viol(
+                    vals.where(cond), shape.iri, ps.path, "and",
+                    "value fails an sh:and branch",
+                ))
+
+            if ps.not_:
+                out = out.unionByName(_viol(
+                    vals.where(~_value_cond(ps.not_)), shape.iri, ps.path,
+                    "not", "value conforms to the negated shape",
                 ))
 
             if ps.node:

@@ -377,3 +377,61 @@ ex:LenientShape a sh:NodeShape ;
         )
         viols = validate(bad, shapes).collect()
         assert {v["constraint"] for v in viols} == {"closed"}
+
+
+class TestLogicalConstraints:
+    """sh:or / sh:and / sh:not parsed from Turtle and compiled to
+    Column branch conditions (round-3 extension)."""
+
+    TTL = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <urn:ex:> .
+    ex:S a sh:NodeShape ;
+      sh:targetClass ex:T ;
+      sh:property [
+        sh:path ex:label ;
+        sh:or ( [ sh:datatype xsd:string ]
+                [ sh:datatype <http://www.w3.org/1999/02/22-rdf-syntax-ns#langString> ] )
+      ] ;
+      sh:property [
+        sh:path ex:code ;
+        sh:not [ sh:pattern "^BAD" ]
+      ] .
+    """
+
+    def test_or_and_not_from_turtle(self, spark):
+        from py_sema_spark.shacl import parse_shapes_ttl, validate
+
+        shapes = parse_shapes_ttl(self.TTL)
+        assert shapes[0].properties[0].or_ is not None
+        assert len(shapes[0].properties[0].or_) == 2
+        assert shapes[0].properties[1].not_ is not None
+        df = spark.createDataFrame(
+            [
+                ("urn:i1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                 "urn:ex:T", "iri", None, None),
+                ("urn:i1", "urn:ex:label", "ok",
+                 "literal", None, None),           # plain string → or ok
+                ("urn:i1", "urn:ex:label", "salut",
+                 "literal", None, "fr"),           # langString → or ok
+                ("urn:i1", "urn:ex:label", "urn:x",
+                 "iri", None, None),               # IRI → violates both
+                ("urn:i1", "urn:ex:code", "BADX",
+                 "literal", None, None),           # matches ^BAD → not viol
+                ("urn:i1", "urn:ex:code", "GOOD",
+                 "literal", None, None),
+            ],
+            "s string, p string, o string, o_kind string, "
+            "o_datatype string, o_lang string",
+        )
+        viols = validate(df, shapes).collect()
+        by_constraint = sorted((r["constraint"], r["value"]) for r in viols)
+        assert by_constraint == [("not", "BADX"), ("or", "urn:x")]
+
+    def test_join_backed_constraint_in_branch_refused(self):
+        from py_sema_spark.shacl import PropertyShape, _value_cond
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="logical"):
+            _value_cond(PropertyShape(path="", class_="urn:C"))

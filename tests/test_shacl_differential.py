@@ -68,7 +68,7 @@ def make_shapes(rng):
             picks = rng.sample(
                 ["datatype", "max", "min", "in", "pattern", "len",
                  "kind", "class", "hasvalue", "langin", "uniquelang",
-                 "equals", "disjoint", "range"],
+                 "equals", "disjoint", "range", "or", "and", "not"],
                 rng.randrange(1, 3),
             )
             if "datatype" in picks:
@@ -113,6 +113,31 @@ def make_shapes(rng):
                     ps.min_exclusive = float(rng.randrange(-5, 5))
                 if rng.random() < 0.5:
                     ps.max_exclusive = float(rng.randrange(5, 50))
+
+            def branch():
+                b = PropertyShape(path="")
+                r = rng.random()
+                if r < 0.35:
+                    b.datatype = rng.choice(
+                        [XSD + "string", XSD + "integer", RDF_LANGSTRING]
+                    )
+                elif r < 0.6:
+                    b.node_kind = rng.choice([
+                        "http://www.w3.org/ns/shacl#IRI",
+                        "http://www.w3.org/ns/shacl#Literal",
+                    ])
+                elif r < 0.8:
+                    b.pattern = rng.choice(["^a", "9$", "c"])
+                else:
+                    b.min_length = rng.randrange(0, 4)
+                return b
+
+            if "or" in picks:
+                ps.or_ = [branch() for _ in range(rng.randrange(2, 4))]
+            if "and" in picks:
+                ps.and_ = [branch() for _ in range(2)]
+            if "not" in picks:
+                ps.not_ = branch()
             props.append(ps)
         shape = NodeShape(
             iri="urn:shape:%d" % k,
@@ -153,6 +178,52 @@ def to_num(o):
         return float(o)
     except (TypeError, ValueError):
         return None
+
+
+def value_violates(ps, t):
+    """Mirror of shacl._value_cond: value-level violation test."""
+    (_s, _p, o, k, d, l) = t
+    if ps.datatype and (
+        k != "literal" or effective_dt(k, d, l) != ps.datatype
+    ):
+        return True
+    if ps.node_kind:
+        allowed = {
+            "http://www.w3.org/ns/shacl#IRI": {"iri"},
+            "http://www.w3.org/ns/shacl#Literal": {"literal"},
+        }[ps.node_kind]
+        if k not in allowed:
+            return True
+    if ps.pattern is not None and (
+        k == "bnode" or not re.search(ps.pattern, o)
+    ):
+        return True
+    if ps.min_length is not None and (
+        k == "bnode" or len(o) < ps.min_length
+    ):
+        return True
+    if ps.max_length is not None and (
+        k == "bnode" or len(o) > ps.max_length
+    ):
+        return True
+    if ps.in_values is not None and o not in ps.in_values:
+        return True
+    for bound, cmp_ in (
+        (ps.min_inclusive, lambda v, b: v < b),
+        (ps.max_inclusive, lambda v, b: v > b),
+        (ps.min_exclusive, lambda v, b: v <= b),
+        (ps.max_exclusive, lambda v, b: v >= b),
+    ):
+        if bound is not None:
+            v = to_num(o)
+            if v is None or cmp_(v, bound):
+                return True
+    if ps.language_in is not None:
+        if k != "literal" or not l or l.lower() not in {
+            x.lower() for x in ps.language_in
+        }:
+            return True
+    return False
 
 
 def naive_validate(graph, shapes):
@@ -286,6 +357,18 @@ def naive_validate(graph, shapes):
                 other = {(t[0], t[2]) for t in ftrips if t[1] == ps.disjoint}
                 for (s, o) in {(t[0], t[2]) for t in vals} & other:
                     viol(s, "disjoint", o)
+            if ps.or_:
+                for t in vals:
+                    if all(value_violates(b, t) for b in ps.or_):
+                        viol(t[0], "or", t[2])
+            if ps.and_:
+                for t in vals:
+                    if any(value_violates(b, t) for b in ps.and_):
+                        viol(t[0], "and", t[2])
+            if ps.not_:
+                for t in vals:
+                    if not value_violates(ps.not_, t):
+                        viol(t[0], "not", t[2])
         if shape.closed:
             allowed = {p.path for p in shape.properties} | set(shape.ignored)
             for (s, p, o, *_rest) in ftrips:
