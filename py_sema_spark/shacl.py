@@ -84,6 +84,16 @@ class PropertyShape:
     or_: Optional[List["PropertyShape"]] = None
     and_: Optional[List["PropertyShape"]] = None
     not_: Optional["PropertyShape"] = None
+    xone: Optional[List["PropertyShape"]] = None
+    # sh:qualifiedValueShape branch + qualified cardinality bounds
+    qualified: Optional["PropertyShape"] = None
+    qualified_min: Optional[int] = None
+    qualified_max: Optional[int] = None
+    # SHACL property-path AST (§2.3.1) — None means ``path`` is a
+    # plain predicate IRI (the direct-construction/back-compat form).
+    # Tuples: ("pred", iri) | ("inv", p) | ("seq", [p..]) |
+    # ("alt", [p..]) | ("zom", p) | ("oom", p) | ("zoo", p)
+    path_ast: Optional[tuple] = None
 
 
 @dataclass
@@ -99,6 +109,27 @@ class NodeShape:
     properties: List[PropertyShape] = field(default_factory=list)
 
 
+def path_str(ast: tuple) -> str:
+    """SPARQL-property-path-style rendering of a path AST (used as the
+    ``path`` column of violation rows; plain predicates stay bare IRIs
+    so the simple-path output is unchanged)."""
+
+    def wrap(sub: tuple) -> str:
+        s = path_str(sub)
+        return f"({s})" if sub[0] in ("seq", "alt") else s
+
+    kind = ast[0]
+    if kind == "pred":
+        return ast[1]
+    if kind == "inv":
+        return "^" + wrap(ast[1])
+    if kind == "seq":
+        return "/".join(wrap(p) for p in ast[1])
+    if kind == "alt":
+        return "|".join(wrap(p) for p in ast[1])
+    return wrap(ast[1]) + {"zom": "*", "oom": "+", "zoo": "?"}[kind]
+
+
 def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
     """Shape graph (Turtle) → shape model, driver-side."""
     from .rdf.turtle import parse_turtle
@@ -112,14 +143,40 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
         vals = spo.get(s, {}).get(p)
         return vals[0] if vals else None
 
-    def rdf_list(head) -> List[str]:
+    def rdf_list_terms(head) -> list:
         out = []
         while head is not None and head.value != RDF_NIL:
             first = one(head.value, RDF_FIRST)
             if first is not None:
-                out.append(first.value)
+                out.append(first)
             head = one(head.value, RDF_REST)
         return out
+
+    def rdf_list(head) -> List[str]:
+        return [t.value for t in rdf_list_terms(head)]
+
+    def parse_path(term) -> tuple:
+        """sh:path term → path AST (§2.3.1). A bnode-valued path is a
+        path expression: inverse / alternative / zero-or-more /
+        one-or-more / zero-or-one, or an RDF list (sequence)."""
+        if not term.value.startswith("_:"):
+            return ("pred", term.value)
+        node = term.value
+        for pred, tag in (
+            ("inversePath", "inv"),
+            ("zeroOrMorePath", "zom"),
+            ("oneOrMorePath", "oom"),
+            ("zeroOrOnePath", "zoo"),
+        ):
+            inner = one(node, SH + pred)
+            if inner is not None:
+                return (tag, parse_path(inner))
+        alt = one(node, SH + "alternativePath")
+        if alt is not None:
+            return ("alt", [parse_path(t) for t in rdf_list_terms(alt)])
+        if one(node, RDF_FIRST) is not None:
+            return ("seq", [parse_path(t) for t in rdf_list_terms(term)])
+        raise ValueError(f"unrecognized SHACL path expression at {node}")
 
     shapes = []
     for s, props in spo.items():
@@ -150,15 +207,8 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 raise ValueError(
                     f"property shape {p} has no sh:path"
                 )
-            if path_t.value.startswith("_:"):
-                # blank-node path = a path expression (sh:inversePath /
-                # sequence / alternative) — treating the bnode label as
-                # a predicate IRI would silently match nothing and
-                # report every focus node as a minCount violation
-                raise NotImplementedError(
-                    "SHACL path expressions (sh:inversePath / sequence "
-                    f"paths) are not supported: {p}"
-                )
+            path_ast = parse_path(path_t)
+
             def read_constraints(node_id: str, ps: PropertyShape):
                 for attr, pred, conv in (
                     ("datatype", "datatype", lambda o: o.value),
@@ -204,7 +254,7 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 read_constraints(node_id, b)
                 return b
 
-            ps = PropertyShape(path=path_t.value)
+            ps = PropertyShape(path=path_str(path_ast), path_ast=path_ast)
             read_constraints(p, ps)
             oro = one(p, SH + "or")
             if oro is not None:
@@ -215,6 +265,16 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             noto = one(p, SH + "not")
             if noto is not None:
                 ps.not_ = read_branch(noto.value)
+            xo = one(p, SH + "xone")
+            if xo is not None:
+                ps.xone = [read_branch(b) for b in rdf_list(xo)]
+            qvs = one(p, SH + "qualifiedValueShape")
+            if qvs is not None:
+                ps.qualified = read_branch(qvs.value)
+                qmin = one(p, SH + "qualifiedMinCount")
+                qmax = one(p, SH + "qualifiedMaxCount")
+                ps.qualified_min = int(qmin.value) if qmin else None
+                ps.qualified_max = int(qmax.value) if qmax else None
             shape.properties.append(ps)
         shapes.append(shape)
     return shapes
@@ -333,6 +393,141 @@ def _value_cond(ps: PropertyShape):
     return out
 
 
+_VAL_COLS = ["s", "o", "o_kind", "o_datatype", "o_lang"]
+
+
+def _node_kind(col):
+    """Term kind of a node drawn from the subject position (bnode ids
+    keep their ``_:`` prefix end-to-end in the triples frame)."""
+    return F.when(col.startswith("_:"), F.lit("bnode")).otherwise(
+        F.lit("iri")
+    )
+
+
+def _as_value(df: DataFrame, node_col: str, alias: str = "o") -> DataFrame:
+    """Project a node column into the value-term shape (kind derived,
+    no datatype/lang — subjects are never literals)."""
+    keep = [c for c in df.columns if c not in (node_col, alias)]
+    return df.select(
+        *keep,
+        F.col(node_col).alias(alias),
+        _node_kind(F.col(node_col)).alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+
+
+def _path_values(triples: DataFrame, ast: tuple):
+    """Path AST → ``(pairs, includes_zero)``.
+
+    ``pairs`` is the ≥1-length (s → value) relation in value-term shape
+    (``s, o, o_kind, o_datatype, o_lang``); ``includes_zero`` records
+    that the path also relates every node to itself (sh:zeroOrMorePath /
+    sh:zeroOrOnePath) — the zero-length part is unbounded (identity over
+    all nodes), so it is materialized only at the focus set, by the
+    caller. Composition keeps the algebra exact: seq(a, b) with b
+    zero-capable contributes a's pairs, and vice versa.
+
+    Scale: each atomic step is one pushed-down predicate slice;
+    sequences/alternatives are equi-joins/unions of those slices, and
+    ``*``/``+`` reuse :func:`transitive_closure`'s doubling (O(log d)
+    rounds). Nothing is collected; value sets stay distributed.
+    """
+    kind = ast[0]
+    if kind == "pred":
+        return (
+            triples.where(F.col("p") == ast[1]).select(*_VAL_COLS),
+            False,
+        )
+    if kind == "inv":
+        pairs, z = _path_values(triples, ast[1])
+        inv = _as_value(
+            pairs.where(F.col("o_kind") != "literal").select(
+                F.col("o").alias("s"), F.col("s").alias("node")
+            ),
+            "node",
+        )
+        return (inv, z)
+    if kind == "seq":
+        pairs, z = _path_values(triples, ast[1][0])
+        for sub in ast[1][1:]:
+            nxt, nz = _path_values(triples, sub)
+            comp = (
+                pairs.where(F.col("o_kind") != "literal")
+                .select(F.col("s").alias("_ls"), F.col("o").alias("_mid"))
+                .join(
+                    nxt.select(F.col("s").alias("_mid"), *_VAL_COLS[1:]),
+                    "_mid",
+                )
+                .select(F.col("_ls").alias("s"), *_VAL_COLS[1:])
+            )
+            parts = [comp]
+            if nz:  # right side can be skipped → left pairs carry over
+                parts.append(pairs.select(*_VAL_COLS))
+            if z:  # left side can be skipped → right pairs carry over
+                parts.append(nxt.select(*_VAL_COLS))
+            pairs = parts[0]
+            for extra in parts[1:]:
+                pairs = pairs.unionByName(extra)
+            pairs = pairs.distinct()
+            z = z and nz
+        return (pairs, z)
+    if kind == "alt":
+        subs = [_path_values(triples, p) for p in ast[1]]
+        pairs = subs[0][0]
+        for df, _ in subs[1:]:
+            pairs = pairs.unionByName(df)
+        return (pairs.distinct(), any(z for _, z in subs))
+    if kind in ("zom", "oom"):
+        from .operators.closure import transitive_closure
+
+        pairs, z = _path_values(triples, ast[1])
+        node_edges = pairs.where(F.col("o_kind") != "literal")
+        closure = transitive_closure(node_edges, src="s", dst="o")
+        node_vals = _as_value(
+            closure.select("src", "dst").withColumnRenamed("src", "s"),
+            "dst",
+        )
+        lits = pairs.where(F.col("o_kind") == "literal")
+        # multi-hop chains may END on a literal: reach any node via the
+        # closure, then take one literal-valued step from it
+        lit_via = (
+            closure.select(F.col("src").alias("_ls"), F.col("dst").alias("s"))
+            .join(lits, "s")
+            .select(F.col("_ls").alias("s"), *_VAL_COLS[1:])
+        )
+        all_pairs = node_vals.unionByName(lits).unionByName(lit_via).distinct()
+        return (all_pairs, True if kind == "zom" else z)
+    if kind == "zoo":
+        pairs, _ = _path_values(triples, ast[1])
+        return (pairs, True)
+    raise ValueError(f"unknown path AST node: {ast!r}")
+
+
+def _conforming_values(triples: DataFrame, vals: DataFrame,
+                       branch: PropertyShape) -> DataFrame:
+    """Rows of ``vals`` whose value CONFORMS to a qualified-value-shape
+    branch: the Column-expressible constraints via :func:`_value_cond`,
+    plus ``sh:class`` (the common qualified form) as a semi-join against
+    the pushed-down typed-instances slice."""
+    from dataclasses import replace
+
+    col_branch = replace(branch, class_=None)
+    conf = vals.where(~_value_cond(col_branch))
+    if branch.class_:
+        typed = (
+            triples.where(
+                (F.col("p") == RDF_TYPE) & (F.col("o") == branch.class_)
+            )
+            .select(F.col("s").alias("o"))
+            .distinct()
+        )
+        conf = conf.where(F.col("o_kind") != "literal").join(
+            typed, "o", "left_semi"
+        )
+    return conf
+
+
 def validate(
     triples: DataFrame,
     shapes: List[NodeShape],
@@ -403,7 +598,22 @@ def validate(
         shape_triples = triples.join(focus_s, "s", "left_semi")
 
         for ps in shape.properties:
-            vals = shape_triples.where(F.col("p") == ps.path)
+            if ps.path_ast is not None and ps.path_ast[0] != "pred":
+                # compound path: resolve the (focus → value) relation,
+                # restricted to this shape's focus set; zero-capable
+                # paths add each focus node as its own value (§2.3.1)
+                pairs, inc0 = _path_values(triples, ps.path_ast)
+                vals = pairs.join(focus_s, "s", "left_semi")
+                if inc0:
+                    vals = vals.unionByName(
+                        _as_value(
+                            focus_s.select("s", F.col("s").alias("node")),
+                            "node",
+                        )
+                    )
+                vals = vals.distinct()
+            else:
+                vals = shape_triples.where(F.col("p") == ps.path)
 
             if ps.datatype:
                 bad = vals.where(
@@ -654,6 +864,45 @@ def validate(
                     "not", "value conforms to the negated shape",
                 ))
 
+            if ps.xone:
+                # §4.6.3: violation unless EXACTLY ONE branch conforms
+                n_conform = sum(
+                    (
+                        (~_value_cond(b)).cast("int")
+                        for b in ps.xone
+                    ),
+                    F.lit(0),
+                )
+                out = out.unionByName(_viol(
+                    vals.where(n_conform != 1), shape.iri, ps.path,
+                    "xone", "value conforms to != 1 sh:xone branch",
+                ))
+
+            if ps.qualified is not None and (
+                ps.qualified_min is not None
+                or ps.qualified_max is not None
+            ):
+                conf = _conforming_values(triples, vals, ps.qualified)
+                counts = conf.groupBy("s").agg(F.count("*").alias("n"))
+                if ps.qualified_min is not None:
+                    under = (
+                        focus_s.join(counts, "s", "left")
+                        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+                        .where(F.col("n") < ps.qualified_min)
+                    )
+                    out = out.unionByName(_viol(
+                        under, shape.iri, ps.path, "qualifiedMinCount",
+                        f"fewer than {ps.qualified_min} conforming values",
+                        value=F.col("n"),
+                    ))
+                if ps.qualified_max is not None:
+                    over = counts.where(F.col("n") > ps.qualified_max)
+                    out = out.unionByName(_viol(
+                        over, shape.iri, ps.path, "qualifiedMaxCount",
+                        f"more than {ps.qualified_max} conforming values",
+                        value=F.col("n"),
+                    ))
+
             if ps.node:
                 child = by_iri.get(ps.node)
                 if child is not None and child.iri not in _visiting:
@@ -681,7 +930,14 @@ def validate(
             # predicates — rdf:type is not implicitly allowed (pyshacl,
             # the reference's validator, flags it on closed shapes that
             # don't list it)
-            allowed = [p.path for p in shape.properties] + shape.ignored
+            # §4.8.1: only property shapes whose path is a single
+            # predicate contribute to the allowed set — a compound
+            # path never licenses a direct predicate on the focus node
+            allowed = [
+                p.path
+                for p in shape.properties
+                if p.path_ast is None or p.path_ast[0] == "pred"
+            ] + shape.ignored
             stray = shape_triples.where(~F.col("p").isin(allowed))
             out = out.unionByName(
                 stray.select(

@@ -309,9 +309,10 @@ ex:Shape a sh:NodeShape ;
     assert validate(df, ok_shapes).collect() == []
 
 
-def test_path_expression_rejected_not_silent(spark):
-    """A blank-node sh:path (inversePath etc.) must raise, not match
-    nothing and report phantom minCount violations."""
+def test_path_expression_parses_to_ast(spark):
+    """A blank-node sh:path (inversePath etc.) parses into a path AST
+    instead of silently matching nothing (full value semantics are
+    pinned in tests/test_shacl_paths.py)."""
     shapes_str = """
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 @prefix ex: <http://example.org/> .
@@ -319,8 +320,10 @@ ex:Shape a sh:NodeShape ;
   sh:targetClass ex:Thing ;
   sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:minCount 1 ] .
 """
-    with pytest.raises(NotImplementedError, match="path expressions"):
-        parse_shapes_ttl(shapes_str)
+    (shape,) = parse_shapes_ttl(shapes_str)
+    (ps,) = shape.properties
+    assert ps.path_ast == ("inv", ("pred", "http://example.org/p"))
+    assert ps.path == "^http://example.org/p"
 
 
 class TestClosedIgnoredProperties:
