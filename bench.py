@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "uritemplate_expand",
     "subyt_render",
     "shacl_validate",
+    "shacl_paths",
     "conneg_audit",
     "frame_sample",
     "media_decode_stats",

@@ -3140,6 +3140,70 @@ FROM customer WHERE c_custkey % 7 = 0
 """,
 )
 
+# SHACL property paths (§2.3.1): sequence, oneOrMore (doubling
+# closure), inverse + qualifiedValueShape — each over the customer →
+# nation → region → world broader chain, so every violation set is
+# plain-SQL derivable
+_SHACL_PATHS_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix ex: <http://www.example.org/> .
+
+ex:CustomerPathShape
+    a sh:NodeShape ;
+    sh:targetClass ex:Customer ;
+    sh:property [ sh:path ( skos:broader skos:prefLabel ) ;
+                  sh:pattern "^[A-J]" ] ;
+    sh:property [ sh:path [ sh:oneOrMorePath skos:broader ] ;
+                  sh:pattern "^urn:(nation|region):" ] ;
+    sh:property [ sh:path [ sh:inversePath skos:member ] ;
+                  sh:qualifiedValueShape [ sh:class skos:Concept ] ;
+                  sh:qualifiedMinCount 2 ] .
+"""
+
+
+def _shacl_paths(spark, sf):
+    from ..shacl import parse_shapes_ttl, validate
+
+    return validate(kg_triples(spark, sf), parse_shapes_ttl(_SHACL_PATHS_TTL))
+
+
+_register(
+    "shacl_paths",
+    _shacl_paths,
+    # three deterministic violation families per customer: (1) the
+    # broader/prefLabel sequence value (its nation's name) fails ^[A-J]
+    # for nations K-Z; (2) the broader+ closure always reaches
+    # urn:world:0, which fails the nation|region pattern; (3) the
+    # inverse-member value set holds exactly 1 skos:Concept (< 2)
+    f"""
+SELECT 'urn:cust:' || c_custkey AS focus,
+       '{EX}CustomerPathShape' AS shape,
+       '{SKOS}broader/{SKOS}prefLabel' AS path,
+       'pattern' AS constraint,
+       n_name AS value,
+       'value does not match pattern /^[A-J]/' AS message
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT regexp_matches(n_name, '^[A-J]')
+UNION ALL
+SELECT 'urn:cust:' || c_custkey,
+       '{EX}CustomerPathShape',
+       '{SKOS}broader+',
+       'pattern',
+       'urn:world:0',
+       'value does not match pattern /^urn:(nation|region):/'
+FROM customer
+UNION ALL
+SELECT 'urn:cust:' || c_custkey,
+       '{EX}CustomerPathShape',
+       '^{SKOS}member',
+       'qualifiedMinCount',
+       '1',
+       'fewer than 2 conforming values'
+FROM customer
+""",
+)
+
 _register(
     "uritemplate_expand",
     lambda spark, sf: _t(spark, sf, "part").select(
