@@ -123,6 +123,9 @@ class SrjQueryResult:
     def to_dataframe(self) -> pd.DataFrame:
         return pd.DataFrame(self._rows, columns=self._cols)
 
+    def as_csv(self, file_output_path: str, sep: str = ",") -> None:
+        self.to_dataframe().to_csv(file_output_path, sep=sep, index=False)
+
     def __len__(self) -> int:
         return len(self._rows)
 

@@ -16,9 +16,13 @@ driver (the reference's results are driver-side pandas by contract;
 for cluster-scale outputs use ``.df`` and write distributed).
 
 The reference's third source kind — a live SPARQL endpoint
-(`SPARQLGraphSource`) — is out of scope by the survey's corpus-scan
-design (SURVEY.md §1.7: no live HTTP in the engine); ``build`` raises
-a clear error for ``http(s)://`` sources.
+(`SPARQLGraphSource`, query.py:324-343) — is
+:class:`SparqlEndpointGraphSource`: ``build`` dispatches a single
+``http(s)://`` source to it, backed by the
+:mod:`..endpoint_store` adapter (the sandbox has no network, so tests
+inject the in-process stub endpoint as ``transport``; the default
+HTTP transport is the deploy path). Mixing endpoint and file sources
+raises, mirroring the reference's ``MultipleSourceTypes``.
 """
 
 from __future__ import annotations
@@ -76,13 +80,15 @@ class GraphSource(ABC):
         *sources,
         spark: Optional[SparkSession] = None,
         prefixes: Optional[Dict[str, str]] = None,
+        transport=None,
     ) -> "GraphSource":
         if not sources:
             raise ValueError("GraphSource.build needs at least one source")
         # type dispatch like the reference's build (query.py:231-269):
         # triples DataFrames → DataFrameGraphSource (MemoryGraphSource
-        # analog), strings → file parse; anything else fails HERE with
-        # a clear message instead of deep inside glob
+        # analog), http(s) URL → SparqlEndpointGraphSource, strings →
+        # file parse; anything else fails HERE with a clear message
+        # instead of deep inside glob
         if all(isinstance(src, DataFrame) for src in sources):
             triples = sources[0]
             for d in sources[1:]:
@@ -99,12 +105,24 @@ class GraphSource(ABC):
                     "or all triples DataFrames; got "
                     f"{type(src).__name__}"
                 )
-            if src.startswith(("http://", "https://")):
-                raise NotImplementedError(
-                    "live SPARQL endpoints are out of scope by the "
-                    "corpus-scan design (SURVEY.md §1.7); load a dump "
-                    "file instead"
+        is_endpoint = [
+            src.startswith(("http://", "https://")) for src in sources
+        ]
+        if any(is_endpoint):
+            if not all(is_endpoint):
+                # reference: MultipleSourceTypes (query.py:264-268)
+                raise TypeError(
+                    "cannot mix SPARQL endpoints and dump files in one "
+                    "GraphSource"
                 )
+            if len(sources) > 1:
+                raise TypeError(
+                    "a SPARQL-endpoint GraphSource takes exactly one "
+                    "endpoint URL"
+                )
+            return SparqlEndpointGraphSource(
+                sources[0], spark=spark, transport=transport
+            )
         return FileGraphSource(*sources, spark=spark, prefixes=prefixes)
 
 
@@ -124,6 +142,33 @@ class DataFrameGraphSource(GraphSource):
         return QueryResult(
             sparql_query(self.triples, sparql, self.prefixes), query=sparql
         )
+
+
+class SparqlEndpointGraphSource(GraphSource):
+    """A live SPARQL endpoint as a queryable source — the reference's
+    ``SPARQLGraphSource`` (query.py:324-343: each query builds a
+    ``URIRDFStore`` on the endpoint URL and runs ``select``). Backed by
+    :class:`..endpoint_store.SparqlEndpointStore`; the returned
+    ``SrjQueryResult`` carries the same conversion surface as
+    :class:`QueryResult` (to_list / to_dict / to_dataframe / as_csv /
+    len / columns)."""
+
+    def __init__(
+        self,
+        url: str,
+        spark: Optional[SparkSession] = None,
+        transport=None,
+    ):
+        from ..endpoint_store import SparqlEndpointStore
+
+        self.endpoint = url
+        self._store = SparqlEndpointStore(
+            spark or SparkSession.active(), read_uri=url,
+            transport=transport,
+        )
+
+    def query(self, sparql: str):
+        return self._store.select(sparql)
 
 
 class FileGraphSource(DataFrameGraphSource):

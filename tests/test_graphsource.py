@@ -96,9 +96,37 @@ class TestGraphSource:
         )
         assert "Alpha" in text and "Beta" in text
 
-    def test_endpoint_refused(self):
-        with pytest.raises(NotImplementedError):
-            GraphSource.build("https://sparql.example.org/sparql")
+    def test_endpoint_dispatch(self, spark):
+        """build routes an http(s) URL to the endpoint-backed source
+        (reference SPARQLGraphSource, query.py:324-343) — exercised
+        end-to-end through the in-process stub endpoint."""
+        from py_sema_spark.endpoint_store import InProcessSparqlEndpoint
+        from py_sema_spark.queries.source import SparqlEndpointGraphSource
+
+        ep = InProcessSparqlEndpoint(spark)
+        ep._do_update(
+            'INSERT DATA { <urn:a> <urn:p> "hello" . '
+            "<urn:a> <urn:q> <urn:b> . }"
+        )
+        src = GraphSource.build(
+            "http://stub.local/sparql", spark=spark, transport=ep
+        )
+        assert isinstance(src, SparqlEndpointGraphSource)
+        res = src.query("SELECT ?s ?o WHERE { ?s <urn:p> ?o }")
+        assert len(res) == 1
+        assert res.columns == ["s", "o"]
+        assert res.to_list() == [{"s": "urn:a", "o": "hello"}]
+
+    def test_endpoint_mixing_and_arity_refused(self):
+        with pytest.raises(TypeError, match="mix"):
+            GraphSource.build(
+                "https://sparql.example.org/sparql", "dump.ttl"
+            )
+        with pytest.raises(TypeError, match="exactly one"):
+            GraphSource.build(
+                "https://a.example.org/sparql",
+                "https://b.example.org/sparql",
+            )
 
     def test_store_select_and_forget(self, spark, tmp_path):
         from py_sema_spark.store import ParquetTripleStore
