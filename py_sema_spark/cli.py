@@ -10,6 +10,7 @@ batch/corpus model: every command takes DataFrame-shaped inputs
     python -m py_sema_spark query    --triples t/ --sparql 'SELECT …' --out res/
     python -m py_sema_spark syncfs   --from dumps/ --store store/
     python -m py_sema_spark shacl    --shapes s.ttl --data d.ttl
+    python -m py_sema_spark conneg   URL -v mime;profile --altr a.ttl --found f.csv
     python -m py_sema_spark pipeline --corpus c.parquet --workdir wd/
     python -m py_sema_spark bench    --sembench tasks.yml
 """
@@ -183,6 +184,57 @@ def cmd_shacl(args) -> int:
     return 0 if not rows else 1
 
 
+def cmd_conneg(args) -> int:
+    """sema-conneg analog (commons/web/conneg_cli.py) under the
+    corpus model: no live probing, so the alternate-representations
+    document is a dump file (--altr) and the per-variant fetch results
+    are a CSV (--found, columns mime_type,profile,status
+    [,response_mime,filename]). Emits the reference's FoundVariants
+    CSV layout; exit 0 iff any variant was found (conneg_cli.py:111)."""
+    spark = _spark(args)
+    import csv as _csv
+
+    from .functions.conneg import (
+        FoundVariants,
+        detect_variants,
+        parse_request_variants,
+    )
+
+    fv = FoundVariants(
+        parse_request_variants(",".join(args.request_variants or []))
+    )
+    if args.altr:
+        from .syncfs import load_graph_file
+
+        fv.set_detected(
+            detect_variants(load_graph_file(spark, args.altr), args.url)
+        )
+    if args.found:
+        with open(args.found) as fh:
+            for row in _csv.DictReader(fh):
+                fv.add_variant(
+                    mime_type=row.get("mime_type") or "",
+                    profile=row.get("profile") or "",
+                    status=(
+                        int(row["status"]) if row.get("status") else None
+                    ),
+                    response_mime=row.get("response_mime") or None,
+                    filename=row.get("filename") or None,
+                )
+    text = fv.as_csv(args.url)
+    if args.output and args.output != "-":
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(json.dumps({
+            "variants": len(fv),
+            "missing": sorted(list(k) for k in fv.missing),
+            "success": fv.success,
+        }))
+    else:
+        print(text, end="")
+    return 0 if len(fv) else 1
+
+
 def cmd_rocreate(args) -> int:
     """RO-Crate creator (the reference's `sema ro creator` CLI,
     ro/creator/__main__.py): blueprint + crate dir → metadata file."""
@@ -288,6 +340,23 @@ def main(argv=None) -> int:
     p.add_argument("--shapes", required=True)
     p.add_argument("--data", required=True)
     p.set_defaults(fn=cmd_shacl)
+
+    p = sub.add_parser(
+        "conneg", help="variant-set conneg evaluation (offline)"
+    )
+    p.add_argument("url")
+    p.add_argument("-v", "--request-variants", action="append")
+    p.add_argument(
+        "--altr", default=None,
+        help="alternate-representations dump file (any RDF format)",
+    )
+    p.add_argument(
+        "--found", default=None,
+        help="CSV of fetched variants: mime_type,profile,status"
+             "[,response_mime,filename]",
+    )
+    p.add_argument("-o", "--output", default="-")
+    p.set_defaults(fn=cmd_conneg)
 
     p = sub.add_parser("rocreate", help="blueprint + crate dir → RO-Crate metadata")
     p.add_argument("--blueprint", required=True)

@@ -164,3 +164,72 @@ class TestConnegAudit:
             ("text/turtle", "")
         ]
         assert not missing[0]["url_success"]
+
+
+class TestConnegCli:
+    """python -m py_sema_spark conneg — the sema-conneg analog
+    (conneg_cli.py): requested variants + altr dump + found CSV →
+    FoundVariants CSV + summary; exit 0 iff any variant found."""
+
+    ALTR = """
+@prefix altr: <http://www.w3.org/ns/dx/conneg/altr#> .
+@prefix dct: <http://purl.org/dc/terms/> .
+<http://r/1> altr:hasRepresentation <http://r/1#html> .
+<http://r/1#html> a altr:Representation ; dct:format "text/html" .
+"""
+
+    def run(self, tmp_path, capsys, found_rows, output=None):
+        import json as _json
+
+        from py_sema_spark.cli import main
+
+        altr = tmp_path / "altr.ttl"
+        altr.write_text(self.ALTR)
+        found = tmp_path / "found.csv"
+        found.write_text(
+            "mime_type,profile,status,response_mime\n"
+            + "".join(f"{r}\n" for r in found_rows)
+        )
+        argv = [
+            "conneg", "http://r/1",
+            "-v", "text/turtle;https://p/x",
+            "--altr", str(altr), "--found", str(found),
+        ]
+        if output:
+            argv += ["-o", str(output)]
+        rc = main(argv)
+        cap = capsys.readouterr().out
+        return rc, cap, _json
+
+    def test_success_set(self, spark, tmp_path, capsys):
+        out = tmp_path / "res.csv"
+        rc, cap, _json = self.run(
+            tmp_path, capsys,
+            [
+                "text/turtle,https://p/x,200,text/turtle",
+                "text/html,,200,text/html",
+            ],
+            output=out,
+        )
+        assert rc == 0
+        summary = _json.loads(cap.strip().splitlines()[-1])
+        assert summary["success"] is True and summary["missing"] == []
+        text = out.read_text()
+        assert text.splitlines()[0].startswith("url,mime_type,profile")
+        assert "text/turtle" in text and "text/html" in text
+
+    def test_missing_detected_variant(self, spark, tmp_path, capsys):
+        out = tmp_path / "res.csv"
+        rc, cap, _json = self.run(
+            tmp_path, capsys,
+            ["text/turtle,https://p/x,200,text/turtle"],
+            output=out,
+        )
+        assert rc == 0  # something found — but not successful
+        summary = _json.loads(cap.strip().splitlines()[-1])
+        assert summary["success"] is False
+        assert summary["missing"] == [["text/html", ""]]
+
+    def test_nothing_found_exits_1(self, spark, tmp_path, capsys):
+        rc, cap, _json = self.run(tmp_path, capsys, [])
+        assert rc == 1
