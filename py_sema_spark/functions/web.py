@@ -106,3 +106,68 @@ def link_header_urls_col(
             F.element_at(F.split(e, ";"), 1), r"^[<> ]+|[<> ]+$", ""
         ),
     )
+
+
+def parse_content_header(
+    content: Optional[str], mode: str = "content-type"
+):
+    """``Content-Type`` / ``Content-Disposition`` header value →
+    ``(main, params)`` — reference ``parse_header``
+    (/root/reference/sema/commons/web/parse_headers.py:4-28), including
+    its edge behaviors: empty/None → ``(None, None)``, malformed
+    content-type falls back to ``text/plain`` (the email-parser
+    default), main value lowercased, param quotes stripped.
+
+    Python form — driver-side config/fixture use and the semantics
+    oracle for :func:`header_main_col` / :func:`header_params_col`."""
+    mode = mode.lower()
+    if mode not in ("content-type", "content-disposition"):
+        raise ValueError(
+            "mode should be one of 'content-type' (default) "
+            "or 'content-disposition'"
+        )
+    if content is None or not content.strip():
+        return None, None
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg[mode] = content.strip()
+    header = msg[mode]
+    main = (
+        msg.get_content_type()
+        if mode == "content-type"
+        else msg.get_content_disposition()
+    )
+    return main, dict(header.params)
+
+
+def get_parsed_header(headers: dict, key: str):
+    """Convenience over a headers dict (reference
+    parse_headers.py:31-35)."""
+    return parse_content_header(headers.get(key, None), key)
+
+
+def header_main_col(header: Column) -> Column:
+    """Column form of the MAIN part of a content header: lowercased
+    text before the first ``;``. Fast path for corpus-scale columns —
+    exact for values without quoted semicolons (the overwhelmingly
+    common case; the python form is the full RFC parser)."""
+    return F.when(
+        F.trim(header) == "", F.lit(None).cast("string")
+    ).otherwise(F.lower(F.trim(F.split_part(header, F.lit(";"), F.lit(1)))))
+
+
+def header_param_col(header: Column, param: str) -> Column:
+    """Column form of one ``;key=value`` parameter of a content header
+    (e.g. ``charset``, ``filename``, conneg ``profile``): value with
+    surrounding quotes stripped, NULL when absent. Same
+    no-quoted-semicolon caveat as :func:`header_main_col`."""
+    v = F.regexp_extract(
+        header, r"(?i)[;\s]" + param + r"\s*=\s*([^;]*)", 1
+    )
+    v = F.trim(v)
+    # strip symmetric double quotes
+    v = F.when(
+        v.rlike('^".*"$'), F.substring(v, 2, F.length(v) - 2)
+    ).otherwise(v)
+    return F.when(v == "", F.lit(None).cast("string")).otherwise(v)

@@ -272,3 +272,75 @@ class TestLinkHeaderBracketless:
         )
         want = sorted(parse_link_header(h, "", rel="describedby"))
         assert got == want == ["http://ex.org/a", "http://ex.org/meta"]
+
+
+class TestContentHeaderParsing:
+    """parse_content_header vs the reference's own test vectors
+    (/root/reference/tests/commons/web/test_parse_headers.py), plus
+    the column fast path against the python oracle."""
+
+    VECTORS = [
+        ("content-type", "application/json", "application/json", {}),
+        ("content-type", 'text/plain; charset="utf8"',
+         "text/plain", {"charset": "utf8"}),
+        ("content-type", 'main/subtype; key="value"; other="info"',
+         "main/subtype", {"key": "value", "other": "info"}),
+        ("content-disposition", 'Attachment; filename="name.extension"',
+         "attachment", {"filename": "name.extension"}),
+        ("content-type", "", None, None),
+        # malformed content-type → email-parser text/plain fallback
+        ("content-type", "invalidtype;extra", "text/plain", {"extra": ""}),
+    ]
+
+    def test_reference_vectors(self):
+        from py_sema_spark.functions.web import parse_content_header
+
+        for mode, content, main, params in self.VECTORS:
+            got = parse_content_header(content, mode)
+            assert got == (main, params), (mode, content, got)
+
+    def test_invalid_mode_raises(self):
+        import pytest as _pytest
+
+        from py_sema_spark.functions.web import parse_content_header
+
+        with _pytest.raises(ValueError, match="mode should be one of"):
+            parse_content_header("some-content", "invalid-mode")
+
+    def test_get_parsed_header_dict(self):
+        from py_sema_spark.functions.web import get_parsed_header
+
+        headers = {"content-type": "text/turtle; charset=utf-8"}
+        assert get_parsed_header(headers, "content-type") == (
+            "text/turtle", {"charset": "utf-8"}
+        )
+        assert get_parsed_header(headers, "content-disposition") == (
+            None, None
+        )
+
+    def test_column_forms_match_python_oracle(self, spark):
+        from pyspark.sql import functions as F
+
+        from py_sema_spark.functions.web import (
+            header_main_col,
+            header_param_col,
+            parse_content_header,
+        )
+
+        rows = [
+            ("text/html; charset=UTF-8",),
+            ('text/plain; charset="utf8"',),
+            ("application/ld+json",),
+            ('main/subtype; key="value"; other="info"',),
+            ("text/turtle; profile=https://p/x; charset=utf-8",),
+        ]
+        df = spark.createDataFrame(rows, "h string")
+        got = df.select(
+            F.col("h"),
+            header_main_col(F.col("h")).alias("main"),
+            header_param_col(F.col("h"), "charset").alias("charset"),
+        ).collect()
+        for r in got:
+            main, params = parse_content_header(r["h"])
+            assert r["main"] == main, r["h"]
+            assert r["charset"] == (params or {}).get("charset"), r["h"]
