@@ -5,7 +5,9 @@ local[N] vs local[4N] on identical input).
 Runs the flagship KG-construction pipeline (synthetic corpus →
 mapInPandas extraction → skolemize → dedup → count) in a fresh
 subprocess per parallelism level (clean JVM, no warm caches shared),
-prints a JSON summary, and rewrites BENCH/BASELINE.md.
+prints a JSON summary, and writes BENCH/scaling_last_run.md
+(BASELINE.md is hand-maintained — merge the numbers there manually
+so its analysis sections survive re-measurement).
 
 Usage: python tools/scaling_bench.py [n_pages]
 """
@@ -82,8 +84,8 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
-    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-parallelism scaling protocol
+    with open(f"{repo}/BENCH/scaling_last_run.md", "w") as f:
+        f.write(f"""# BENCH scaling re-measurement (merge into BASELINE.md by hand)
 
 North rule: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. Sandbox stand-in (no real cluster): the same flagship
@@ -126,7 +128,7 @@ Correctness companions (driver-recorded per round):
 
 Reproduce: `python tools/scaling_bench.py {n_pages} {lo["cpus"]} {hi["cpus"]}`.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_last_run.md")
 
 
 if __name__ == "__main__":
