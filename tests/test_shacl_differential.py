@@ -68,7 +68,8 @@ def make_shapes(rng):
             picks = rng.sample(
                 ["datatype", "max", "min", "in", "pattern", "len",
                  "kind", "class", "hasvalue", "langin", "uniquelang",
-                 "equals", "disjoint", "range", "or", "and", "not"],
+                 "equals", "disjoint", "range", "or", "and", "not",
+                 "xone"],
                 rng.randrange(1, 3),
             )
             if "datatype" in picks:
@@ -138,6 +139,8 @@ def make_shapes(rng):
                 ps.and_ = [branch() for _ in range(2)]
             if "not" in picks:
                 ps.not_ = branch()
+            if "xone" in picks:
+                ps.xone = [branch() for _ in range(rng.randrange(2, 4))]
             props.append(ps)
         shape = NodeShape(
             iri="urn:shape:%d" % k,
@@ -369,6 +372,13 @@ def naive_validate(graph, shapes):
                 for t in vals:
                     if not value_violates(ps.not_, t):
                         viol(t[0], "not", t[2])
+            if ps.xone:
+                for t in vals:
+                    n = sum(
+                        1 for b in ps.xone if not value_violates(b, t)
+                    )
+                    if n != 1:
+                        viol(t[0], "xone", t[2])
         if shape.closed:
             allowed = {p.path for p in shape.properties} | set(shape.ignored)
             for (s, p, o, *_rest) in ftrips:
