@@ -107,6 +107,10 @@ class NodeShape:
     deactivated: bool = False
     ignored: List[str] = field(default_factory=list)
     properties: List[PropertyShape] = field(default_factory=list)
+    # constraints declared directly on the node shape (no sh:path) —
+    # they apply to each FOCUS node itself (SHACL §2.1: node shapes
+    # carry constraint components too, e.g. ex:S sh:nodeKind sh:IRI)
+    node_constraints: Optional[PropertyShape] = None
 
 
 def path_str(ast: tuple) -> str:
@@ -178,6 +182,65 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             return ("seq", [parse_path(t) for t in rdf_list_terms(term)])
         raise ValueError(f"unrecognized SHACL path expression at {node}")
 
+    def read_constraints(node_id: str, ps: PropertyShape):
+        for attr, pred, conv in (
+            ("datatype", "datatype", lambda o: o.value),
+            ("max_count", "maxCount", lambda o: int(o.value)),
+            ("min_count", "minCount", lambda o: int(o.value)),
+            ("less_than", "lessThan", lambda o: o.value),
+            ("node", "node", lambda o: o.value),
+            ("min_inclusive", "minInclusive",
+             lambda o: float(o.value)),
+            ("max_inclusive", "maxInclusive",
+             lambda o: float(o.value)),
+            ("name", "name", lambda o: o.value),
+            ("pattern", "pattern", lambda o: o.value),
+            ("flags", "flags", lambda o: o.value),
+            ("min_length", "minLength", lambda o: int(o.value)),
+            ("max_length", "maxLength", lambda o: int(o.value)),
+            ("has_value", "hasValue", lambda o: o.value),
+            ("node_kind", "nodeKind", lambda o: o.value),
+            ("class_", "class", lambda o: o.value),
+            ("min_exclusive", "minExclusive",
+             lambda o: float(o.value)),
+            ("max_exclusive", "maxExclusive",
+             lambda o: float(o.value)),
+            ("equals", "equals", lambda o: o.value),
+            ("disjoint", "disjoint", lambda o: o.value),
+            ("unique_lang", "uniqueLang",
+             lambda o: o.value == "true"),
+        ):
+            o = one(node_id, SH + pred)
+            if o is not None:
+                setattr(ps, attr, conv(o))
+        ino = one(node_id, SH + "in")
+        if ino is not None:
+            ps.in_values = rdf_list(ino)
+        li = one(node_id, SH + "languageIn")
+        if li is not None:
+            ps.language_in = rdf_list(li)
+
+    def read_branch(node_id: str) -> PropertyShape:
+        # a logical branch is a constraint-only shape (no
+        # sh:path of its own — it applies to the parent's)
+        b = PropertyShape(path="")
+        read_constraints(node_id, b)
+        return b
+
+    def read_logicals(node_id: str, ps: PropertyShape):
+        oro = one(node_id, SH + "or")
+        if oro is not None:
+            ps.or_ = [read_branch(b) for b in rdf_list(oro)]
+        ando = one(node_id, SH + "and")
+        if ando is not None:
+            ps.and_ = [read_branch(b) for b in rdf_list(ando)]
+        noto = one(node_id, SH + "not")
+        if noto is not None:
+            ps.not_ = read_branch(noto.value)
+        xo = one(node_id, SH + "xone")
+        if xo is not None:
+            ps.xone = [read_branch(b) for b in rdf_list(xo)]
+
     shapes = []
     for s, props in spo.items():
         types = [o.value for o in props.get(RDF_TYPE, [])]
@@ -208,66 +271,9 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                     f"property shape {p} has no sh:path"
                 )
             path_ast = parse_path(path_t)
-
-            def read_constraints(node_id: str, ps: PropertyShape):
-                for attr, pred, conv in (
-                    ("datatype", "datatype", lambda o: o.value),
-                    ("max_count", "maxCount", lambda o: int(o.value)),
-                    ("min_count", "minCount", lambda o: int(o.value)),
-                    ("less_than", "lessThan", lambda o: o.value),
-                    ("node", "node", lambda o: o.value),
-                    ("min_inclusive", "minInclusive",
-                     lambda o: float(o.value)),
-                    ("max_inclusive", "maxInclusive",
-                     lambda o: float(o.value)),
-                    ("name", "name", lambda o: o.value),
-                    ("pattern", "pattern", lambda o: o.value),
-                    ("flags", "flags", lambda o: o.value),
-                    ("min_length", "minLength", lambda o: int(o.value)),
-                    ("max_length", "maxLength", lambda o: int(o.value)),
-                    ("has_value", "hasValue", lambda o: o.value),
-                    ("node_kind", "nodeKind", lambda o: o.value),
-                    ("class_", "class", lambda o: o.value),
-                    ("min_exclusive", "minExclusive",
-                     lambda o: float(o.value)),
-                    ("max_exclusive", "maxExclusive",
-                     lambda o: float(o.value)),
-                    ("equals", "equals", lambda o: o.value),
-                    ("disjoint", "disjoint", lambda o: o.value),
-                    ("unique_lang", "uniqueLang",
-                     lambda o: o.value == "true"),
-                ):
-                    o = one(node_id, SH + pred)
-                    if o is not None:
-                        setattr(ps, attr, conv(o))
-                ino = one(node_id, SH + "in")
-                if ino is not None:
-                    ps.in_values = rdf_list(ino)
-                li = one(node_id, SH + "languageIn")
-                if li is not None:
-                    ps.language_in = rdf_list(li)
-
-            def read_branch(node_id: str) -> PropertyShape:
-                # a logical branch is a constraint-only shape (no
-                # sh:path of its own — it applies to the parent's)
-                b = PropertyShape(path="")
-                read_constraints(node_id, b)
-                return b
-
             ps = PropertyShape(path=path_str(path_ast), path_ast=path_ast)
             read_constraints(p, ps)
-            oro = one(p, SH + "or")
-            if oro is not None:
-                ps.or_ = [read_branch(b) for b in rdf_list(oro)]
-            ando = one(p, SH + "and")
-            if ando is not None:
-                ps.and_ = [read_branch(b) for b in rdf_list(ando)]
-            noto = one(p, SH + "not")
-            if noto is not None:
-                ps.not_ = read_branch(noto.value)
-            xo = one(p, SH + "xone")
-            if xo is not None:
-                ps.xone = [read_branch(b) for b in rdf_list(xo)]
+            read_logicals(p, ps)
             qvs = one(p, SH + "qualifiedValueShape")
             if qvs is not None:
                 ps.qualified = read_branch(qvs.value)
@@ -276,6 +282,35 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 ps.qualified_min = int(qmin.value) if qmin else None
                 ps.qualified_max = int(qmax.value) if qmax else None
             shape.properties.append(ps)
+
+        # constraints declared on the node shape itself (§2.1) apply to
+        # every focus node: a pseudo property shape with the sentinel
+        # ("focus",) path whose value set is {focus}. sh:hasValue and
+        # sh:node keep their §4 meaning (focus must BE the value /
+        # conform to the child shape); path-dependent components are
+        # ill-formed without a path and fail loudly.
+        nc = PropertyShape(path=None, path_ast=("focus",))
+        read_constraints(s, nc)
+        read_logicals(s, nc)
+        illformed = [
+            n
+            for n, v in (
+                ("minCount", nc.min_count), ("maxCount", nc.max_count),
+                ("lessThan", nc.less_than), ("equals", nc.equals),
+                ("disjoint", nc.disjoint),
+                ("uniqueLang", nc.unique_lang or None),
+            )
+            if v is not None
+        ]
+        if illformed:
+            raise ValueError(
+                f"sh:{illformed[0]} on a node shape is ill-formed "
+                "(property-shape-only component; it needs an sh:path)"
+            )
+        nc.name = None  # sh:name is display metadata, not a constraint
+        if nc != PropertyShape(path=None, path_ast=("focus",)):
+            shape.node_constraints = nc
+            shape.properties.append(nc)
         shapes.append(shape)
     return shapes
 
@@ -598,7 +633,15 @@ def validate(
         shape_triples = triples.join(focus_s, "s", "left_semi")
 
         for ps in shape.properties:
-            if ps.path_ast is not None and ps.path_ast[0] != "pred":
+            if ps.path_ast is not None and ps.path_ast[0] == "focus":
+                # node-shape-level constraints: the value set of each
+                # focus node is the node itself (term kind derived from
+                # the bnode prefix — a literal focus, possible only via
+                # sh:targetObjectsOf, classifies as iri)
+                vals = _as_value(
+                    focus_s.select("s", F.col("s").alias("node")), "node"
+                )
+            elif ps.path_ast is not None and ps.path_ast[0] != "pred":
                 # compound path: resolve the (focus → value) relation,
                 # restricted to this shape's focus set; zero-capable
                 # paths add each focus node as its own value (§2.3.1)

@@ -326,3 +326,101 @@ ex:S a sh:NodeShape ;
   sh:targetNode ex:x ;
   sh:property [ sh:path [ ex:notAPath ex:p ] ; sh:minCount 1 ] .
 """)
+
+
+class TestNodeShapeConstraints:
+    """Constraints declared directly on the node shape apply to each
+    focus node itself (SHACL §2.1; pyshacl honors e.g. ex:S
+    sh:nodeKind sh:IRI with no sh:path)."""
+
+    def test_node_level_pattern(self, spark):
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonIri a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:pattern "/(alice|bob|carol)$" .
+""")
+        viols = validate(triples_df(spark), shapes).collect()
+        assert [(v["focus"], v["constraint"], v["path"]) for v in viols] \
+            == [(EX + "dave", "pattern", None)]
+
+    def test_node_level_class(self, spark):
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:MembersArePeople a sh:NodeShape ;
+  sh:targetObjectsOf ex:member ;
+  sh:class ex:Person .
+""")
+        viols = validate(triples_df(spark), shapes).collect()
+        # acme's members: alice, bob (Persons) and the literal
+        assert {(v["focus"], v["constraint"]) for v in viols} == {
+            ("not-a-person", "class")
+        }
+
+    def test_node_level_node_kind_and_logicals(self, spark):
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetNode ex:alice, ex:t1 ;
+  sh:nodeKind sh:IRI ;
+  sh:not [ sh:pattern "t1$" ] .
+""")
+        viols = validate(triples_df(spark), shapes).collect()
+        assert [(v["focus"], v["constraint"]) for v in viols] == [
+            (EX + "t1", "not")
+        ]
+
+    def test_node_level_has_value_means_focus_equals(self, spark):
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetSubjectsOf ex:broader ;
+  sh:hasValue ex:t1 .
+""")
+        viols = validate(triples_df(spark), shapes).collect()
+        assert {v["focus"] for v in viols} == {EX + "t2"}
+        assert all(v["constraint"] == "hasValue" for v in viols)
+
+    def test_node_level_sh_node_recurses(self, spark):
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetNode ex:alice, ex:dave ;
+  sh:node ex:HasName .
+ex:HasName a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+        viols = validate(triples_df(spark), shapes).collect()
+        by_constraint = {}
+        for v in viols:
+            by_constraint.setdefault(v["constraint"], set()).add(v["focus"])
+        assert by_constraint["node"] == {EX + "dave"}
+
+    def test_property_only_component_on_node_shape_rejected(self):
+        with pytest.raises(ValueError, match="ill-formed"):
+            parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:minCount 1 .
+""")
+
+    def test_plain_shapes_unchanged(self, spark):
+        # a shape with ONLY sh:property members must not grow a
+        # node-constraint pseudo property
+        shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+        (shape,) = shapes
+        assert shape.node_constraints is None
+        assert len(shape.properties) == 1
