@@ -75,6 +75,8 @@ class PropertyShape:
     class_: Optional[str] = None
     min_exclusive: Optional[float] = None
     max_exclusive: Optional[float] = None
+    message: Optional[str] = None  # sh:message — overrides the
+    # engine's default violation message for this shape's results
     equals: Optional[str] = None
     disjoint: Optional[str] = None
     language_in: Optional[List[str]] = None
@@ -194,6 +196,7 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             ("max_inclusive", "maxInclusive",
              lambda o: float(o.value)),
             ("name", "name", lambda o: o.value),
+            ("message", "message", lambda o: o.value),
             ("pattern", "pattern", lambda o: o.value),
             ("flags", "flags", lambda o: o.value),
             ("min_length", "minLength", lambda o: int(o.value)),
@@ -658,12 +661,21 @@ def validate(
             else:
                 vals = shape_triples.where(F.col("p") == ps.path)
 
+            if ps.message:
+                # sh:message: shape-author text replaces the engine's
+                # default for every result this property shape produces
+                def viol_fn(df, sh_, p_, c_, _m, value=None,
+                            _msg=ps.message):
+                    return _viol(df, sh_, p_, c_, _msg, value)
+            else:
+                viol_fn = _viol
+
             if ps.datatype:
                 bad = vals.where(
                     (F.col("o_kind") != "literal")
                     | (_effective_datatype() != ps.datatype)
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "datatype",
                     f"value is not a literal of datatype <{ps.datatype}>",
                 ))
@@ -673,7 +685,7 @@ def validate(
                     vals.groupBy("s").agg(F.count("*").alias("n"))
                     .where(F.col("n") > ps.max_count)
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     over, shape.iri, ps.path, "maxCount",
                     f"more than {ps.max_count} values",
                     value=F.col("n"),
@@ -688,7 +700,7 @@ def validate(
                     .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
                     .where(F.col("n") < ps.min_count)
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     counts, shape.iri, ps.path, "minCount",
                     f"fewer than {ps.min_count} values",
                     value=F.col("n"),
@@ -696,7 +708,7 @@ def validate(
 
             if ps.in_values is not None:
                 bad = vals.where(~F.col("o").isin(ps.in_values))
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "in",
                     f"value not in {ps.in_values}",
                 ))
@@ -720,7 +732,7 @@ def validate(
                     .when(both_date, F.to_date("o") < F.to_date("o2"))
                     .otherwise(F.col("o") < F.col("o2"))
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     pairs.where(~ok), shape.iri, ps.path, "lessThan",
                     f"value not less than <{ps.less_than}> value",
                 ))
@@ -754,7 +766,7 @@ def validate(
                     if ps.max_inclusive is not None
                     else ps.max_exclusive
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(cond), shape.iri, ps.path, "range",
                     f"value outside [{lo}, {hi}]",
                 ))
@@ -767,7 +779,7 @@ def validate(
                         [t.lower() for t in ps.language_in]
                     )
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "languageIn",
                     f"language tag not in {ps.language_in}",
                 ))
@@ -779,7 +791,7 @@ def validate(
                     .agg(F.count("*").alias("n"))
                     .where(F.col("n") > 1)
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     dup, shape.iri, ps.path, "uniqueLang",
                     "language tag used more than once",
                     value=F.col("lang"),
@@ -796,7 +808,7 @@ def validate(
                 bad = mine.join(other, ["s", "o"], "left_anti").unionByName(
                     other.join(mine, ["s", "o"], "left_anti")
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "equals",
                     f"value sets of <{ps.path}> and <{ps.equals}> differ",
                 ))
@@ -808,7 +820,7 @@ def validate(
                 bad = vals.select("s", "o").join(
                     other, ["s", "o"], "left_semi"
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "disjoint",
                     f"value shared with <{ps.disjoint}>",
                 ))
@@ -820,7 +832,7 @@ def validate(
                 bad = vals.where(
                     (F.col("o_kind") == "bnode") | ~F.col("o").rlike(rx)
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "pattern",
                     f"value does not match pattern /{ps.pattern}/",
                 ))
@@ -832,7 +844,7 @@ def validate(
                     cond = cond | (ln < ps.min_length)
                 if ps.max_length is not None:
                     cond = cond | (ln > ps.max_length)
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(cond), shape.iri, ps.path, "length",
                     f"length outside [{ps.min_length}, {ps.max_length}]",
                 ))
@@ -842,7 +854,7 @@ def validate(
                 # slice holding the required value (broadcast focus set)
                 have = vals.where(F.col("o") == ps.has_value).select("s")
                 missing = focus_s.join(have, "s", "left_anti")
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     missing, shape.iri, ps.path, "hasValue",
                     f"required value {ps.has_value} absent",
                     value=F.lit(None),
@@ -859,7 +871,7 @@ def validate(
                 }.get(ps.node_kind)
                 if allowed is not None:
                     bad = vals.where(~F.col("o_kind").isin(allowed))
-                    out = out.unionByName(_viol(
+                    out = out.unionByName(viol_fn(
                         bad, shape.iri, ps.path, "nodeKind",
                         f"value is not a {ps.node_kind.rsplit('#', 1)[-1]}",
                     ))
@@ -878,7 +890,7 @@ def validate(
                 bad = vals.where(F.col("o_kind") != "literal").join(
                     typed, "o", "left_anti"
                 ).unionByName(vals.where(F.col("o_kind") == "literal"))
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     bad, shape.iri, ps.path, "class",
                     f"value is not an instance of <{ps.class_}>",
                 ))
@@ -887,7 +899,7 @@ def validate(
                 cond = F.lit(True)
                 for b in ps.or_:
                     cond = cond & _value_cond(b)  # violates EVERY branch
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(cond), shape.iri, ps.path, "or",
                     "value conforms to no sh:or branch",
                 ))
@@ -896,13 +908,13 @@ def validate(
                 cond = F.lit(False)
                 for b in ps.and_:
                     cond = cond | _value_cond(b)  # violates ANY branch
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(cond), shape.iri, ps.path, "and",
                     "value fails an sh:and branch",
                 ))
 
             if ps.not_:
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(~_value_cond(ps.not_)), shape.iri, ps.path,
                     "not", "value conforms to the negated shape",
                 ))
@@ -916,7 +928,7 @@ def validate(
                     ),
                     F.lit(0),
                 )
-                out = out.unionByName(_viol(
+                out = out.unionByName(viol_fn(
                     vals.where(n_conform != 1), shape.iri, ps.path,
                     "xone", "value conforms to != 1 sh:xone branch",
                 ))
@@ -933,14 +945,14 @@ def validate(
                         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
                         .where(F.col("n") < ps.qualified_min)
                     )
-                    out = out.unionByName(_viol(
+                    out = out.unionByName(viol_fn(
                         under, shape.iri, ps.path, "qualifiedMinCount",
                         f"fewer than {ps.qualified_min} conforming values",
                         value=F.col("n"),
                     ))
                 if ps.qualified_max is not None:
                     over = counts.where(F.col("n") > ps.qualified_max)
-                    out = out.unionByName(_viol(
+                    out = out.unionByName(viol_fn(
                         over, shape.iri, ps.path, "qualifiedMaxCount",
                         f"more than {ps.qualified_max} conforming values",
                         value=F.col("n"),
@@ -963,7 +975,7 @@ def validate(
                         child_viols.select(F.col("focus").alias("o")).distinct(),
                         "o", "left_semi",
                     )
-                    out = out.unionByName(_viol(
+                    out = out.unionByName(viol_fn(
                         bad_vals, shape.iri, ps.path, "node",
                         f"value does not conform to <{ps.node}>",
                     ))

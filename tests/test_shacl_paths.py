@@ -424,3 +424,28 @@ ex:S a sh:NodeShape ;
         (shape,) = shapes
         assert shape.node_constraints is None
         assert len(shape.properties) == 1
+
+
+def test_sh_message_overrides_default(spark):
+    shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                sh:message "every person needs a name" ] .
+""")
+    viols = validate(triples_df(spark), shapes).collect()
+    assert [(v["focus"], v["message"]) for v in viols] == [
+        (EX + "dave", "every person needs a name")
+    ]
+    # no sh:message → engine default stays
+    plain = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    (v,) = validate(triples_df(spark), plain).collect()
+    assert v["message"] == "fewer than 1 values"
