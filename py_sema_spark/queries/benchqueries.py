@@ -3135,7 +3135,8 @@ SELECT 'urn:cust:' || c_custkey AS focus,
        '{OWL}deprecated' AS path,
        'in' AS constraint,
        'true' AS value,
-       'value not in [''false'']' AS message
+       'value not in [''false'']' AS message,
+       'http://www.w3.org/ns/shacl#Violation' AS severity
 FROM customer WHERE c_custkey % 7 = 0
 """,
 )
@@ -3182,7 +3183,8 @@ SELECT 'urn:cust:' || c_custkey AS focus,
        '{SKOS}broader/{SKOS}prefLabel' AS path,
        'pattern' AS constraint,
        n_name AS value,
-       'value does not match pattern /^[A-J]/' AS message
+       'value does not match pattern /^[A-J]/' AS message,
+       'http://www.w3.org/ns/shacl#Violation' AS severity
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 WHERE NOT regexp_matches(n_name, '^[A-J]')
 UNION ALL
@@ -3191,7 +3193,8 @@ SELECT 'urn:cust:' || c_custkey,
        '{SKOS}broader+',
        'pattern',
        'urn:world:0',
-       'value does not match pattern /^urn:(nation|region):/'
+       'value does not match pattern /^urn:(nation|region):/',
+       'http://www.w3.org/ns/shacl#Violation'
 FROM customer
 UNION ALL
 SELECT 'urn:cust:' || c_custkey,
@@ -3199,7 +3202,8 @@ SELECT 'urn:cust:' || c_custkey,
        '^{SKOS}member',
        'qualifiedMinCount',
        '1',
-       'fewer than 2 conforming values'
+       'fewer than 2 conforming values',
+       'http://www.w3.org/ns/shacl#Violation'
 FROM customer
 """,
 )

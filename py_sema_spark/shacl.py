@@ -50,8 +50,12 @@ NUMERIC_DATATYPES = {
 
 VIOLATION_SCHEMA = (
     "focus string, shape string, path string, constraint string, "
-    "value string, message string"
+    "value string, message string, severity string"
 )
+
+SEVERITY_VIOLATION = SH + "Violation"
+SEVERITY_WARNING = SH + "Warning"
+SEVERITY_INFO = SH + "Info"
 
 
 @dataclass
@@ -77,6 +81,8 @@ class PropertyShape:
     max_exclusive: Optional[float] = None
     message: Optional[str] = None  # sh:message — overrides the
     # engine's default violation message for this shape's results
+    severity: Optional[str] = None  # sh:severity IRI; results default
+    # to sh:Violation and only that severity breaks conformance (§3.5)
     equals: Optional[str] = None
     disjoint: Optional[str] = None
     language_in: Optional[List[str]] = None
@@ -108,6 +114,8 @@ class NodeShape:
     closed: bool = False
     deactivated: bool = False
     ignored: List[str] = field(default_factory=list)
+    severity: Optional[str] = None  # sh:severity default for this
+    # shape's own results (closed / node-level constraints)
     properties: List[PropertyShape] = field(default_factory=list)
     # constraints declared directly on the node shape (no sh:path) —
     # they apply to each FOCUS node itself (SHACL §2.1: node shapes
@@ -197,6 +205,7 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
              lambda o: float(o.value)),
             ("name", "name", lambda o: o.value),
             ("message", "message", lambda o: o.value),
+            ("severity", "severity", lambda o: o.value),
             ("pattern", "pattern", lambda o: o.value),
             ("flags", "flags", lambda o: o.value),
             ("min_length", "minLength", lambda o: int(o.value)),
@@ -266,6 +275,8 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             deactivated=bool(deact and deact.value == "true"),
             ignored=rdf_list(one(s, SH + "ignoredProperties")),
         )
+        sev = one(s, SH + "severity")
+        shape.severity = sev.value if sev else None
         for pnode in props.get(SH + "property", []):
             p = pnode.value
             path_t = one(p, SH + "path")
@@ -311,7 +322,11 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
                 "(property-shape-only component; it needs an sh:path)"
             )
         nc.name = None  # sh:name is display metadata, not a constraint
-        if nc != PropertyShape(path=None, path_ast=("focus",)):
+        # message/severity alone declare nothing to check — compare
+        # against a baseline carrying them so only real constraints
+        # create the pseudo property
+        if nc != PropertyShape(path=None, path_ast=("focus",),
+                               message=nc.message, severity=nc.severity):
             shape.node_constraints = nc
             shape.properties.append(nc)
         shapes.append(shape)
@@ -319,7 +334,7 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
 
 
 def _viol(df: DataFrame, shape: str, path: str, constraint: str, msg: str,
-          value=None) -> DataFrame:
+          value=None, severity: str = SEVERITY_VIOLATION) -> DataFrame:
     if value is None:
         value = F.col("o")
     return df.select(
@@ -329,6 +344,7 @@ def _viol(df: DataFrame, shape: str, path: str, constraint: str, msg: str,
         F.lit(constraint).alias("constraint"),
         value.cast("string").alias("value"),
         F.lit(msg).alias("message"),
+        F.lit(severity).alias("severity"),
     )
 
 
@@ -661,14 +677,18 @@ def validate(
             else:
                 vals = shape_triples.where(F.col("p") == ps.path)
 
-            if ps.message:
-                # sh:message: shape-author text replaces the engine's
-                # default for every result this property shape produces
-                def viol_fn(df, sh_, p_, c_, _m, value=None,
-                            _msg=ps.message):
-                    return _viol(df, sh_, p_, c_, _msg, value)
-            else:
-                viol_fn = _viol
+            # sh:message replaces the engine's default text; severity
+            # comes from the property shape, else the node shape, else
+            # sh:Violation (§3.5)
+            def viol_fn(df, sh_, p_, c_, _m, value=None,
+                        _msg=ps.message,
+                        _sev=(ps.severity or shape.severity
+                              or SEVERITY_VIOLATION)):
+                return _viol(
+                    df, sh_, p_, c_,
+                    _msg if _msg is not None else _m,
+                    value, severity=_sev,
+                )
 
             if ps.datatype:
                 bad = vals.where(
@@ -1004,13 +1024,27 @@ def validate(
                     F.lit("predicate not allowed on closed shape").alias(
                         "message"
                     ),
+                    F.lit(shape.severity or SEVERITY_VIOLATION).alias(
+                        "severity"
+                    ),
                 )
             )
     return out
 
 
-def conforms(triples: DataFrame, shapes: List[NodeShape]) -> bool:
-    return validate(triples, shapes).isEmpty()
+def conforms(
+    triples: DataFrame,
+    shapes: List[NodeShape],
+    allow_warnings: bool = False,
+) -> bool:
+    """Spec default (§3.4.1): ANY validation result, whatever its
+    severity, makes the report non-conforming — pyshacl's default too.
+    ``allow_warnings=True`` mirrors pyshacl's knob of the same name:
+    only sh:Violation results then break conformance."""
+    report = validate(triples, shapes)
+    if allow_warnings:
+        report = report.where(F.col("severity") == SEVERITY_VIOLATION)
+    return report.isEmpty()
 
 
 def assert_conforms(triples: DataFrame, shapes: List[NodeShape]) -> None:

@@ -449,3 +449,50 @@ ex:S a sh:NodeShape ;
 """)
     (v,) = validate(triples_df(spark), plain).collect()
     assert v["message"] == "fewer than 1 values"
+
+
+def test_sh_severity(spark):
+    from py_sema_spark.shacl import SEVERITY_VIOLATION, conforms
+
+    warn_shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                sh:severity sh:Warning ] .
+""")
+    df = triples_df(spark)
+    viols = validate(df, warn_shapes).collect()
+    assert [(v["focus"], v["severity"]) for v in viols] == [
+        (EX + "dave", "http://www.w3.org/ns/shacl#Warning")
+    ]
+    # spec default: any result is non-conforming; pyshacl's
+    # allow_warnings knob relaxes to Violation-only
+    assert conforms(df, warn_shapes) is False
+    assert conforms(df, warn_shapes, allow_warnings=True) is True
+
+    # default severity is sh:Violation; node-shape severity applies to
+    # its own results (closed)
+    plain = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+ex:C a sh:NodeShape ;
+  sh:targetNode ex:t1 ;
+  sh:closed true ;
+  sh:severity sh:Info ;
+  sh:ignoredProperties ( rdf:type ) .
+""")
+    rows = validate(df, plain).collect()
+    assert rows and all(
+        v["severity"] == "http://www.w3.org/ns/shacl#Info" for v in rows
+    )
+    defaults = validate(df, parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")).collect()
+    assert all(v["severity"] == SEVERITY_VIOLATION for v in defaults)
