@@ -558,6 +558,21 @@ def _path_values(triples: DataFrame, ast: tuple):
     raise ValueError(f"unknown path AST node: {ast!r}")
 
 
+def _norm_focus(df: DataFrame) -> DataFrame:
+    """Accept focus frames with or without term columns: a bare
+    ``focus`` column (external focus_override callers) gets its kind
+    derived from the bnode prefix; internal callers pass the full
+    term shape through."""
+    if "f_kind" in df.columns:
+        return df
+    return df.select(
+        "focus",
+        _node_kind(F.col("focus")).alias("f_kind"),
+        F.lit(None).cast("string").alias("f_datatype"),
+        F.lit(None).cast("string").alias("f_lang"),
+    )
+
+
 def _conforming_values(triples: DataFrame, vals: DataFrame,
                        branch: PropertyShape) -> DataFrame:
     """Rows of ``vals`` whose value CONFORMS to a qualified-value-shape
@@ -607,36 +622,52 @@ def validate(
         if shape.deactivated:
             continue  # sh:deactivated true: shape contributes nothing
         if focus_override and shape.iri in focus_override:
-            focus = focus_override[shape.iri]
+            focus = _norm_focus(focus_override[shape.iri])
         else:
             # union of every declared target (§2.1.3): class instances,
             # explicit nodes, subjects-of, objects-of — each a pushed-
-            # down predicate slice
+            # down predicate slice. The frame carries full term columns
+            # so a LITERAL focus node (possible via targetObjectsOf —
+            # "every object of ex:age …") keeps its kind/datatype/lang
+            # for node-level and zero-length-path checks.
+            def _subject_focus(df, col):
+                return df.select(
+                    F.col(col).alias("focus"),
+                    _node_kind(F.col(col)).alias("f_kind"),
+                    F.lit(None).cast("string").alias("f_datatype"),
+                    F.lit(None).cast("string").alias("f_lang"),
+                )
+
             parts = []
             if shape.target_class:
-                parts.append(
+                parts.append(_subject_focus(
                     triples.where(
                         (F.col("p") == RDF_TYPE)
                         & (F.col("o") == shape.target_class)
-                    ).select(F.col("s").alias("focus"))
-                )
+                    ), "s",
+                ))
             if shape.target_nodes:
-                parts.append(
+                parts.append(_subject_focus(
                     spark.createDataFrame(
                         [(n,) for n in shape.target_nodes], "focus string"
-                    )
-                )
+                    ), "focus",
+                ))
             if shape.target_subjects_of:
-                parts.append(
+                parts.append(_subject_focus(
                     triples.where(
                         F.col("p") == shape.target_subjects_of
-                    ).select(F.col("s").alias("focus"))
-                )
+                    ), "s",
+                ))
             if shape.target_objects_of:
                 parts.append(
                     triples.where(
                         F.col("p") == shape.target_objects_of
-                    ).select(F.col("o").alias("focus"))
+                    ).select(
+                        F.col("o").alias("focus"),
+                        F.col("o_kind").alias("f_kind"),
+                        F.col("o_datatype").alias("f_datatype"),
+                        F.col("o_lang").alias("f_lang"),
+                    )
                 )
             if not parts:
                 continue  # shape only reachable via sh:node
@@ -646,6 +677,15 @@ def validate(
             focus = focus.distinct()
 
         focus_s = focus.select(F.col("focus").alias("s"))
+        # focus nodes AS value terms (node-level constraints and the
+        # zero-length part of sh:zeroOr…Path)
+        focus_vals = focus.select(
+            F.col("focus").alias("s"),
+            F.col("focus").alias("o"),
+            F.col("f_kind").alias("o_kind"),
+            F.col("f_datatype").alias("o_datatype"),
+            F.col("f_lang").alias("o_lang"),
+        )
         # no broadcast hint: a targetClass focus set is DATA-sized (every
         # instance of the class) — let the optimizer pick; a forced
         # broadcast caps out at the 8 GB table limit on a real corpus
@@ -654,12 +694,9 @@ def validate(
         for ps in shape.properties:
             if ps.path_ast is not None and ps.path_ast[0] == "focus":
                 # node-shape-level constraints: the value set of each
-                # focus node is the node itself (term kind derived from
-                # the bnode prefix — a literal focus, possible only via
-                # sh:targetObjectsOf, classifies as iri)
-                vals = _as_value(
-                    focus_s.select("s", F.col("s").alias("node")), "node"
-                )
+                # focus node is the node itself, with its real term
+                # metadata (a literal focus keeps kind/datatype/lang)
+                vals = focus_vals
             elif ps.path_ast is not None and ps.path_ast[0] != "pred":
                 # compound path: resolve the (focus → value) relation,
                 # restricted to this shape's focus set; zero-capable
@@ -667,12 +704,7 @@ def validate(
                 pairs, inc0 = _path_values(triples, ps.path_ast)
                 vals = pairs.join(focus_s, "s", "left_semi")
                 if inc0:
-                    vals = vals.unionByName(
-                        _as_value(
-                            focus_s.select("s", F.col("s").alias("node")),
-                            "node",
-                        )
-                    )
+                    vals = vals.unionByName(focus_vals)
                 vals = vals.distinct()
             else:
                 vals = shape_triples.where(F.col("p") == ps.path)
@@ -982,7 +1014,10 @@ def validate(
                 child = by_iri.get(ps.node)
                 if child is not None and child.iri not in _visiting:
                     child_focus = vals.select(
-                        F.col("o").alias("focus")
+                        F.col("o").alias("focus"),
+                        F.col("o_kind").alias("f_kind"),
+                        F.col("o_datatype").alias("f_datatype"),
+                        F.col("o_lang").alias("f_lang"),
                     ).distinct()
                     child_viols = validate(
                         triples, [child],

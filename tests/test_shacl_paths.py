@@ -496,3 +496,29 @@ ex:S a sh:NodeShape ;
   sh:property [ sh:path ex:name ; sh:minCount 1 ] .
 """)).collect()
     assert all(v["severity"] == SEVERITY_VIOLATION for v in defaults)
+
+
+def test_literal_focus_keeps_term_metadata(spark):
+    """targetObjectsOf can make LITERALS the focus nodes; node-level
+    datatype checks must see their real datatype (the pyshacl-style
+    'every object of ex:age is an xsd:integer' idiom)."""
+    data = """
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:age "30"^^xsd:integer .
+ex:b ex:age "thirty" .
+ex:c ex:age ex:unknown .
+"""
+    shapes = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/> .
+ex:AgeValues a sh:NodeShape ;
+  sh:targetObjectsOf ex:age ;
+  sh:datatype xsd:integer .
+""")
+    viols = validate(triples_df(spark, data), shapes).collect()
+    assert {(v["focus"], v["constraint"]) for v in viols} == {
+        ("thirty", "datatype"),
+        (EX + "unknown", "datatype"),
+    }
