@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "domain_stats",
     "url_dedup",
+    "robots_filter",
     "incremental_dedup",
     "incremental_minhash",
     "apply_changes",

@@ -1206,6 +1206,57 @@ def _url_dedup(spark, sf):
     return url_dedup(messy).select("doc_id", "url_canon")
 
 
+def _robots_filter(spark, sf):
+    """Crawl-compliance pass: per-domain robots.txt (group structure,
+    comments, wildcard Allow, $-anchored and prefix Disallow, one
+    domain-varying rule) parsed distributed, then longest-match
+    filtering of the page set. Oracle: an INDEPENDENT closed form of
+    the expected decisions (no parser mirror — the CASE ladder derives
+    each page's outcome straight from the RFC semantics)."""
+    from ..operators.robots import parse_robots, robots_filter
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.lower(F.col("source")),
+            F.lit(".example.org/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+    )
+    robots = docs.select(F.lower(F.col("source")).alias("src")).distinct().select(
+        F.concat(F.col("src"), F.lit(".example.org")).alias("domain"),
+        F.concat(
+            F.lit(
+                "# crawl policy\nUser-agent: evilbot\nDisallow: /\n\n"
+                "User-agent: *\nAllow: /p/1*\nDisallow: /p/1\n"
+                "Disallow: /p/2$\nDisallow: /p/3\nDisallow: /p/4"
+            ),
+            (F.length("src") % 5).cast("string"),
+            F.lit("\nDisallow:\n"),
+        ).alias("robots_txt"),
+    )
+    return robots_filter(pages, parse_robots(robots))
+
+
+_register(
+    "robots_filter",
+    _robots_filter,
+    """
+SELECT doc_id,
+  'http://' || lower(source) || '.example.org/p/'
+    || CAST(doc_id % 50 AS VARCHAR) AS url,
+  CASE
+    WHEN CAST(doc_id % 50 AS VARCHAR) LIKE '1%' THEN TRUE
+    WHEN doc_id % 50 = 2 THEN FALSE
+    WHEN CAST(doc_id % 50 AS VARCHAR) LIKE '3%' THEN FALSE
+    WHEN doc_id % 50 = 40 + (length(lower(source)) % 5) THEN FALSE
+    ELSE TRUE
+  END AS allowed
+FROM documents
+""",
+)
+
 _register(
     "url_dedup",
     _url_dedup,
