@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "domain_stats",
     "url_dedup",
     "robots_filter",
+    "sitemap_frontier",
     "incremental_dedup",
     "incremental_minhash",
     "apply_changes",

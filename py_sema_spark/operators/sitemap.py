@@ -1,0 +1,102 @@
+"""Sitemap parsing (sitemaps.org XML) as column algebra.
+
+The crawl-frontier side of a web-scale pipeline: given fetched
+``sitemap.xml`` bodies, extract the advertised URL set with
+last-modification stamps — the input to freshness-aware recrawl
+scheduling (the engine's CDC/mtime gates consume exactly this shape).
+Sitemaps are flat, schema-fixed XML, so extraction compiles to
+``regexp_extract_all`` over the raw body — whole-stage codegen, no
+XML library, no per-row Python — and a ``<sitemapindex>`` document
+expands one level by joining its child ``<loc>`` URLs back against
+the fetched-bodies table.
+
+Reference scope note: the reference discovers documents per-URL
+(signposting/conneg, no sitemap support); this operator belongs to
+the large-scale-pipeline surface the PySpark engine adds alongside
+robots.txt compliance (`operators/robots.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URL_BLOCK = r"<url>(.*?)</url>"
+_SITEMAP_BLOCK = r"<sitemap>(.*?)</sitemap>"
+_LOC = r"<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def _entries(fetched: DataFrame, block_rx: str) -> DataFrame:
+    # strip XML comments first so commented-out entries don't match
+    body = F.regexp_replace(F.col("body"), r"(?s)<!--.*?-->", "")
+    blocks = fetched.select(
+        "sitemap_url",
+        F.explode(
+            F.regexp_extract_all(
+                body, F.lit(f"(?s){block_rx}"), F.lit(1)
+            )
+        ).alias("_e"),
+    )
+    return blocks.select(
+        "sitemap_url",
+        F.regexp_extract("_e", _LOC, 1).alias("loc"),
+        F.nullif(
+            F.regexp_extract("_e", _LASTMOD, 1), F.lit("")
+        ).alias("lastmod"),
+    ).where(F.col("loc") != "")
+
+
+def parse_sitemaps(fetched: DataFrame) -> DataFrame:
+    """``(sitemap_url, body)`` → ``(sitemap_url, url, lastmod)``:
+    one row per ``<url>`` entry of every ``<urlset>`` body (lastmod
+    NULL when absent; a ``<sitemapindex>`` body has no ``<url>``
+    blocks and yields nothing — discover its children with
+    :func:`sitemap_children`). One regexp pass over the body column,
+    whole-stage codegen; the only exchange is the final distinct."""
+    return _entries(fetched, _URL_BLOCK).select(
+        "sitemap_url",
+        F.col("loc").alias("url"),
+        F.to_timestamp("lastmod").alias("lastmod"),
+    ).distinct()
+
+
+def sitemap_children(fetched: DataFrame) -> DataFrame:
+    """``<sitemapindex>`` expansion, frontier-shaped:
+    ``(index_url, child_url, fetched)`` — one row per ``<sitemap>``
+    child reference, flagged by whether the child's body is already in
+    ``fetched``. Unfetched children are the next crawl wave; fetched
+    ones are parsed by :func:`parse_sitemaps` directly."""
+    refs = _entries(fetched, _SITEMAP_BLOCK).select(
+        F.col("sitemap_url").alias("index_url"),
+        F.col("loc").alias("child_url"),
+    ).distinct()
+    have = fetched.select(
+        F.col("sitemap_url").alias("child_url")
+    ).distinct().withColumn("fetched", F.lit(True))
+    return refs.join(have, "child_url", "left").select(
+        "index_url",
+        "child_url",
+        F.coalesce("fetched", F.lit(False)).alias("fetched"),
+    )
+
+
+def sitemap_frontier(
+    parsed: DataFrame, known: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Freshness diff against an already-crawled table
+    ``known(url, crawled_ts)``: rows whose sitemap ``lastmod`` is
+    newer than the stored crawl (or never crawled) — the recrawl
+    frontier. NULL lastmod on a known url is treated as unchanged
+    (sitemaps.org: lastmod is advisory; absent means no claim)."""
+    k = known.select(
+        F.col(url_col).alias("url"), F.col("crawled_ts")
+    )
+    j = parsed.join(k, "url", "left")
+    return j.where(
+        F.col("crawled_ts").isNull()
+        | (
+            F.col("lastmod").isNotNull()
+            & (F.col("lastmod") > F.col("crawled_ts"))
+        )
+    ).select(parsed["*"])

@@ -1257,6 +1257,66 @@ FROM documents
 """,
 )
 
+def _sitemap_frontier(spark, sf):
+    """Sitemap chain end-to-end: per-domain urlset XML synthesized by
+    string-agg, parsed back by the regexp extractor, freshness-diffed
+    against a crawled table. Oracle: an independent closed form of the
+    recrawl decision (never-crawled, or lastmod after the crawl)."""
+    from ..operators.sitemap import parse_sitemaps, sitemap_frontier
+
+    docs = _t(spark, sf, "documents")
+    src = F.lower(F.col("source"))
+    entry = F.concat(
+        F.lit("<url><loc>http://"), src, F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"), F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("doc_id") % 28).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod></url>"),
+    )
+    fetched = (
+        docs.select(src.alias("src"), entry.alias("e"))
+        .groupBy("src")
+        .agg(F.array_join(F.collect_list("e"), "\n").alias("inner"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("src"),
+                F.lit(".example.org/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit("<urlset>\n"), F.col("inner"), F.lit("\n</urlset>")
+            ).alias("body"),
+        )
+    )
+    known = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("http://"), src, F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("crawled_ts"),
+    )
+    return sitemap_frontier(parse_sitemaps(fetched), known)
+
+
+_register(
+    "sitemap_frontier",
+    _sitemap_frontier,
+    """
+SELECT 'http://' || lower(source) || '.example.org/sitemap.xml'
+         AS sitemap_url,
+       'http://' || lower(source) || '.example.org/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(DATE '2024-01-01' + (doc_id % 28) * INTERVAL 1 DAY
+            AS TIMESTAMP) AS lastmod
+FROM documents
+WHERE doc_id % 3 != 0 OR (doc_id % 28) >= 15
+""",
+)
+
 _register(
     "url_dedup",
     _url_dedup,
