@@ -77,7 +77,6 @@ _ATTESTED_SEED = {
     "sparql_optional_filter", "exact_dedup", "minhash_neardup",
     "minhash_neardup_shingle", "ngram_jaccard", "simhash", "lang_id",
     "token_counts", "quality_score", "doc_fingerprint", "cosine_topk",
-    "lsh_cosine_topk", "ivf_cosine_topk", "embedding_neardup_lsh",
     "detect_mentions", "pagerank", "triangle_count", "clustering_coefficient",
     "common_neighbors", "adamic_adar", "asof_join", "connected_components",
     "cube_counts", "embedding_neardup", "event_type_pivot",
@@ -88,8 +87,13 @@ _ATTESTED_SEED = {
     "url_dedup", "incremental_dedup", "lm_score", "ccnet_buckets",
     "inverted_index", "bm25_topk", "gopher_quality", "pii_scrub",
     "decontaminate", "repetition_metrics", "frame_sample",
-    "media_decode_stats", "harvest_run",
 }
+# NOTE: lsh_cosine_topk / ivf_cosine_topk / embedding_neardup_lsh /
+# media_decode_stats / harvest_run were recorded FAILED (err=no_oracle)
+# in r1 and must NOT sit in the seed: keeping them there parked them at
+# the back of the rotation so the driver never re-checked them (r3
+# verdict, process defect #1).  They rotate to the front until a green
+# CORRECTNESS row exists for them.
 
 
 def _attested() -> set:
