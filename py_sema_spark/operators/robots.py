@@ -11,9 +11,11 @@ PySpark engine adds.
 Semantics implemented (RFC 9309, matching Google's reference parser):
 
 - group structure: one or more ``User-agent:`` lines start a group;
-  the group's ``Allow:`` / ``Disallow:`` rules apply to an agent if
-  any of its ``User-agent`` lines names the agent (case-insensitive)
-  or is ``*``;
+  a group applies to an agent if any of its ``User-agent`` lines
+  names the agent (case-insensitive); groups whose only match is
+  ``*`` apply ONLY when no group anywhere in the file specifically
+  names the agent (RFC 9309 §2.2.1 — the ``*`` group is a fallback,
+  not a merge);
 - comments (``#…``) and blank lines are ignored; an EMPTY
   ``Disallow:`` value means "no restriction" and contributes no rule;
 - path patterns: prefix match, ``*`` matches any octet sequence,
@@ -79,16 +81,21 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
     ).otherwise(0)
     kv = kv.withColumn("gid", F.sum(starts).over(w))
 
-    applies = (
+    # RFC 9309 §2.2.1: groups that specifically name the agent win;
+    # '*' groups are a per-domain fallback used only when no specific
+    # group exists anywhere in that robots file (never merged in)
+    groups = (
         kv.where(F.col("key") == "user-agent")
         .groupBy("domain", "gid")
         .agg(
-            F.max(
-                (F.lower(F.col("value")) == agent.lower())
-                | (F.col("value") == "*")
-            ).alias("applies")
+            F.max(F.lower(F.col("value")) == agent.lower()).alias("named"),
+            F.max(F.col("value") == "*").alias("star"),
         )
-        .where("applies")
+    )
+    has_named = F.max("named").over(Window.partitionBy("domain"))
+    applies = (
+        groups.withColumn("has_named", has_named)
+        .where(F.col("named") | (F.col("star") & ~F.col("has_named")))
         .select("domain", "gid")
     )
     rules = (

@@ -21,10 +21,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_URL_BLOCK = r"<url>(.*?)</url>"
-_SITEMAP_BLOCK = r"<sitemap>(.*?)</sitemap>"
-_LOC = r"<loc>\s*(.*?)\s*</loc>"
-_LASTMOD = r"<lastmod>\s*(.*?)\s*</lastmod>"
+# tags may carry a namespace prefix (<sm:url>) and/or attributes —
+# both appear in the wild even though the sitemaps.org examples don't
+_URL_BLOCK = r"<(?:\w+:)?url(?:\s[^>]*)?>(.*?)</(?:\w+:)?url\s*>"
+_SITEMAP_BLOCK = (
+    r"<(?:\w+:)?sitemap(?:\s[^>]*)?>(.*?)</(?:\w+:)?sitemap\s*>"
+)
+_LOC = r"(?s)<(?:\w+:)?loc(?:\s[^>]*)?>\s*(.*?)\s*</(?:\w+:)?loc\s*>"
+_LASTMOD = (
+    r"(?s)<(?:\w+:)?lastmod(?:\s[^>]*)?>\s*(.*?)\s*</(?:\w+:)?lastmod\s*>"
+)
+
+
+def _xml_unescape(col):
+    """Decode XML character data column-side (sitemaps.org REQUIRES
+    entity-escaped URLs, so ``&`` in a loc arrives as ``&amp;`` — left
+    undecoded it would never equi-join against a crawled-URL table).
+
+    Handles a CDATA wrapper (content taken verbatim), the five named
+    entities, and ASCII-range numeric refs (``&#38;`` / ``&#x26;``;
+    non-ASCII refs are left intact — sitemap URLs are percent-encoded
+    ASCII per the spec, and Spark's ``char`` is mod-256). ``&amp;``
+    decodes LAST so ``&amp;lt;`` yields the literal ``&lt;``. All
+    whole-stage-codegen-able expressions; the numeric-ref split runs
+    only on rows that contain ``&#``."""
+    cdata = F.regexp_extract(col, r"(?s)^<!\[CDATA\[(.*?)\]\]>$", 1)
+    c = F.regexp_replace(col, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;", '"')
+    c = F.regexp_replace(c, "&apos;", "'")
+
+    def _dec(s):
+        d10 = F.regexp_extract(s, r"^&#([0-9]{1,3});", 1)
+        d16 = F.regexp_extract(s, r"^&#[xX]([0-9a-fA-F]{1,2});", 1)
+        return (
+            F.when(
+                (d10 != "") & (d10.cast("int") < 128),
+                F.concat(
+                    F.char(d10.cast("long")),
+                    F.regexp_replace(s, r"^&#[0-9]{1,3};", ""),
+                ),
+            )
+            .when(
+                (d16 != "") & (F.conv(d16, 16, 10).cast("int") < 128),
+                F.concat(
+                    F.char(F.conv(d16, 16, 10).cast("long")),
+                    F.regexp_replace(s, r"^&#[xX][0-9a-fA-F]{1,2};", ""),
+                ),
+            )
+            .otherwise(s)
+        )
+
+    numeric = F.array_join(
+        F.transform(F.split(c, r"(?=&#)"), _dec), ""
+    )
+    c = F.when(c.contains("&#"), numeric).otherwise(c)
+    c = F.regexp_replace(c, "&amp;", "&")
+    return F.when(cdata != "", cdata).otherwise(c)
 
 
 def _entries(fetched: DataFrame, block_rx: str) -> DataFrame:
@@ -40,9 +93,10 @@ def _entries(fetched: DataFrame, block_rx: str) -> DataFrame:
     )
     return blocks.select(
         "sitemap_url",
-        F.regexp_extract("_e", _LOC, 1).alias("loc"),
+        _xml_unescape(F.regexp_extract("_e", _LOC, 1)).alias("loc"),
         F.nullif(
-            F.regexp_extract("_e", _LASTMOD, 1), F.lit("")
+            _xml_unescape(F.regexp_extract("_e", _LASTMOD, 1)),
+            F.lit(""),
         ).alias("lastmod"),
     ).where(F.col("loc") != "")
 
@@ -57,7 +111,9 @@ def parse_sitemaps(fetched: DataFrame) -> DataFrame:
     return _entries(fetched, _URL_BLOCK).select(
         "sitemap_url",
         F.col("loc").alias("url"),
-        F.to_timestamp("lastmod").alias("lastmod"),
+        # try_: lastmod is advisory (sitemaps.org) — a malformed value
+        # must degrade to NULL, not abort the job under ANSI mode
+        F.try_to_timestamp("lastmod").alias("lastmod"),
     ).distinct()
 
 

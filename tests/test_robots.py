@@ -40,10 +40,15 @@ class TestParse:
             ("/q", False),
         }
 
-    def test_named_agent_gets_its_group(self, spark):
+    def test_named_agent_gets_only_its_group(self, spark):
         rows = {r["pattern"] for r in rules_df(spark, "EvilBot").collect()}
-        # named agent matches case-insensitively AND the * group
-        assert rows == {"/", "/p/1*", "/p/1", "/p/2$", "/q"}
+        # named agent matches case-insensitively; per RFC 9309 §2.2.1
+        # the '*' group is a fallback, NOT merged with the specific one
+        assert rows == {"/"}
+
+    def test_star_group_is_fallback_for_unnamed_agent(self, spark):
+        rows = {r["pattern"] for r in rules_df(spark, "otherbot").collect()}
+        assert rows == {"/p/1*", "/p/1", "/p/2$", "/q"}
 
     def test_consecutive_ua_lines_share_a_group(self, spark):
         rows = {r["pattern"] for r in rules_df(spark, "helper").collect()}

@@ -1,0 +1,125 @@
+"""Sitemap parser robustness (r3 verdict ask #8 + ADVICE entity fix).
+
+Two layers:
+
+1. **Semantics vectors** — entity-escaped ``<loc>`` values
+   (sitemaps.org REQUIRES escaping, so ``&`` arrives as ``&amp;``),
+   numeric character refs, CDATA wrappers, namespace-prefixed tags,
+   and tag attributes must all decode/extract to the raw URL —
+   otherwise the url never equi-joins against ``known(url)`` in
+   ``sitemap_frontier`` and the page recrawls forever.
+2. **Mutation fuzz** — truncation / splice / hostile-fragment
+   mutations of valid sitemap bodies must never raise and never emit
+   an empty-loc row; one Spark job over all seeds.
+"""
+
+import random
+
+import pytest
+
+from py_sema_spark.operators.sitemap import parse_sitemaps, sitemap_frontier
+
+NS_URLSET = """<?xml version="1.0"?>
+<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sm:url><sm:loc>http://ns.ex/p1</sm:loc>
+    <sm:lastmod>2024-02-01</sm:lastmod></sm:url>
+  <sm:url attr="x"><sm:loc> http://ns.ex/p2 </sm:loc></sm:url>
+</sm:urlset>
+"""
+
+ESCAPED_URLSET = """<urlset>
+  <url><loc>http://e.ex/s?a=1&amp;b=2</loc></url>
+  <url><loc>http://e.ex/amp-lit?x=&amp;lt;</loc></url>
+  <url><loc>http://e.ex/num?c=&#38;d&#x3D;4</loc></url>
+  <url><loc><![CDATA[http://e.ex/cdata?a=1&b=2]]></loc></url>
+  <url><loc>http://e.ex/big&#256;ref</loc></url>
+  <url><loc>http://e.ex/q&quot;x&apos;y&lt;z&gt;w</loc></url>
+</urlset>
+"""
+
+
+def test_namespace_prefix_and_attributes(spark):
+    fetched = spark.createDataFrame(
+        [("http://ns.ex/sm.xml", NS_URLSET)],
+        "sitemap_url string, body string",
+    )
+    rows = {r["url"] for r in parse_sitemaps(fetched).collect()}
+    assert rows == {"http://ns.ex/p1", "http://ns.ex/p2"}
+
+
+def test_entity_unescape_vectors(spark):
+    fetched = spark.createDataFrame(
+        [("http://e.ex/sm.xml", ESCAPED_URLSET)],
+        "sitemap_url string, body string",
+    )
+    rows = {r["url"] for r in parse_sitemaps(fetched).collect()}
+    assert rows == {
+        "http://e.ex/s?a=1&b=2",
+        # &amp;lt; is the LITERAL text "&lt;" (amp decodes last)
+        "http://e.ex/amp-lit?x=&lt;",
+        "http://e.ex/num?c=&d=4",
+        "http://e.ex/cdata?a=1&b=2",
+        # non-ASCII numeric ref left intact (documented)
+        "http://e.ex/big&#256;ref",
+        'http://e.ex/q"x\'y<z>w',
+    }
+
+
+def test_escaped_loc_joins_against_known(spark):
+    """The ADVICE failure scenario: a known url containing '&' must
+    leave the frontier once crawled fresh."""
+    fetched = spark.createDataFrame(
+        [
+            (
+                "http://e.ex/sm.xml",
+                "<urlset><url><loc>http://e.ex/s?a=1&amp;b=2</loc>"
+                "<lastmod>2024-01-01</lastmod></url></urlset>",
+            )
+        ],
+        "sitemap_url string, body string",
+    )
+    known = spark.createDataFrame(
+        [("http://e.ex/s?a=1&b=2", "2024-06-01 00:00:00")],
+        "url string, crawled_ts string",
+    ).selectExpr("url", "cast(crawled_ts as timestamp) crawled_ts")
+    got = sitemap_frontier(parse_sitemaps(fetched), known).collect()
+    assert got == []
+
+
+INJECT = ["\x00", "<", ">", "&", "&amp;", "&#", "&#x", "<!--", "]]>",
+          "<![CDATA[", "<loc>", "</loc>", "<url>", " "]
+
+
+def _mutate(text: str, rng: random.Random) -> str:
+    for _ in range(rng.randrange(1, 4)):
+        if not text:
+            return text
+        i, j = rng.randrange(len(text)), rng.randrange(len(text))
+        op = rng.randrange(5)
+        if op == 0:
+            text = text[:i]
+        elif op == 1:
+            text = text[:i] + rng.choice(INJECT) + text[i:]
+        elif op == 2:
+            text = text[: min(i, j)] + text[max(i, j):]
+        elif op == 3:
+            a, b = sorted((i, j))
+            text = text[a:b] + text[:a] + text[b:]
+        else:
+            a, b = sorted((i, j))
+            text = text[:b] + text[a:b] + text[b:]
+    return text
+
+
+@pytest.mark.parametrize("seed_block", [0, 1, 2, 3])
+def test_mutation_fuzz_never_raises(spark, seed_block):
+    bodies = []
+    for seed in range(seed_block * 25, seed_block * 25 + 25):
+        rng = random.Random(seed)
+        base = rng.choice([NS_URLSET, ESCAPED_URLSET])
+        bodies.append((f"http://f.ex/{seed}.xml", _mutate(base, rng)))
+    fetched = spark.createDataFrame(
+        bodies, "sitemap_url string, body string"
+    )
+    rows = parse_sitemaps(fetched).collect()
+    assert all(r["url"] for r in rows)
