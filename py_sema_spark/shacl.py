@@ -494,9 +494,12 @@ def _path_values(triples: DataFrame, ast: tuple):
             False,
         )
     if kind == "inv":
+        # literal objects are KEPT: a literal focus node (reachable via
+        # sh:targetObjectsOf) has ^p values — the original subjects,
+        # which are always IRIs/bnodes and therefore safe value terms
         pairs, z = _path_values(triples, ast[1])
         inv = _as_value(
-            pairs.where(F.col("o_kind") != "literal").select(
+            pairs.select(
                 F.col("o").alias("s"), F.col("s").alias("node")
             ),
             "node",
@@ -709,13 +712,13 @@ def validate(
             else:
                 vals = shape_triples.where(F.col("p") == ps.path)
 
-            # sh:message replaces the engine's default text; severity
-            # comes from the property shape, else the node shape, else
-            # sh:Violation (§3.5)
+            # sh:message replaces the engine's default text; each
+            # shape's severity independently defaults to sh:Violation
+            # (§3.5 / pyshacl) — a node shape's sh:severity does NOT
+            # cascade onto its property shapes' results
             def viol_fn(df, sh_, p_, c_, _m, value=None,
                         _msg=ps.message,
-                        _sev=(ps.severity or shape.severity
-                              or SEVERITY_VIOLATION)):
+                        _sev=(ps.severity or SEVERITY_VIOLATION)):
                 return _viol(
                     df, sh_, p_, c_,
                     _msg if _msg is not None else _m,

@@ -64,10 +64,12 @@ def eval_path(graph, ast):
             False,
         )
     if kind == "inv":
+        # literal objects kept: they are valid focus keys of the
+        # inverted relation (sh:targetObjectsOf on a literal)
         pairs, z = eval_path(graph, ast[1])
         return (
             {(v[0], (s, node_kind(s), None, None))
-             for (s, v) in pairs if v[1] != "literal"},
+             for (s, v) in pairs},
             z,
         )
     if kind == "seq":

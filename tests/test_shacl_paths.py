@@ -57,15 +57,18 @@ class TestPathValues:
         assert pair_set(pairs) == {
             (EX + "alice", EX + "acme"),
             (EX + "bob", EX + "acme"),
+            ("not-a-person", EX + "acme"),
         }
 
-    def test_inverse_never_starts_from_literal(self, spark):
-        # acme ex:member "not-a-person": a literal cannot be a focus of
-        # the inverted relation
+    def test_inverse_keeps_literal_focus_keys(self, spark):
+        # acme ex:member "not-a-person": the literal IS a valid focus
+        # of the inverted relation (sh:targetObjectsOf can select it);
+        # its ^member value is acme — dropping it caused spurious
+        # minCount violations on literal focus nodes
         pairs, _ = _path_values(
             triples_df(spark), ("inv", ("pred", EX + "member"))
         )
-        assert all(not s.startswith("not-") for s, _ in pair_set(pairs))
+        assert ("not-a-person", EX + "acme") in pair_set(pairs)
 
     def test_sequence(self, spark):
         pairs, z = _path_values(
@@ -496,6 +499,22 @@ ex:S a sh:NodeShape ;
   sh:property [ sh:path ex:name ; sh:minCount 1 ] .
 """)).collect()
     assert all(v["severity"] == SEVERITY_VIOLATION for v in defaults)
+
+    # a node shape's sh:severity does NOT cascade onto its property
+    # shapes — each shape's severity independently defaults to
+    # sh:Violation (spec §3.5; matches pyshacl)
+    node_warn = parse_shapes_ttl("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:severity sh:Warning ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    rows = validate(df, node_warn).collect()
+    assert rows and all(
+        v["severity"] == SEVERITY_VIOLATION for v in rows
+    )
 
 
 def test_literal_focus_keeps_term_metadata(spark):
