@@ -57,7 +57,7 @@ from typing import Dict, List, Optional, Set, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sparql_expr import Resolver, parse_expr
+from .sparql_expr import ColsResolver, Resolver, parse_expr
 from . import bgp as _bgp
 
 
@@ -344,30 +344,7 @@ def _unit(spark) -> Rel:
     return Rel(spark.range(1).select(), set())
 
 
-class _ColsResolver(Resolver):
-    """Resolver over a concrete column set: referenced-but-absent
-    variables (and absent companion columns — e.g. a BIND alias has no
-    __lang) evaluate as unbound (NULL) instead of AnalysisException."""
-
-    def __init__(self, cols):
-        self.cols = set(cols)
-
-    def var(self, name):
-        return F.col(name) if name in self.cols else F.lit(None).cast("string")
-
-    def lang(self, name):
-        c = name + "__lang"
-        if c in self.cols:
-            return F.coalesce(F.col(c), F.lit(""))
-        return F.lit("")
-
-    def dt(self, name):
-        c = name + "__dt"
-        return F.col(c) if c in self.cols else F.lit(None).cast("string")
-
-    def kind(self, name):
-        c = name + "__kind"
-        return F.col(c) if c in self.cols else F.lit(None).cast("string")
+_ColsResolver = ColsResolver  # moved to sparql_expr (shared with bgp.py)
 
 
 class _MergedResolver(Resolver):
@@ -808,10 +785,10 @@ def algebra_select(
     solution-modifier tail with :func:`bgp._bgp_select_flat`."""
     prefixes = dict(prefixes or {})
     for m in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", sparql
+        r"(?i)\bPREFIX\s+((?:[A-Za-z_][\w.-]*)?):\s*<([^>]*)>", sparql
     ):
         prefixes[m.group(1)] = m.group(2)
-    body = re.sub(r"(?i)\bPREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>", "", sparql)
+    body = re.sub(r"(?i)\bPREFIX\s+(?:[A-Za-z_][\w.-]*)?:\s*<[^>]*>", "", sparql)
 
     m = re.search(r"(?is)\bSELECT\b", body)
     if not m:

@@ -61,7 +61,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sparql_expr import XSD_STRING, Resolver, parse_expr
+from .sparql_expr import XSD_STRING, ColsResolver, Resolver, parse_expr
 
 _TERM_RE = re.compile(
     r"""\?(?P<var>[A-Za-z_][A-Za-z0-9_]*)
@@ -69,7 +69,7 @@ _TERM_RE = re.compile(
       | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z-]+)
           |\^\^(?P<dt><[^>\s]*>|[A-Za-z_][\w.-]*:(?:[\w%-]|\.(?=[\w%-]))*))?
       | (?P<a>\ba\b)
-      | (?P<curie>[A-Za-z_][\w.-]*:[\w.%-]*)
+      | (?P<curie>(?:[A-Za-z_][\w.-]*)?:[\w.%-]*)
     """,
     re.VERBOSE,
 )
@@ -726,20 +726,32 @@ def _scan_balanced(text: str, open_idx: int) -> int:
     raise ValueError(f"unbalanced parentheses at {text[open_idx:open_idx+40]!r}")
 
 
-def _extract_calls(where: str, keyword: str) -> Tuple[str, List[str]]:
+def _extract_calls(
+    where: str, keyword: str, bare_call: bool = False
+) -> Tuple[str, List[str]]:
     """Find every ``KEYWORD ( body )`` (case-insensitive, balanced,
-    quote-aware), return (where-with-calls-blanked, [body, …])."""
+    quote-aware), return (where-with-calls-blanked, [body, …]).
+
+    With ``bare_call`` (FILTER), also accept the grammar's un-bracketed
+    Constraint forms ``KEYWORD fn(args)`` (``FILTER isIRI(?o)``,
+    ``FILTER regex(…)``) — the body keeps the call intact. ``FILTER
+    [NOT] EXISTS { … }`` never matches here: the name is followed by
+    ``{``, not ``(``."""
     bodies: List[str] = []
     out: List[str] = []
     pos = 0
-    rx = re.compile(r"(?is)\b" + keyword + r"\s*\(")
+    fn = r"(?P<fn>[A-Za-z_][A-Za-z0-9_]*\s*)?" if bare_call else ""
+    rx = re.compile(r"(?is)\b" + keyword + r"\s*" + fn + r"\(")
     while True:
         m = rx.search(where, pos)
         if not m:
             out.append(where[pos:])
             return "".join(out), bodies
         end = _scan_balanced(where, m.end() - 1)
-        bodies.append(where[m.end() : end - 1])
+        body = where[m.end() : end - 1]
+        if bare_call and m.group("fn"):
+            body = m.group("fn").strip() + "(" + body + ")"
+        bodies.append(body)
         out.append(where[pos : m.start()])
         out.append(" ")
         tail = re.match(r"\s*\.", where[end:])
@@ -751,10 +763,10 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     on anything outside the subset."""
     prefixes = dict(prefixes or {})
     for m in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", sparql
+        r"(?i)\bPREFIX\s+((?:[A-Za-z_][\w.-]*)?):\s*<([^>]*)>", sparql
     ):
         prefixes[m.group(1)] = m.group(2)
-    body = re.sub(r"(?i)\bPREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>", "", sparql)
+    body = re.sub(r"(?i)\bPREFIX\s+(?:[A-Za-z_][\w.-]*)?:\s*<[^>]*>", "", sparql)
 
     m = re.search(
         r"(?is)\bSELECT\s+(DISTINCT\s+|REDUCED\s+)?"
@@ -924,7 +936,7 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         binds.append((e, needs, evars, am.group("alias")))
 
     # FILTER(expr) — same scan
-    where, filter_bodies = _extract_calls(where, "FILTER")
+    where, filter_bodies = _extract_calls(where, "FILTER", bare_call=True)
     for fbody in filter_bodies:
         if re.search(r"(?is)\bEXISTS\s*\{", fbody):
             raise NotImplementedError(
@@ -1470,7 +1482,7 @@ def bgp_construct(
     # merge prefixes: declared in the query head + caller-supplied
     pfx = dict(prefixes or {})
     for pm in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
+        r"(?i)\bPREFIX\s+((?:[A-Za-z_][\w.-]*)?):\s*<([^>]*)>", head
     ):
         pfx[pm.group(1)] = pm.group(2)
     template = parse_template(tpl_text, pfx)
@@ -1642,7 +1654,7 @@ def bgp_describe(
     target_text = rest[: wm.start()] if wm else rest
     pfx = dict(prefixes or {})
     for pm in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>", head
+        r"(?i)\bPREFIX\s+((?:[A-Za-z_][\w.-]*)?):\s*<([^>]*)>", head
     ):
         pfx[pm.group(1)] = pm.group(2)
 
@@ -1692,7 +1704,7 @@ def bgp_describe(
 
 
 _ASK_HEAD = re.compile(
-    r"(?is)^\s*(?:(?:PREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*ASK\b"
+    r"(?is)^\s*(?:(?:PREFIX\s+(?:[A-Za-z_][\w.-]*)?:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*ASK\b"
 )
 
 
@@ -1711,7 +1723,7 @@ def sparql_query(
     if _ASK_HEAD.match(sparql):
         return bgp_ask(triples, sparql, prefixes)
     verb = re.match(
-        r"(?is)^\s*(?:(?:PREFIX\s+[A-Za-z_][\w.-]*:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*"
+        r"(?is)^\s*(?:(?:PREFIX\s+(?:[A-Za-z_][\w.-]*)?:\s*<[^>]*>|BASE\s*<[^>]*>)\s*)*"
         r"(?P<verb>CONSTRUCT|DESCRIBE)\b",
         sparql,
     )
@@ -2031,21 +2043,17 @@ def _bgp_select_flat(
                 plan, sub.select(*shared).distinct(), "left_anti"
             )
 
-    resolver = Resolver()
     for e, _needs, _evars, alias in q["binds"]:
-        plan = plan.withColumn(alias, e.col(resolver))
+        plan = plan.withColumn(alias, e.col(ColsResolver(plan.columns)))
 
     for fk, f in enumerate(q["filters"]):
         if f.kind == "expr":
-            missing = [v for v in f.vars if v not in plan.columns]
-            if missing:
-                # SPARQL 17.2: an unbound variable makes the
-                # expression a type error, and FILTER treats errors as
-                # false — every solution is removed (NOT a query
-                # error: conformant endpoints return an empty result)
-                plan = plan.where(F.lit(False))
-                continue
-            plan = plan.where(f.expr.col(resolver))
+            # §17.2: a never-bound variable evaluates as unbound (NULL
+            # column, via ColsResolver) — ordinary expressions then
+            # type-error → NULL → FILTER false, while value-aware forms
+            # (BOUND / COALESCE / IF) see the unbound and handle it,
+            # e.g. FILTER(!BOUND(?x)) keeps every solution
+            plan = plan.where(f.expr.col(ColsResolver(plan.columns)))
         else:
             sub = _compile_patterns(triples, f.group, {}, tag=f"x{fk}_")
             if sub is None:

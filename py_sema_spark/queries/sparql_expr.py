@@ -126,6 +126,35 @@ class Resolver:
         return F.col(name + "__kind")
 
 
+class ColsResolver(Resolver):
+    """Resolver over a concrete column set: referenced-but-absent
+    variables (and absent companion columns — e.g. a BIND alias has no
+    __lang) evaluate as unbound (NULL) instead of AnalysisException.
+    This is §17.2 semantics: an unbound variable is a type error in
+    ordinary expressions (comparison → NULL → FILTER false) but a
+    value BOUND / COALESCE / IF handle without erroring."""
+
+    def __init__(self, cols):
+        self.cols = set(cols)
+
+    def var(self, name: str) -> Column:
+        return F.col(name) if name in self.cols else F.lit(None).cast("string")
+
+    def lang(self, name: str) -> Column:
+        c = name + "__lang"
+        if c in self.cols:
+            return F.coalesce(F.col(c), F.lit(""))
+        return F.lit("")
+
+    def dt(self, name: str) -> Column:
+        c = name + "__dt"
+        return F.col(c) if c in self.cols else F.lit(None).cast("string")
+
+    def kind(self, name: str) -> Column:
+        c = name + "__kind"
+        return F.col(c) if c in self.cols else F.lit(None).cast("string")
+
+
 class Expr:
     """(compile, typehint) pair; hint ∈ num|str|bool|any. ``meta``
     carries term-level info the column alone can't: ``{'var': name}``

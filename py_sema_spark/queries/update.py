@@ -56,7 +56,7 @@ from .bgp import (
 
 __all__ = ["apply_update", "parse_update"]
 
-_PREFIX_RE = re.compile(r"(?i)\bPREFIX\s+([A-Za-z_][\w.-]*):\s*<([^>]*)>")
+_PREFIX_RE = re.compile(r"(?i)\bPREFIX\s+((?:[A-Za-z_][\w.-]*)?):\s*<([^>]*)>")
 
 
 def _mask_strings(text: str) -> str:
