@@ -53,6 +53,8 @@ VIOLATION_SCHEMA = (
     "value string, message string, severity string"
 )
 
+RDFS_SUBCLASS_OF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
 SEVERITY_VIOLATION = SH + "Violation"
 SEVERITY_WARNING = SH + "Warning"
 SEVERITY_INFO = SH + "Info"
@@ -87,6 +89,9 @@ class PropertyShape:
     disjoint: Optional[str] = None
     language_in: Optional[List[str]] = None
     unique_lang: bool = False
+    # nested sh:property shapes inside a logical branch (§4.7):
+    # each parent value acts as the focus node of these
+    props: List["PropertyShape"] = field(default_factory=list)
     # logical constraint components over VALUE-level constraint
     # branches (sh:or ( [ sh:datatype … ] [ sh:nodeKind … ] ) …)
     or_: Optional[List["PropertyShape"]] = None
@@ -109,8 +114,9 @@ class NodeShape:
     iri: str
     target_class: Optional[str] = None
     target_nodes: List[str] = field(default_factory=list)
-    target_subjects_of: Optional[str] = None
-    target_objects_of: Optional[str] = None
+    # single predicate IRI or list of them (§2.1.3.3/4 allow several)
+    target_subjects_of: Optional[object] = None
+    target_objects_of: Optional[object] = None
     closed: bool = False
     deactivated: bool = False
     ignored: List[str] = field(default_factory=list)
@@ -233,10 +239,26 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
             ps.language_in = rdf_list(li)
 
     def read_branch(node_id: str) -> PropertyShape:
-        # a logical branch is a constraint-only shape (no
-        # sh:path of its own — it applies to the parent's)
+        # a logical branch is a constraint-only shape (no sh:path of
+        # its own — value constraints apply to the parent's values);
+        # nested sh:property shapes treat each value as a focus node
+        # (§4.7 — the canonical or-of-minCounts contact shape)
         b = PropertyShape(path="")
         read_constraints(node_id, b)
+        for pnode in spo.get(node_id, {}).get(SH + "property", []):
+            p = pnode.value
+            path_t = one(p, SH + "path")
+            if path_t is None:
+                raise ValueError(f"property shape {p} has no sh:path")
+            ast = parse_path(path_t)
+            if ast[0] != "pred":
+                raise NotImplementedError(
+                    "compound sh:path inside a logical-branch "
+                    "sh:property is not supported"
+                )
+            child = PropertyShape(path=ast[1], path_ast=ast)
+            read_constraints(p, child)
+            b.props.append(child)
         return b
 
     def read_logicals(node_id: str, ps: PropertyShape):
@@ -261,16 +283,20 @@ def parse_shapes_ttl(text: str, base: str = "urn:shapes:") -> List[NodeShape]:
         tc = one(s, SH + "targetClass")
         closed = one(s, SH + "closed")
         deact = one(s, SH + "deactivated")
-        tso = one(s, SH + "targetSubjectsOf")
-        too = one(s, SH + "targetObjectsOf")
         shape = NodeShape(
             iri=s,
             target_class=tc.value if tc else None,
             target_nodes=[
                 o.value for o in props.get(SH + "targetNode", [])
             ],
-            target_subjects_of=tso.value if tso else None,
-            target_objects_of=too.value if too else None,
+            target_subjects_of=(
+                [o.value for o in props.get(SH + "targetSubjectsOf", [])]
+                or None
+            ),
+            target_objects_of=(
+                [o.value for o in props.get(SH + "targetObjectsOf", [])]
+                or None
+            ),
             closed=bool(closed and closed.value == "true"),
             deactivated=bool(deact and deact.value == "true"),
             ignored=rdf_list(one(s, SH + "ignoredProperties")),
@@ -391,6 +417,7 @@ def _value_cond(ps: PropertyShape):
             ("hasValue", ps.has_value), ("equals", ps.equals),
             ("disjoint", ps.disjoint), ("lessThan", ps.less_than),
             ("uniqueLang", ps.unique_lang or None),
+            ("property", ps.props or None),
         )
         if v is not None
     ]
@@ -576,28 +603,141 @@ def _norm_focus(df: DataFrame) -> DataFrame:
     )
 
 
+def _class_instances(triples: DataFrame, class_iri: str) -> DataFrame:
+    """Distinct SHACL instances of ``class_iri``, as column ``o``:
+    nodes whose rdf:type reaches the class through rdfs:subClassOf*
+    (§2.1.3.1 — "SHACL instance"; pyshacl matches). The subclass
+    closure runs over the class-hierarchy slice only (schema-sized);
+    instance lookup stays one pushed-down type slice + broadcast
+    semi-join on the (small) class set."""
+    sub = triples.where(F.col("p") == RDFS_SUBCLASS_OF)
+    classes = triples.sparkSession.createDataFrame(
+        [(class_iri,)], "o string"
+    )
+    if not sub.isEmpty():
+        from .operators.closure import transitive_closure
+
+        desc = (
+            transitive_closure(sub, src="s", dst="o")
+            .where(F.col("dst") == class_iri)
+            .select(F.col("src").alias("o"))
+        )
+        classes = classes.unionByName(desc).distinct()
+    return (
+        triples.where(F.col("p") == RDF_TYPE)
+        .join(F.broadcast(classes), "o", "left_semi")
+        .select(F.col("s").alias("o"))
+        .distinct()
+    )
+
+
 def _conforming_values(triples: DataFrame, vals: DataFrame,
                        branch: PropertyShape) -> DataFrame:
     """Rows of ``vals`` whose value CONFORMS to a qualified-value-shape
     branch: the Column-expressible constraints via :func:`_value_cond`,
     plus ``sh:class`` (the common qualified form) as a semi-join against
-    the pushed-down typed-instances slice."""
+    the subclass-aware instance set."""
     from dataclasses import replace
 
     col_branch = replace(branch, class_=None)
     conf = vals.where(~_value_cond(col_branch))
     if branch.class_:
-        typed = (
-            triples.where(
-                (F.col("p") == RDF_TYPE) & (F.col("o") == branch.class_)
-            )
-            .select(F.col("s").alias("o"))
-            .distinct()
-        )
         conf = conf.where(F.col("o_kind") != "literal").join(
-            typed, "o", "left_semi"
+            _class_instances(triples, branch.class_), "o", "left_semi"
         )
     return conf
+
+
+_VKEY = ("o", "o_kind", "o_datatype", "o_lang")
+
+
+def _branch_violators(triples: DataFrame, vals: DataFrame,
+                      branch: PropertyShape) -> DataFrame:
+    """Distinct value-term keys of ``vals`` that VIOLATE a logical
+    branch shape: the Column constraints, ``sh:class`` (subclass-aware
+    anti-join), and nested ``sh:property`` shapes — each value acts as
+    the focus node of those (§4.7), so cardinality is one groupBy over
+    the child predicate slice and value constraints are one semi-join
+    per child. All equi-joins on the value column; nothing collected."""
+    from dataclasses import replace
+
+    keys = vals.select(*_VKEY).distinct()
+    parts = [keys.where(_value_cond(replace(branch, class_=None, props=[])))]
+    if branch.class_:
+        typed = _class_instances(triples, branch.class_)
+        parts.append(keys.where(F.col("o_kind") == "literal"))
+        parts.append(
+            keys.where(F.col("o_kind") != "literal")
+            .join(typed, "o", "left_anti")
+        )
+    for child in branch.props:
+        slice_ = triples.where(F.col("p") == child.path)
+        if child.min_count is not None or child.max_count is not None:
+            counts = (
+                slice_.groupBy("s").agg(F.count("*").alias("__n"))
+                .withColumnRenamed("s", "o")
+            )
+            with_n = keys.join(counts, "o", "left").withColumn(
+                "__n", F.coalesce(F.col("__n"), F.lit(0))
+            )
+            bad = F.lit(False)
+            if child.min_count is not None:
+                bad = bad | (F.col("__n") < child.min_count)
+            if child.max_count is not None:
+                bad = bad | (F.col("__n") > child.max_count)
+            parts.append(with_n.where(bad).drop("__n"))
+        vc = replace(child, min_count=None, max_count=None, class_=None)
+        if any(x is not None for x in (
+            vc.datatype, vc.node_kind, vc.pattern, vc.min_length,
+            vc.max_length, vc.in_values, vc.min_inclusive,
+            vc.max_inclusive, vc.min_exclusive, vc.max_exclusive,
+            vc.language_in,
+        )):
+            bad_vals = (
+                slice_.where(_value_cond(vc))
+                .select(F.col("s").alias("o")).distinct()
+            )
+            parts.append(keys.join(bad_vals, "o", "left_semi"))
+        if child.class_:
+            typed = _class_instances(triples, child.class_)
+            badc = (
+                slice_.where(F.col("o_kind") != "literal")
+                .join(typed, "o", "left_anti")
+                .unionByName(slice_.where(F.col("o_kind") == "literal"))
+                .select(F.col("s").alias("o")).distinct()
+            )
+            parts.append(keys.join(badc, "o", "left_semi"))
+    out = parts[0].select(*_VKEY)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(*_VKEY))
+    return out.distinct()
+
+
+_FLAG_SEQ = __import__("itertools").count()
+
+
+def _branch_viol_cond(triples: DataFrame, vals: DataFrame,
+                      branch: PropertyShape):
+    """→ ``(vals', Column)`` — the Column is True where the row's
+    value violates ``branch``. Column-only branches compile in place
+    (no join); join-backed ones (sh:class / nested sh:property) mark
+    rows through a null-safe key join and return the marker column."""
+    if branch.class_ is None and not branch.props:
+        return vals, _value_cond(branch)
+    flag = f"__branch{next(_FLAG_SEQ)}"
+    v = _branch_violators(triples, vals, branch).select(
+        *[F.col(k).alias(flag + k) for k in _VKEY]
+    ).withColumn(flag, F.lit(True))
+    cond = None
+    for k in _VKEY:
+        c = F.col(k).eqNullSafe(F.col(flag + k))
+        cond = c if cond is None else (cond & c)
+    vals = (
+        vals.join(v, cond, "left")
+        .drop(*[flag + k for k in _VKEY])
+        .withColumn(flag, F.coalesce(F.col(flag), F.lit(False)))
+    )
+    return vals, F.col(flag)
 
 
 def validate(
@@ -656,15 +796,24 @@ def validate(
                     ), "focus",
                 ))
             if shape.target_subjects_of:
+                # str-or-list: the parser stores every
+                # sh:targetSubjectsOf value (§2.1.3.3 allows several);
+                # direct construction may still pass a single string
+                tso = shape.target_subjects_of
                 parts.append(_subject_focus(
                     triples.where(
-                        F.col("p") == shape.target_subjects_of
+                        F.col("p").isin(
+                            [tso] if isinstance(tso, str) else list(tso)
+                        )
                     ), "s",
                 ))
             if shape.target_objects_of:
+                too = shape.target_objects_of
                 parts.append(
                     triples.where(
-                        F.col("p") == shape.target_objects_of
+                        F.col("p").isin(
+                            [too] if isinstance(too, str) else list(too)
+                        )
                     ).select(
                         F.col("o").alias("focus"),
                         F.col("o_kind").alias("f_kind"),
@@ -792,38 +941,29 @@ def validate(
                     f"value not less than <{ps.less_than}> value",
                 ))
 
-            if (
-                ps.min_inclusive is not None
-                or ps.max_inclusive is not None
-                or ps.min_exclusive is not None
-                or ps.max_exclusive is not None
+            for attr, comp, mk in (
+                ("min_inclusive", "minInclusive",
+                 lambda v, b: v.isNull() | (v < b)),
+                ("max_inclusive", "maxInclusive",
+                 lambda v, b: v.isNull() | (v > b)),
+                ("min_exclusive", "minExclusive",
+                 lambda v, b: v.isNull() | (v <= b)),
+                ("max_exclusive", "maxExclusive",
+                 lambda v, b: v.isNull() | (v >= b)),
             ):
+                bound = getattr(ps, attr)
+                if bound is None:
+                    continue
+                # one result per declared bound with its own component
+                # id (§4.3; matches the W3C report shape — a value that
+                # "cannot be compared" violates each declared bound).
                 # try_cast: ANSI mode (Spark 4 default) makes a plain
                 # cast THROW on a non-numeric value mid-job; SHACL
                 # semantics make it a violation row instead
-                v = F.col("o").try_cast("double")
-                cond = F.lit(False)
-                if ps.min_inclusive is not None:
-                    cond = cond | v.isNull() | (v < ps.min_inclusive)
-                if ps.max_inclusive is not None:
-                    cond = cond | v.isNull() | (v > ps.max_inclusive)
-                if ps.min_exclusive is not None:
-                    cond = cond | v.isNull() | (v <= ps.min_exclusive)
-                if ps.max_exclusive is not None:
-                    cond = cond | v.isNull() | (v >= ps.max_exclusive)
-                lo = (
-                    ps.min_inclusive
-                    if ps.min_inclusive is not None
-                    else ps.min_exclusive
-                )
-                hi = (
-                    ps.max_inclusive
-                    if ps.max_inclusive is not None
-                    else ps.max_exclusive
-                )
                 out = out.unionByName(viol_fn(
-                    vals.where(cond), shape.iri, ps.path, "range",
-                    f"value outside [{lo}, {hi}]",
+                    vals.where(mk(F.col("o").try_cast("double"), bound)),
+                    shape.iri, ps.path, comp,
+                    f"value violates sh:{comp} {bound:g}",
                 ))
 
             if ps.language_in is not None:
@@ -892,16 +1032,22 @@ def validate(
                     f"value does not match pattern /{ps.pattern}/",
                 ))
 
-            if ps.min_length is not None or ps.max_length is not None:
-                ln = F.length(F.col("o"))
-                cond = F.col("o_kind") == "bnode"
-                if ps.min_length is not None:
-                    cond = cond | (ln < ps.min_length)
-                if ps.max_length is not None:
-                    cond = cond | (ln > ps.max_length)
+            for attr, comp, mk in (
+                ("min_length", "minLength", lambda ln, b: ln < b),
+                ("max_length", "maxLength", lambda ln, b: ln > b),
+            ):
+                bound = getattr(ps, attr)
+                if bound is None:
+                    continue
+                # per-bound component ids (§4.4.1/2 — blank nodes
+                # violate either declared bound)
                 out = out.unionByName(viol_fn(
-                    vals.where(cond), shape.iri, ps.path, "length",
-                    f"length outside [{ps.min_length}, {ps.max_length}]",
+                    vals.where(
+                        (F.col("o_kind") == "bnode")
+                        | mk(F.length(F.col("o")), bound)
+                    ),
+                    shape.iri, ps.path, comp,
+                    f"value violates sh:{comp} {bound}",
                 ))
 
             if ps.has_value is not None:
@@ -932,16 +1078,11 @@ def validate(
                     ))
 
             if ps.class_ is not None:
-                # every value must be an rdf:type instance of the class:
-                # one anti-join of the value slice against the (pushed-down)
-                # typed-instances slice, keyed on the value — no collect
-                typed = (
-                    triples.where(
-                        (F.col("p") == RDF_TYPE) & (F.col("o") == ps.class_)
-                    )
-                    .select(F.col("s").alias("o"))
-                    .distinct()
-                )
+                # every value must be a SHACL instance of the class
+                # (rdf:type via rdfs:subClassOf*, §2.1.3.1): one
+                # anti-join of the value slice against the
+                # subclass-aware instance set — no collect
+                typed = _class_instances(triples, ps.class_)
                 bad = vals.where(F.col("o_kind") != "literal").join(
                     typed, "o", "left_anti"
                 ).unionByName(vals.where(F.col("o_kind") == "literal"))
@@ -951,40 +1092,49 @@ def validate(
                 ))
 
             if ps.or_:
-                cond = F.lit(True)
+                cur, conds = vals, []
                 for b in ps.or_:
-                    cond = cond & _value_cond(b)  # violates EVERY branch
+                    cur, c = _branch_viol_cond(triples, cur, b)
+                    conds.append(c)
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c  # violates EVERY branch
                 out = out.unionByName(viol_fn(
-                    vals.where(cond), shape.iri, ps.path, "or",
+                    cur.where(cond), shape.iri, ps.path, "or",
                     "value conforms to no sh:or branch",
                 ))
 
             if ps.and_:
-                cond = F.lit(False)
+                cur, conds = vals, []
                 for b in ps.and_:
-                    cond = cond | _value_cond(b)  # violates ANY branch
+                    cur, c = _branch_viol_cond(triples, cur, b)
+                    conds.append(c)
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond | c  # violates ANY branch
                 out = out.unionByName(viol_fn(
-                    vals.where(cond), shape.iri, ps.path, "and",
+                    cur.where(cond), shape.iri, ps.path, "and",
                     "value fails an sh:and branch",
                 ))
 
             if ps.not_:
+                cur, c = _branch_viol_cond(triples, vals, ps.not_)
                 out = out.unionByName(viol_fn(
-                    vals.where(~_value_cond(ps.not_)), shape.iri, ps.path,
+                    cur.where(~c), shape.iri, ps.path,
                     "not", "value conforms to the negated shape",
                 ))
 
             if ps.xone:
                 # §4.6.3: violation unless EXACTLY ONE branch conforms
+                cur, conds = vals, []
+                for b in ps.xone:
+                    cur, c = _branch_viol_cond(triples, cur, b)
+                    conds.append(c)
                 n_conform = sum(
-                    (
-                        (~_value_cond(b)).cast("int")
-                        for b in ps.xone
-                    ),
-                    F.lit(0),
+                    ((~c).cast("int") for c in conds), F.lit(0)
                 )
                 out = out.unionByName(viol_fn(
-                    vals.where(n_conform != 1), shape.iri, ps.path,
+                    cur.where(n_conform != 1), shape.iri, ps.path,
                     "xone", "value conforms to != 1 sh:xone branch",
                 ))
 

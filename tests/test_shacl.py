@@ -122,14 +122,15 @@ def test_conform(spark, shapes):
             "lessThan",
         ),
         ('ex:role "pilot"', 'ex:role "stowaway"', "in"),
-        ('ex:number "412"^^xsd:integer', 'ex:number "7"^^xsd:integer', "range"),
+        ('ex:number "412"^^xsd:integer', 'ex:number "7"^^xsd:integer',
+         "minInclusive"),
         (
             'ex:number "412"^^xsd:integer',
             'ex:number "412"^^xsd:integer ; ex:hammock "yes"',
             "closed",
         ),
     ],
-    ids=["datatype", "maxCount", "lessThan", "in", "range", "closed"],
+    ids=["datatype", "maxCount", "lessThan", "in", "minInclusive", "closed"],
 )
 def test_nonconform(spark, shapes, old, new, expected_constraint):
     assert old in CONFORM_TTL
@@ -142,12 +143,12 @@ def test_nonconform(spark, shapes, old, new, expected_constraint):
 
 
 def test_node_constraint_propagates(spark, shapes):
-    # berth with an out-of-range number: child 'range' violation AND a
-    # parent 'node' violation on ex:berth
+    # berth with an out-of-range number: child 'minInclusive'
+    # violation AND a parent 'node' violation on ex:berth
     bad = CONFORM_TTL.replace('"412"^^xsd:integer', '"7"^^xsd:integer')
     viols = validate(triples_df(spark, bad), shapes).collect()
     constraints = {v["constraint"] for v in viols}
-    assert "range" in constraints and "node" in constraints
+    assert "minInclusive" in constraints and "node" in constraints
     node_v = [v for v in viols if v["constraint"] == "node"][0]
     assert node_v["focus"].endswith("ann")
     assert node_v["value"].endswith("b1")
@@ -252,7 +253,7 @@ def test_core_conform(spark, core_shapes):
     "old,new,expected_constraint",
     [
         ('ex:registry "AB-1234"', 'ex:registry "ab-1234"', "pattern"),
-        ('ex:registry "AB-1234"', 'ex:registry "AB-12345"', "length"),
+        ('ex:registry "AB-1234"', 'ex:registry "AB-12345"', "maxLength"),
         ('ex:flag "open-registry"', 'ex:flag "closed"', "hasValue"),
         ("ex:captain ex:ann", 'ex:captain "ann"', "nodeKind"),
         ("ex:captain ex:ann", "ex:captain ex:ghost", "class"),
@@ -262,7 +263,7 @@ def test_core_conform(spark, core_shapes):
             "pattern",
         ),
     ],
-    ids=["pattern", "length", "hasValue", "nodeKind", "class", "flags-i"],
+    ids=["pattern", "maxLength", "hasValue", "nodeKind", "class", "flags-i"],
 )
 def test_core_nonconform(spark, core_shapes, old, new, expected_constraint):
     assert old in CORE_CONFORM_TTL

@@ -280,15 +280,15 @@ def naive_validate(graph, shapes):
                 for (s, _p, o, k, *_rest) in vals:
                     if k == "bnode" or not re.search(ps.pattern, o):
                         viol(s, "pattern", o)
-            if ps.min_length is not None or ps.max_length is not None:
-                for (s, _p, o, k, *_rest) in vals:
-                    bad = k == "bnode"
-                    if ps.min_length is not None and len(o) < ps.min_length:
-                        bad = True
-                    if ps.max_length is not None and len(o) > ps.max_length:
-                        bad = True
-                    if bad:
-                        viol(s, "length", o)
+            for (s, _p, o, k, *_rest) in vals:
+                if ps.min_length is not None and (
+                    k == "bnode" or len(o) < ps.min_length
+                ):
+                    viol(s, "minLength", o)
+                if ps.max_length is not None and (
+                    k == "bnode" or len(o) > ps.max_length
+                ):
+                    viol(s, "maxLength", o)
             if ps.has_value is not None:
                 for f in focus:
                     if not any(t[0] == f and t[2] == ps.has_value
@@ -310,33 +310,26 @@ def naive_validate(graph, shapes):
                 for (s, _p, o, k, *_rest) in vals:
                     if k == "literal" or o not in typed:
                         viol(s, "class", o)
-            if (
-                ps.min_inclusive is not None
-                or ps.max_inclusive is not None
-                or ps.min_exclusive is not None
-                or ps.max_exclusive is not None
-            ):
-                for (s, _p, o, *_rest) in vals:
-                    v = to_num(o)
-                    bad = v is None
-                    if ps.min_inclusive is not None and (
-                        v is None or v < ps.min_inclusive
-                    ):
-                        bad = True
-                    if ps.max_inclusive is not None and (
-                        v is None or v > ps.max_inclusive
-                    ):
-                        bad = True
-                    if ps.min_exclusive is not None and (
-                        v is None or v <= ps.min_exclusive
-                    ):
-                        bad = True
-                    if ps.max_exclusive is not None and (
-                        v is None or v >= ps.max_exclusive
-                    ):
-                        bad = True
-                    if bad:
-                        viol(s, "range", o)
+            # one result per declared bound, each under its own
+            # component id (mirrors the engine's §4.3 report shape)
+            for (s, _p, o, *_rest) in vals:
+                v = to_num(o)
+                if ps.min_inclusive is not None and (
+                    v is None or v < ps.min_inclusive
+                ):
+                    viol(s, "minInclusive", o)
+                if ps.max_inclusive is not None and (
+                    v is None or v > ps.max_inclusive
+                ):
+                    viol(s, "maxInclusive", o)
+                if ps.min_exclusive is not None and (
+                    v is None or v <= ps.min_exclusive
+                ):
+                    viol(s, "minExclusive", o)
+                if ps.max_exclusive is not None and (
+                    v is None or v >= ps.max_exclusive
+                ):
+                    viol(s, "maxExclusive", o)
             if ps.language_in is not None:
                 allowed = {t.lower() for t in ps.language_in}
                 for (s, _p, o, k, _d, l) in vals:

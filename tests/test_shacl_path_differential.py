@@ -216,15 +216,15 @@ def naive_path_validate(graph, shape):
             if ps.min_inclusive is not None:
                 v = to_num(o)
                 if v is None or v < ps.min_inclusive:
-                    viol(f, "range", o)
-            if ps.min_length is not None or ps.max_length is not None:
-                bad = k == "bnode"
-                if ps.min_length is not None and len(o) < ps.min_length:
-                    bad = True
-                if ps.max_length is not None and len(o) > ps.max_length:
-                    bad = True
-                if bad:
-                    viol(f, "length", o)
+                    viol(f, "minInclusive", o)
+            if ps.min_length is not None and (
+                k == "bnode" or len(o) < ps.min_length
+            ):
+                viol(f, "minLength", o)
+            if ps.max_length is not None and (
+                k == "bnode" or len(o) > ps.max_length
+            ):
+                viol(f, "maxLength", o)
     return out
 
 
