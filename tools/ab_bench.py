@@ -53,6 +53,23 @@ def serve(codedir: str, sf_dir: str, cpus: int) -> None:
         if not name or name == "QUIT":
             break
         try:
+            if name == "kg_pipeline":
+                # flagship throughput stage (VERDICT r03 #2: pair it) —
+                # same corpus sizing as bench.main; run_kg_pipeline
+                # times only the scan→extract→dedup section
+                import bench
+
+                try:
+                    sfv = float(sf_dir.rstrip("/").split("sf")[-1])
+                except ValueError:
+                    sfv = 0.01
+                n_pages = int(os.environ.get(
+                    "SPARK_GRAFT_PAGES",
+                    str(max(2000, int(sfv * 200_000))),
+                ))
+                r = bench.run_kg_pipeline(spark, n_pages)
+                print(f"OK {name} {r['sec']:.4f}", flush=True)
+                continue
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -131,6 +148,11 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--queries", default=None,
                     help="comma list; default: bench.py BENCH_QUERIES")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="untimed warm-up runs of each query per "
+                         "variant before the timed reps (first-run "
+                         "JVM/code-gen warm-up otherwise lands inside "
+                         "the median)")
     ap.add_argument("--flag-ratio", type=float, default=1.5)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
                                                   "ab_last.json"))
@@ -142,7 +164,8 @@ def main() -> None:
         sys.path.insert(0, REPO)
         import bench
 
-        names = list(bench.BENCH_QUERIES)
+        # the flagship leads so its pairs land before any thermal drift
+        names = ["kg_pipeline"] + list(bench.BENCH_QUERIES)
 
     with tempfile.TemporaryDirectory(prefix="ab_bench_") as tmp:
         a = Variant("a", args.base, args.sf, args.cpus, tmp)
@@ -153,6 +176,9 @@ def main() -> None:
             results: dict = {}
             for qi, name in enumerate(names):
                 ta, tb, err = [], [], None
+                for _ in range(args.warmup):
+                    a.run(name)
+                    b.run(name)
                 for rep in range(args.reps):
                     order = (a, b) if rep % 2 == 0 else (b, a)
                     for v in order:
