@@ -1317,6 +1317,122 @@ WHERE doc_id % 3 != 0 OR (doc_id % 28) >= 15
 """,
 )
 
+def _robots_agent(spark, sf):
+    """Named-agent group selection (RFC 9309 §2.2.1, the r4 fix): the
+    robots file declares BOTH a specific ``databot`` group and a ``*``
+    group — for agent ``databot`` only the specific group applies, so
+    the ``*`` group's ``Disallow: /p/`` must NOT leak in. Oracle: a
+    closed-form CASE ladder of the databot group's longest-match
+    decisions."""
+    from ..operators.robots import parse_robots, robots_filter
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.lower(F.col("source")),
+            F.lit(".example.org"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/private/"),
+                            (F.col("doc_id") % 10).cast("string")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/private/pub"),
+                           (F.col("doc_id") % 10).cast("string")))
+            .otherwise(F.concat(F.lit("/p/"),
+                                (F.col("doc_id") % 10).cast("string"))),
+        ).alias("url"),
+    )
+    robots = docs.select(F.lower(F.col("source")).alias("src")).distinct().select(
+        F.concat(F.col("src"), F.lit(".example.org")).alias("domain"),
+        F.lit(
+            "User-agent: databot\nDisallow: /private/\n"
+            "Allow: /private/pub\n\n"
+            "User-agent: *\nDisallow: /p/\nDisallow: /private/pub\n"
+        ).alias("robots_txt"),
+    )
+    return robots_filter(pages, parse_robots(robots, agent="databot"))
+
+
+_register(
+    "robots_agent",
+    _robots_agent,
+    """
+SELECT doc_id,
+  'http://' || lower(source) || '.example.org' ||
+  CASE WHEN doc_id % 3 = 0
+         THEN '/private/' || CAST(doc_id % 10 AS VARCHAR)
+       WHEN doc_id % 3 = 1
+         THEN '/private/pub' || CAST(doc_id % 10 AS VARCHAR)
+       ELSE '/p/' || CAST(doc_id % 10 AS VARCHAR) END AS url,
+  CASE WHEN doc_id % 3 = 0 THEN FALSE   -- Disallow /private/
+       WHEN doc_id % 3 = 1 THEN TRUE    -- Allow /private/pub wins (longer)
+       ELSE TRUE END AS allowed         -- '*' group ignored for databot
+FROM documents
+""",
+)
+
+
+def _sitemap_escaped(spark, sf):
+    """XML-entity decoding end-to-end (the r4 ADVICE fix): ``<loc>``
+    values arrive entity-escaped (``&amp;``), as numeric refs
+    (``&#38;``) or CDATA-wrapped — all three must decode to the same
+    raw URL. Oracle: the closed-form decoded URL per document."""
+    from ..operators.sitemap import parse_sitemaps
+
+    docs = _t(spark, sf, "documents")
+    src = F.lower(F.col("source"))
+    raw_suffix = F.concat(
+        F.lit("/s?id="), F.col("doc_id").cast("string"), F.lit("&v=1")
+    )
+    loc = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("<![CDATA[http://"), src,
+                     F.lit(".example.org"), raw_suffix, F.lit("]]>")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("http://"), src, F.lit(".example.org/s?id="),
+                     F.col("doc_id").cast("string"), F.lit("&#38;v=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), src, F.lit(".example.org/s?id="),
+                     F.col("doc_id").cast("string"), F.lit("&amp;v=1"))
+        )
+    )
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc></url>"))
+    fetched = (
+        docs.select(src.alias("src"), entry.alias("e"))
+        .groupBy("src")
+        .agg(F.array_join(F.collect_list("e"), "\n").alias("inner"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("src"),
+                F.lit(".example.org/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit("<urlset>\n"), F.col("inner"), F.lit("\n</urlset>")
+            ).alias("body"),
+        )
+    )
+    return parse_sitemaps(fetched)
+
+
+_register(
+    "sitemap_escaped",
+    _sitemap_escaped,
+    """
+SELECT DISTINCT
+  'http://' || lower(source) || '.example.org/sitemap.xml'
+    AS sitemap_url,
+  'http://' || lower(source) || '.example.org/s?id='
+    || CAST(doc_id AS VARCHAR) || '&v=1' AS url,
+  CAST(NULL AS TIMESTAMP) AS lastmod
+FROM documents
+""",
+)
+
+
 _register(
     "url_dedup",
     _url_dedup,
@@ -3316,6 +3432,82 @@ SELECT 'urn:cust:' || c_custkey,
        'fewer than 2 conforming values',
        'http://www.w3.org/ns/shacl#Violation'
 FROM customer
+""",
+)
+
+
+_SHACL_LOGICAL_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix dc: <http://purl.org/dc/terms/> .
+@prefix ex: <http://www.example.org/> .
+
+ex:CustomerLogicShape
+    a sh:NodeShape ;
+    sh:targetClass ex:Customer ;
+    sh:xone ( [ sh:property [ sh:path skos:altLabel ;
+                              sh:maxCount 1 ] ]
+              [ sh:property [ sh:path dc:identifier ;
+                              sh:minCount 2 ] ] ) .
+"""
+
+
+def _shacl_logical(spark, sf):
+    """Node-level logical constraint with sh:property operands (the
+    r4 extension — SHACL §4.7's canonical shape family): each focus
+    customer must satisfy EXACTLY ONE of {≤1 altLabel, ≥2
+    identifiers}. Every customer has exactly one identifier (branch 2
+    always fails) and even custkeys carry a second altLabel (branch 1
+    fails) → even customers conform to zero branches and violate
+    sh:xone. Oracle: that closed form."""
+    from ..shacl import parse_shapes_ttl, validate
+
+    return validate(
+        kg_triples(spark, sf), parse_shapes_ttl(_SHACL_LOGICAL_TTL)
+    )
+
+
+_register(
+    "shacl_logical",
+    _shacl_logical,
+    f"""
+SELECT 'urn:cust:' || c_custkey AS focus,
+       '{EX}CustomerLogicShape' AS shape,
+       CAST(NULL AS VARCHAR) AS path,
+       'xone' AS constraint,
+       'urn:cust:' || c_custkey AS value,
+       'value conforms to != 1 sh:xone branch' AS message,
+       'http://www.w3.org/ns/shacl#Violation' AS severity
+FROM customer WHERE c_custkey % 2 = 0
+""",
+)
+
+
+def _sparql_bare_filter(spark, sf):
+    """SPARQL grammar forms closed this round: an empty-prefix PREFIX
+    declaration / ``:curie`` terms, and the un-bracketed FILTER
+    Constraint form (``FILTER strstarts(…)`` — a BuiltInCall, no
+    wrapping parens). Oracle: plain projection of the customers whose
+    identifier starts with C1."""
+    from .bgp import bgp_select
+
+    q = (
+        'PREFIX : <' + SKOS + '>\n'
+        'PREFIX dc: <' + DC + '>\n'
+        'SELECT ?s ?lbl WHERE { ?s dc:identifier ?id . '
+        '?s :prefLabel ?lbl . '
+        'FILTER strstarts(?id, "C1") FILTER isLiteral(?lbl) }'
+    )
+    return bgp_select(kg_triples(spark, sf), q)
+
+
+_register(
+    "sparql_bare_filter",
+    _sparql_bare_filter,
+    """
+SELECT 'urn:cust:' || c_custkey AS s, c_name AS lbl
+FROM customer
+WHERE ('C' || CAST(c_custkey AS VARCHAR)) LIKE 'C1%'
 """,
 )
 
