@@ -728,6 +728,7 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     tokenizer: str = "word",
     shingle_n: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup detection for a FRESH INGEST against an existing
     corpus, touching only the corpus's minhash-signature index —
@@ -753,6 +754,10 @@ def incremental_minhash_dedup(
     only candidate pairs × num_perm rows; one window bounded by
     candidates picks the best match. ``band_buckets`` is shared with
     the batch path so incremental and batch decisions agree.
+    ``max_bucket_size`` is the batch path's skew cap, applied to the
+    band join (buckets above the cap are skipped — the standard
+    recall/cost trade on boilerplate-heavy crawls); default None keeps
+    exact banded semantics (required by the oracle-checked query).
     """
     # both signature frames feed two plan branches (banding + the
     # estimator join): materialize each once, per the audited reuse
@@ -777,6 +782,23 @@ def incremental_minhash_dedup(
     ob = band_buckets(corpus_signatures, bands, id_col).select(
         F.col(id_col).alias("_old"), "bucket"
     )
+    if max_bucket_size is not None:
+        # the same web-scale skew guard lsh_candidate_pairs has, which
+        # the incremental path previously lacked: a boilerplate-heavy
+        # bucket (error pages, parked domains — B index members × b
+        # new members candidates) otherwise dominates the whole
+        # ingest. Found by the 10× step-up: exact-clone replicas blew
+        # the candidate set up 100×. Cap counts BOTH sides, matching
+        # the batch path's window-count semantics.
+        sizes = (
+            nb.select("bucket")
+            .unionByName(ob.select("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("bucket")
+        )
+        nb = nb.join(sizes, "bucket", "left_semi")
     cand = nb.join(ob, "bucket").select("_new", "_old").distinct()
     ns = new_sigs.select(
         F.col(id_col).alias("_new"), "perm", F.col("sig").alias("_sn")

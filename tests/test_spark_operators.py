@@ -2087,6 +2087,36 @@ class TestIncrementalMinhash:
         rows = incremental_minhash_dedup(newd, idx).collect()
         assert len(rows) == 1 and rows[0].dup_of == 3
 
+    def test_max_bucket_size_caps_boilerplate(self, spark):
+        from py_sema_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_signatures,
+            token_set,
+        )
+
+        # 6 exact clones in the corpus (a boilerplate bucket) + one
+        # unique doc; the new batch carries one clone and one match
+        # for the unique doc
+        boiler = "error page not found please try again later thanks"
+        uniq = "entirely unique prose about catalyst physical plans"
+        corpus = spark.createDataFrame(
+            [(i, boiler) for i in range(6)] + [(7, uniq)],
+            "doc_id long, text string",
+        )
+        newd = spark.createDataFrame(
+            [(10, boiler), (11, uniq)], "doc_id long, text string"
+        )
+        idx = minhash_signatures(token_set(corpus), num_perm=16)
+        # uncapped: both found
+        got = {r.doc_id for r in
+               incremental_minhash_dedup(newd, idx).collect()}
+        assert got == {10, 11}
+        # cap 4: the 7-member boilerplate bucket is skipped, the
+        # 2-member unique bucket survives
+        got = {r.doc_id for r in incremental_minhash_dedup(
+            newd, idx, max_bucket_size=4).collect()}
+        assert got == {11}
+
     def test_agrees_with_batch_banding(self, spark):
         from py_sema_spark.operators.dedup import (
             band_buckets,

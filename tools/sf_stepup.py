@@ -6,12 +6,17 @@ closure round counts, AQE coalescing vs repartition pins).
 
 Scaled corpus construction (deterministic, no external data):
 
-- ``documents``: K vocabulary-shifted replicas — every token gets a
-  replica suffix, so INTRA-replica similarity structure (shingles,
-  minhash bands, fingerprints) is preserved exactly while replicas
-  stay mutually dissimilar → near-dup pair counts scale ~K×, not K²
-  (plain replication would make every doc a 10-way exact dup and
-  measure a different workload).
+- ``documents``: K vocabulary-shifted replicas — every token gets an
+  ALPHANUMERIC replica suffix (``x3``, not ``_3``: the canonical
+  tokenizer strips punctuation, so an underscore suffix detaches and
+  the replicas collapse back into exact minhash clones — found the
+  hard way, it produced a 100× candidate-pair blowup), so
+  INTRA-replica similarity structure (shingles, minhash bands,
+  fingerprints) is preserved exactly while replicas stay mutually
+  dissimilar → near-dup pair counts scale ~K×, not K² (plain
+  replication would make every doc a 10-way exact dup and measure a
+  different workload — though that workload is ALSO real: crawls are
+  boilerplate-heavy, which is what max_bucket_size is for).
 - ``embeddings``: K circular-shifted replicas — a shift-by-k vector is
   near-orthogonal to the original for random-ish embeddings, so LSH /
   IVF bucket geometry scales ~K× without K² duplicate-pair blowup.
@@ -73,7 +78,7 @@ def build_scaled(spark, sf_dir: str, out_dir: str, k: int) -> dict:
             n = docs.count()
             reps = []
             for r in range(k):
-                suffix = F.lit(f"_{r}")
+                suffix = F.lit(f"x{r}")
                 reps.append(docs.select(
                     (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
                     F.array_join(
