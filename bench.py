@@ -126,7 +126,9 @@ BENCH_QUERIES = [
     "domain_stats",
     "url_dedup",
     "robots_filter",
+    "robots_agent",
     "sitemap_frontier",
+    "sitemap_escaped",
     "incremental_dedup",
     "incremental_minhash",
     "apply_changes",
@@ -146,6 +148,8 @@ BENCH_QUERIES = [
     "subyt_render",
     "shacl_validate",
     "shacl_paths",
+    "shacl_logical",
+    "sparql_bare_filter",
     "conneg_audit",
     "frame_sample",
     "media_decode_stats",
