@@ -96,28 +96,45 @@ _ATTESTED_SEED = {
 # CORRECTNESS row exists for them.
 
 
-def _attested() -> set:
+def _last_green_round() -> dict:
+    """name -> round number of the most recent green attestation.
+
+    Green = hash_match for oracled queries, or rows_match for the
+    rows-only ones (no SQL oracle => hash_match can never be true).
+    Seed names with no CORRECTNESS row at all are treated as round 0
+    (attested once, pre-r1 file format), so they age to the front.
+    """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out = set(_ATTESTED_SEED)
+    last = {name: 0 for name in _ATTESTED_SEED}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except Exception:
             continue
         for name, rec in rows.items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
-                out.add(name)
-    return out
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") or (
+                rec.get("rows_match") and not rec.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _rotated(d: dict) -> dict:
-    attested = _attested()
-    fresh = {k: v for k, v in d.items() if k not in attested}
-    seen = {k: v for k, v in d.items() if k in attested}
-    return {**fresh, **seen}
+    """Least-recently-attested first: never-attested names lead, then
+    ascending by the round of each name's most recent green row, so
+    the driver's per-round prefix re-verifies the stalest attestations
+    on current binaries instead of a frozen order (VERDICT r04 #2)."""
+    last = _last_green_round()
+    order = sorted(d, key=lambda k: (last.get(k, -1), k))
+    return {k: d[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

