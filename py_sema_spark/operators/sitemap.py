@@ -41,10 +41,13 @@ def _xml_unescape(col):
     Handles a CDATA wrapper (content taken verbatim), the five named
     entities, and ASCII-range numeric refs (``&#38;`` / ``&#x26;``;
     non-ASCII refs are left intact — sitemap URLs are percent-encoded
-    ASCII per the spec, and Spark's ``char`` is mod-256). ``&amp;``
-    decodes LAST so ``&amp;lt;`` yields the literal ``&lt;``. All
-    whole-stage-codegen-able expressions; the numeric-ref split runs
-    only on rows that contain ``&#``."""
+    ASCII per the spec, and Spark's ``char`` is mod-256). ``&#`` refs
+    and ``&amp;`` decode in ONE left-to-right split pass, so decoded
+    output is never re-scanned: ``&amp;lt;`` yields the literal
+    ``&lt;`` and ``&#38;amp;`` yields the literal ``&amp;`` (the
+    pre-r5 two-pass chain double-decoded the latter to ``&`` — ADVICE
+    r04). All whole-stage-codegen-able expressions; the split pass
+    runs only on rows that contain ``&#`` or ``&amp;``."""
     cdata = F.regexp_extract(col, r"(?s)^<!\[CDATA\[(.*?)\]\]>$", 1)
     c = F.regexp_replace(col, "&lt;", "<")
     c = F.regexp_replace(c, "&gt;", ">")
@@ -69,14 +72,21 @@ def _xml_unescape(col):
                     F.regexp_replace(s, r"^&#[xX][0-9a-fA-F]{1,2};", ""),
                 ),
             )
+            .when(
+                s.startswith("&amp;"),
+                F.concat(
+                    F.lit("&"), F.regexp_replace(s, r"^&amp;", "")
+                ),
+            )
             .otherwise(s)
         )
 
-    numeric = F.array_join(
-        F.transform(F.split(c, r"(?=&#)"), _dec), ""
+    entity = F.array_join(
+        F.transform(F.split(c, r"(?=&#|&amp;)"), _dec), ""
     )
-    c = F.when(c.contains("&#"), numeric).otherwise(c)
-    c = F.regexp_replace(c, "&amp;", "&")
+    c = F.when(
+        c.contains("&#") | c.contains("&amp;"), entity
+    ).otherwise(c)
     decoded = F.when(cdata != "", cdata).otherwise(c)
     # fast path: a loc with no '&' and no CDATA wrapper (the common
     # case on entity-free sitemaps) needs none of the decode passes —

@@ -545,10 +545,30 @@ class AggItem:
             return F.sum(c.try_cast("double")).alias(self.alias)
         if self.fn == "AVG":
             return F.avg(c.try_cast("double")).alias(self.alias)
-        if self.fn == "MIN" or self.fn == "SAMPLE":
+        if self.fn == "SAMPLE":
+            # spec-open choice; engine pins lexical MIN (module contract)
             return F.min(c).alias(self.alias)
-        if self.fn == "MAX":
-            return F.max(c).alias(self.alias)
+        if self.fn in ("MIN", "MAX"):
+            # SPARQL §18.5 MIN/MAX apply the "<" operator: numeric
+            # literals compare by VALUE, not lexical form ("5" < "10").
+            # Encode a total order as a struct (type-rank, numeric
+            # value, lexical form): numbers rank before other terms
+            # (the Jena/rdflib practical order for the spec's
+            # type-error cases), numbers compare numerically, ties and
+            # non-numbers fall back to the lexical form. The aggregate
+            # returns the original lexical form, preserving the
+            # engine's string-out contract. (Gap found by the
+            # manifest-driven W3C suite: agg-min-max-001.)
+            num = c.try_cast("double")
+            ordered = F.struct(
+                F.when(num.isNotNull(), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("t"),
+                num.alias("n"),
+                c.alias("lex"),
+            )
+            agg = F.min(ordered) if self.fn == "MIN" else F.max(ordered)
+            return agg.getField("lex").alias(self.alias)
         if self.fn == "GROUP_CONCAT":
             return F.concat_ws(
                 self.sep if self.sep is not None else " ",
@@ -741,7 +761,10 @@ def _extract_calls(
     out: List[str] = []
     pos = 0
     fn = r"(?P<fn>[A-Za-z_][A-Za-z0-9_]*\s*)?" if bare_call else ""
-    rx = re.compile(r"(?is)\b" + keyword + r"\s*" + fn + r"\(")
+    # \b after the keyword: without it, bare_call would consume
+    # FILTER-prefixed identifiers ("FILTERED(x)" as fn body "ED(x)")
+    # — ADVICE r04
+    rx = re.compile(r"(?is)\b" + keyword + r"\b\s*" + fn + r"\(")
     while True:
         m = rx.search(where, pos)
         if not m:
@@ -774,8 +797,11 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
         r"\s*(?:GROUP\s+BY\s+(?P<group>.+?))?"
         r"\s*(?:HAVING\s*\((?P<having>" + _DEPTH2 + r")\))?"
         r"\s*(?:ORDER\s+BY\s+(?P<order>.+?))?"
-        r"\s*(?:LIMIT\s+(?P<limit>\d+))?"
-        r"\s*(?:OFFSET\s+(?P<offset>\d+))?\s*$",
+        # grammar LimitOffsetClauses: LIMIT/OFFSET in EITHER order
+        # (found by the manifest-driven W3C suite: offset-001)
+        r"\s*(?:LIMIT\s+(?P<limit>\d+)(?:\s+OFFSET\s+(?P<offset>\d+))?"
+        r"|OFFSET\s+(?P<offset2>\d+)(?:\s+LIMIT\s+(?P<limit2>\d+))?)?"
+        r"\s*$",
         body,
     )
     if not m:
@@ -785,8 +811,10 @@ def parse_select(sparql: str, prefixes: Optional[Dict[str, str]] = None):
     distinct = bool(m.group(1)) and m.group(1).strip().upper() == "DISTINCT"
 
     proj_raw = m.group("proj").strip()
-    limit = int(m.group("limit")) if m.group("limit") else None
-    offset = int(m.group("offset")) if m.group("offset") else None
+    limit_s = m.group("limit") or m.group("limit2")
+    offset_s = m.group("offset") or m.group("offset2")
+    limit = int(limit_s) if limit_s else None
+    offset = int(offset_s) if offset_s else None
     group_by = _parse_group_conditions(m.group("group") or "")
     order_by = _parse_order_conditions(m.group("order") or "")
 

@@ -614,7 +614,20 @@ def _class_instances(triples: DataFrame, class_iri: str) -> DataFrame:
     classes = triples.sparkSession.createDataFrame(
         [(class_iri,)], "o string"
     )
-    if not sub.isEmpty():
+    # ADVICE r04: isEmpty is an eager driver-side job; shapes with many
+    # sh:class occurrences (incl. per logical branch / nested child)
+    # fired one per occurrence at plan-construction time. Memoize the
+    # answer on the (shared) triples frame object — validate() passes
+    # the same DataFrame through every recursion, so the slice is
+    # probed once per validation run.
+    has_subclass = getattr(triples, "_psp_has_subclass", None)
+    if has_subclass is None:
+        has_subclass = not sub.isEmpty()
+        try:
+            triples._psp_has_subclass = has_subclass
+        except AttributeError:
+            pass
+    if has_subclass:
         from .operators.closure import transitive_closure
 
         desc = (
@@ -1178,7 +1191,14 @@ def validate(
                         _visiting=_visiting | {shape.iri},
                         _registry=by_iri,
                     )
-                    out = out.unionByName(child_viols)
+                    # §4.7.3 NodeConstraintComponent: conformance of
+                    # the value node is checked against the child
+                    # shape, but only the OUTER 'node' result is a
+                    # top-level report row — the child's individual
+                    # results belong under sh:detail, not in the
+                    # report (pyshacl/data-shapes suite behavior; the
+                    # pre-r5 engine leaked them, found by the
+                    # manifest-driven W3C suite: node-001).
                     bad_vals = vals.join(
                         child_viols.select(F.col("focus").alias("o")).distinct(),
                         "o", "left_semi",

@@ -34,6 +34,8 @@ ESCAPED_URLSET = """<urlset>
   <url><loc><![CDATA[http://e.ex/cdata?a=1&b=2]]></loc></url>
   <url><loc>http://e.ex/big&#256;ref</loc></url>
   <url><loc>http://e.ex/q&quot;x&apos;y&lt;z&gt;w</loc></url>
+  <url><loc>http://e.ex/ord?a=&#38;amp;</loc></url>
+  <url><loc>http://e.ex/ord2?b=&amp;#38;</loc></url>
 </urlset>
 """
 
@@ -62,6 +64,11 @@ def test_entity_unescape_vectors(spark):
         # non-ASCII numeric ref left intact (documented)
         "http://e.ex/big&#256;ref",
         'http://e.ex/q"x\'y<z>w',
+        # single-pass ordering (ADVICE r04): &#38;amp; is char-ref
+        # '&' + literal 'amp;' -> the 5-char text "&amp;", NOT
+        # double-decoded to '&'; symmetrically &amp;#38; -> "&#38;"
+        "http://e.ex/ord?a=&amp;",
+        "http://e.ex/ord2?b=&#38;",
     }
 
 

@@ -1214,3 +1214,26 @@ class TestRound3CompilerFixes:
         from py_sema_spark.queries.bgp import bgp_ask
 
         assert bgp_ask(triples, "ASK WHERE { }").first().ask is True
+
+
+class TestExtractCallsBoundary:
+    """ADVICE r04: with bare_call, \\bFILTER\\s*fn?\\( must not consume
+    FILTER-prefixed identifiers like FILTERED(x)."""
+
+    def test_filter_prefixed_identifier_not_hijacked(self):
+        from py_sema_spark.queries.bgp import _extract_calls
+
+        where, bodies = _extract_calls(
+            "?s ex:FILTERED(x) FILTER isIRI(?s)", "FILTER", bare_call=True
+        )
+        assert bodies == ["isIRI(?s)"]
+        assert "FILTERED(x)" in where
+
+    def test_bare_filter_still_matches(self):
+        from py_sema_spark.queries.bgp import _extract_calls
+
+        _, bodies = _extract_calls(
+            "FILTER regex(?n, \"^A\") . FILTER(?x > 2)", "FILTER",
+            bare_call=True,
+        )
+        assert bodies == ['regex(?n, "^A")', "?x > 2"]
