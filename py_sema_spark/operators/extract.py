@@ -73,11 +73,20 @@ def extract_page(url: str, body: str) -> Tuple[List[Tuple[Triple, str]], List[st
     links: List[str] = []
     if not body:
         return triples, links
-    parsed, fmt = parse_rdf_auto(body, base=url)
-    if parsed:
-        return [(t, fmt) for t in parsed], links
     if looks_like_html(body):
-        scan = scan_html(body)
+        # HTML-looking documents go straight to the HTML consumers —
+        # the reference routes text/html responses to its
+        # LODAwareHTMLParser rather than the RDF parser chain
+        # (discovery.py:148-156 dispatches on format), and the doomed
+        # 7-format fallback attempt was ~30% of per-HTML-page cost.
+        # One tokenizer pass feeds all three consumers (see
+        # html._EventRecorder).
+        from ..rdf.html import tokenize_html
+        from ..rdf.microdata import parse_microdata
+        from ..rdf.rdfa import parse_rdfa
+
+        events = tokenize_html(body)
+        scan = scan_html(body, events=events)
         for href in scan["links"]:
             links.append(urljoin(url, href))
         for script_type, content in scan["scripts"]:
@@ -87,11 +96,17 @@ def extract_page(url: str, body: str) -> Tuple[List[Tuple[Triple, str]], List[st
             parsed, fmt = parse_rdf_auto(content, base=url, formats=fmts)
             triples.extend((t, fmt) for t in parsed)
         # attribute-level structured data (north_star: RDFa + microdata)
-        from ..rdf.microdata import parse_microdata
-        from ..rdf.rdfa import parse_rdfa
-
-        triples.extend((t, "microdata") for t in parse_microdata(body, base=url))
-        triples.extend((t, "rdfa") for t in parse_rdfa(body, base=url))
+        triples.extend(
+            (t, "microdata")
+            for t in parse_microdata(body, base=url, events=events)
+        )
+        triples.extend(
+            (t, "rdfa") for t in parse_rdfa(body, base=url, events=events)
+        )
+        return triples, links
+    parsed, fmt = parse_rdf_auto(body, base=url)
+    if parsed:
+        return [(t, fmt) for t in parsed], links
     return triples, links
 
 

@@ -397,6 +397,7 @@ def embedding_neardup_pairs(
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate (a,b,cos) pairs with cos ≥ threshold, found via
     LSH self-join (same deterministic buckets on both sides).
@@ -405,7 +406,15 @@ def embedding_neardup_pairs(
     within Hamming radius of its signature, the right side keeps its
     exact bucket — pair recall of radius-r probing at a fraction of
     the cost of dropping ``planes`` (halving planes quadruples every
-    bucket's pair output; probing adds a linear factor instead)."""
+    bucket's pair output; probing adds a linear factor instead).
+
+    ``max_bucket_size`` is the web-scale skew guard, symmetric to the
+    minhash path's (dedup.lsh_candidate_pairs): near-constant
+    embeddings (boilerplate pages, parked domains) collapse into one
+    hyperplane bucket whose B² pair output quadratic-bombs the join.
+    Capping drops buckets above the threshold from the exact side
+    BEFORE probing/joining, bounding output at cap·N pairs. Default
+    None keeps exact LSH semantics (the oracle-checked form)."""
     masks = _probe_masks(planes, probe_radius)
     # one corpus scan for all tables (see lsh_cosine_topk), then one
     # self-join on (t, bucket) — materialized once since both join
@@ -413,6 +422,13 @@ def embedding_neardup_pairs(
     b = _table_buckets(
         embeddings, id_col, vec_col, tables, planes, dim
     ).localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("t", "bucket")
+        b = (
+            b.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     probed = b.select(
         id_col,
         "t",
@@ -733,6 +749,7 @@ def semantic_neardup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (cluster-then-dedup): k-means the embeddings with
     :func:`kmeans_assign`, then compute exact cosine near-dup pairs
@@ -742,11 +759,21 @@ def semantic_neardup(
     quadratic pair join is keyed on the cluster id, so the work is
     Σ|cluster|² instead of n² — with k grown proportionally to the
     corpus, cluster populations (and hence per-key fan-out) stay
-    bounded. A runaway cluster is the same skew case as a hot LSH
-    bucket; cap or re-split it the way ``minhash_neardup`` caps
-    buckets. Cross-cluster near-dups are sacrificed by design (the
+    bounded. Cross-cluster near-dups are sacrificed by design (the
     SemDeDup trade); the exact twin `embedding_neardup` measures what
     that costs on a given corpus.
+
+    ``max_cluster_size`` is the degenerate-cluster guard: k-means
+    cannot split a mass of near-identical embeddings (boilerplate-
+    heavy crawl data), so one giant cluster re-creates the n² bomb
+    inside this operator. When set, clusters larger than the cap are
+    deterministically sub-bucketed (xxhash64 of the id mod
+    ceil(size/cap)) and pairs are emitted within sub-buckets only —
+    output and compute bounded at ~cap·N while every member still
+    participates (nothing is dropped, unlike the LSH bucket cap).
+    Recall inside an oversized cluster falls to ~1/ceil(size/cap),
+    the explicit cost of surviving the degenerate case. Default None
+    keeps exact within-cluster semantics (the oracle-checked form).
 
     Returns (cluster, a, b, cos) with a < b and cos ≥ ``threshold``,
     cos rounded to 6 after the (unrounded) threshold gate — the same
@@ -757,14 +784,27 @@ def semantic_neardup(
     e = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).join(assign.select(id_col, "cluster"), id_col)
+    join_keys = ["cluster"]
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cluster")
+        e = e.withColumn(
+            "_sb",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.ceil(
+                    F.count("*").over(w) / F.lit(max_cluster_size)
+                ).cast("long"),
+            ),
+        )
+        join_keys = ["cluster", "_sb"]
     a = e.select(
-        "cluster", F.col(id_col).alias("a"), F.col("_v").alias("_va")
+        *join_keys, F.col(id_col).alias("a"), F.col("_v").alias("_va")
     )
     b = e.select(
-        "cluster", F.col(id_col).alias("b"), F.col("_v").alias("_vb")
+        *join_keys, F.col(id_col).alias("b"), F.col("_v").alias("_vb")
     )
     return (
-        a.join(b, ["cluster"])
+        a.join(b, join_keys)
         .where(F.col("a") < F.col("b"))
         .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
         .where(F.col("cos") >= threshold)

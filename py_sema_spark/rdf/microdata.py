@@ -155,10 +155,17 @@ class _MicrodataParser(HTMLParser):
             prop.buf.append(data)
 
 
-def parse_microdata(html_text: str, base: str = "") -> List[Triple]:
+def parse_microdata(
+    html_text: str, base: str = "", events=None
+) -> List[Triple]:
     p = _MicrodataParser(base)
-    p.feed(html_text)
-    p.close()
+    if events is None:
+        p.feed(html_text)
+        p.close()
+    else:  # pre-tokenized stream (html.tokenize_html) — one pass/page
+        from .html import replay_html
+
+        replay_html(events, p)
     # flush itemprops still open at EOF: truncated / implicitly-closed
     # markup (legal HTML, common in crawls) must not drop its literals
     for prop in p._open_props:

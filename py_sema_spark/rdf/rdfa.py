@@ -214,10 +214,17 @@ class _RdfaParser(HTMLParser):
             ol.buf.append(data)
 
 
-def parse_rdfa(html_text: str, base: str = "") -> List[Triple]:
+def parse_rdfa(
+    html_text: str, base: str = "", events=None
+) -> List[Triple]:
     p = _RdfaParser(base)
-    p.feed(html_text)
-    p.close()
+    if events is None:
+        p.feed(html_text)
+        p.close()
+    else:  # pre-tokenized stream (html.tokenize_html) — one pass/page
+        from .html import replay_html
+
+        replay_html(events, p)
     # flush property literals still open at EOF: truncated /
     # implicitly-closed markup (legal HTML, common in crawls) must not
     # drop its literals

@@ -65,6 +65,7 @@ _DOUBLE_RE = re.compile(
 )
 _LANG_RE = re.compile(r"@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)")
 _BNODE_LABEL_RE = re.compile(r"_:([\w\-.]*[\w\-])")
+_BAD_IRI_CHARS = frozenset(' "{}|^`')
 
 
 class _TurtleParser:
@@ -118,6 +119,8 @@ class _TurtleParser:
     # ----- terminals -----
 
     def _unescape(self, s: str, allow_echar: bool = True) -> str:
+        if "\\" not in s:  # common case: nothing to decode or reject
+            return s
         out: List[str] = []
         i, ln = 0, len(s)
         while i < ln:
@@ -143,15 +146,15 @@ class _TurtleParser:
 
     def _parse_iriref(self) -> str:
         self._expect("<")
-        end = self.pos
-        while end < self.n and self.text[end] != ">":
-            if self.text[end] in "\n\r":
-                raise TurtleParseError("newline in IRIREF")
-            end += 1
-        if end >= self.n:
+        # C-speed scan to the terminator; error precedence matches the
+        # old per-char loop (newline-before-'>' wins over unterminated)
+        end = self.text.find(">", self.pos)
+        raw = self.text[self.pos : end] if end >= 0 else self.text[self.pos:]
+        if "\n" in raw or "\r" in raw:
+            raise TurtleParseError("newline in IRIREF")
+        if end < 0:
             raise TurtleParseError("unterminated IRIREF")
-        raw = self.text[self.pos : end]
-        if any(ch in raw for ch in ' "{}|^`'):
+        if _BAD_IRI_CHARS.intersection(raw):
             raise TurtleParseError(f"illegal char in IRIREF {raw!r}")
         self.pos = end + 1
         return self._resolve(self._unescape(raw, allow_echar=False))
