@@ -53,9 +53,19 @@ print("RESULT " + json.dumps({"cpus": cpus, "pages": n_pages,
 """
 
 
-def run(cpus: int, n_pages: int) -> dict:
+def run(cpus: int, n_pages: int, pin: bool = True) -> dict:
+    # cpuset-pin the whole child (JVM helper threads, Python workers,
+    # GC) to exactly `cpus` cores: local[N] only caps TASK slots, so an
+    # unpinned N-level run bursts its off-slot threads onto idle cores
+    # and inflates the low-parallelism throughput — a real cluster
+    # executor is cgroup/cpuset-limited to its core count, so pinning
+    # is the faithful stand-in (and the honest denominator for the
+    # N -> 4N efficiency rule).
+    cmd = [sys.executable, "-c", CHILD, str(cpus), str(n_pages)]
+    if pin and os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_pages)],
+        cmd,
         capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     for line in out.stdout.splitlines():
