@@ -264,7 +264,12 @@ def _parse_term(tok: re.Match, prefixes: Dict[str, str]) -> Term:
     if tok.group("iri") is not None:
         return Term("iri", tok.group("iri"))
     if tok.group("lit") is not None:
-        val = re.sub(r"\\(.)", r"\1", tok.group("lit"))
+        # full ECHAR + UCHAR decoding, shared with the expression
+        # tokenizer (pre-r5 this dropped the backslash but left \n/\t
+        # and \uXXXX undecoded in triple-pattern literals)
+        from .sparql_expr import unescape_sparql_string
+
+        val = unescape_sparql_string(tok.group("lit"))
         dt = tok.group("dt")
         if dt and not dt.startswith("<"):
             dt = _expand(dt, prefixes)

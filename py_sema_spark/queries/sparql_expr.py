@@ -74,6 +74,30 @@ class Token:
         return f"Token({self.kind},{self.value!r})"
 
 
+# grammar ECHAR (\t \b \n \r \f \" \' \\) + UCHAR (\uXXXX / \UXXXXXXXX),
+# decoded in ONE left-to-right pass so decoded output is never
+# re-scanned ('\\u0041' is backslash + literal u0041, not 'A' — the
+# same double-decode class as the r4 sitemap finding). Unknown escapes
+# keep the escaped character (lenient, matching the engine's style).
+# Gap found by the manifest-driven W3C suite (strlen-001: é).
+_STR_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_ECHAR_MAP = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+}
+
+
+def unescape_sparql_string(raw: str) -> str:
+    def _dec(m: "re.Match") -> str:
+        g = m.group(1)
+        if len(g) == 5 and g[0] == "u":
+            return chr(int(g[1:], 16))
+        if len(g) == 9 and g[0] == "U":
+            return chr(int(g[1:], 16))
+        return _ECHAR_MAP.get(g, g)
+
+    return _STR_ESC_RE.sub(_dec, raw)
+
+
 def tokenize(text: str) -> List[Token]:
     out, pos = [], 0
     while pos < len(text):
@@ -89,8 +113,12 @@ def tokenize(text: str) -> List[Token]:
             out.append(Token("var", m.group("var")[1:]))
         elif m.group("string") is not None:
             raw = m.group("string")[1:-1]
-            val = re.sub(r"\\(.)", lambda g: {"n": "\n", "t": "\t", "r": "\r"}.get(g.group(1), g.group(1)), raw)
-            out.append(Token("string", val, m.group("lang"), m.group("dt")))
+            out.append(
+                Token(
+                    "string", unescape_sparql_string(raw),
+                    m.group("lang"), m.group("dt"),
+                )
+            )
         elif m.group("number"):
             out.append(Token("number", m.group("number")))
         elif m.group("name"):

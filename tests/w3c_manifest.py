@@ -192,6 +192,37 @@ def component_id(component_iri: str) -> str:
     return local[0].lower() + local[1:]
 
 
+def path_term_to_str(g: Graph, term: Term) -> str:
+    """SHACL path structure (the suite's sh:resultPath encoding) → the
+    engine's report string form: IRI as-is, [sh:inversePath p] → ^p,
+    (p q) sequence list → p/q, one/zero closures → p+ / p* / p?,
+    [sh:alternativePath (p q)] → p|q — mirroring shacl.path_str."""
+    if term.kind == "iri":
+        return term.value
+    s = term.value
+    inv = g.obj(s, SH + "inversePath")
+    if inv is not None:
+        return "^" + path_term_to_str(g, inv)
+    alt = g.obj(s, SH + "alternativePath")
+    if alt is not None:
+        return "|".join(
+            path_term_to_str(g, t) for t in g.rdf_list(alt)
+        )
+    for pred, suffix in (
+        ("oneOrMorePath", "+"),
+        ("zeroOrMorePath", "*"),
+        ("zeroOrOnePath", "?"),
+    ):
+        sub = g.obj(s, SH + pred)
+        if sub is not None:
+            return path_term_to_str(g, sub) + suffix
+    if g.obj(s, RDF_FIRST) is not None:  # sequence list
+        return "/".join(
+            path_term_to_str(g, t) for t in g.rdf_list(term)
+        )
+    return s
+
+
 def load_validation_report(result) -> ExpectedReport:
     """Parse an inline mf:result sh:ValidationReport bnode."""
     g, node = result
@@ -199,7 +230,12 @@ def load_validation_report(result) -> ExpectedReport:
     results: List[Tuple[str, Optional[str], str]] = []
     for r in g.objs(node, SH + "result"):
         focus = g.obj(r.value, SH + "focusNode")
-        path = g.obj(r.value, SH + "resultPath")
+        path_t = g.obj(r.value, SH + "resultPath")
+        path = (
+            Term(path_term_to_str(g, path_t), "iri")
+            if path_t is not None
+            else None
+        )
         comp = g.obj(r.value, SH + "sourceConstraintComponent")
         results.append(
             (
