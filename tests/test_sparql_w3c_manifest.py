@@ -45,15 +45,28 @@ def _data_df(spark, path: Path):
 
 
 def test_manifest_loaded():
-    assert len(ENTRIES) >= 30
-    assert all(e.type.endswith("QueryEvaluationTest") for e in ENTRIES)
-    assert all("query" in e.action and "data" in e.action for e in ENTRIES)
+    assert len(ENTRIES) >= 50
+    assert all(
+        e.type.endswith(("QueryEvaluationTest", "NegativeSyntaxTest11"))
+        for e in ENTRIES
+    )
+    assert all("query" in e.action for e in ENTRIES)
 
 
 @pytest.mark.parametrize("entry", ENTRIES, ids=[e.name for e in ENTRIES])
 def test_w3c_sparql(spark, entry):
     if entry.name in SKIP:
         pytest.skip(SKIP[entry.name])
+    if entry.type.endswith("NegativeSyntaxTest11"):
+        # invalid query text must be rejected loudly, never compiled
+        # to a silently-wrong plan (the engine raises ValueError for
+        # out-of-subset syntax too, which is also a pass here)
+        empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+        with pytest.raises(Exception):
+            sparql_query(
+                empty, entry.action["query"].read_text()
+            ).collect()
+        return
     data = _data_df(spark, entry.action["data"])
     query = entry.action["query"].read_text()
     expected = load_result_set(entry.result)

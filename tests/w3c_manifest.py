@@ -112,10 +112,14 @@ def load_manifest(manifest_path: Path) -> List[ManifestEntry]:
         action_node = g.obj(s, MF + "action")
         action: Dict[str, Path] = {}
         if action_node is not None:
-            for t in g._by_s.get(action_node.value, ()):
-                if t.p.value.startswith((QT, SHT)):
-                    key = t.p.value.split("#", 1)[1]
-                    action[key] = _to_path(t.o.value)
+            if action_node.kind == "iri":
+                # syntax tests: mf:action IS the query file IRI
+                action["query"] = _to_path(action_node.value)
+            else:
+                for t in g._by_s.get(action_node.value, ()):
+                    if t.p.value.startswith((QT, SHT)):
+                        key = t.p.value.split("#", 1)[1]
+                        action[key] = _to_path(t.o.value)
         result_term = g.obj(s, MF + "result")
         result: object = None
         if result_term is not None:
